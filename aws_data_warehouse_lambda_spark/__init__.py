@@ -1,0 +1,24 @@
+"""PySpark-native analytics engine with the capabilities of
+transcom/aws-data-warehouse-lambda, rebuilt Spark-first.
+
+The reference (/root/reference, see SURVEY.md) is an incremental
+Postgres->S3 CDC/ETL Lambda. This package re-expresses its entire data
+surface on the Spark DataFrame API — catalog discovery, watermark CDC
+scans, type coercion, drift detection, partitioned sinks, state
+management — and adds the query + LLM-data-pipeline surface (joins,
+aggregations, windows, dedup, similarity search, text analysis,
+multimodal columns) that a 100 TB warehouse built on it needs.
+
+Layout:
+    session.py    SparkSession construction / tuning (AQE, UTC, Arrow)
+    sources/      fixture parquet tables, JDBC CDC source, stream source
+    plans/        state doc, table discovery, CDC plan dispatch, drift,
+                  extract pipeline (the reference's lifecycle, Spark-first)
+    functions/    deterministic aggregate helpers, coercion, text hashing
+    operators/    the query surface: relational, dedup, similarity,
+                  text stats, events, multimodal
+    streaming/    Structured Streaming jobs over the events stream
+    sinks/        run-serial partitioned parquet sink, JSON compat sink
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,1 @@
+from .numeric import dsum, davg, dsum_expr, davg_expr  # noqa: F401

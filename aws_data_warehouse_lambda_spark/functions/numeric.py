@@ -1,0 +1,62 @@
+"""Deterministic (order-insensitive) numeric aggregates.
+
+Floating-point SUM/AVG are order-sensitive, and Spark's partial
+aggregation order differs run-to-run and engine-to-engine, so a naive
+``SUM(double)`` cannot hash-match a DuckDB oracle. We route double sums
+through an exact decimal accumulator: the decimal sum is associative
+(exact integer arithmetic underneath), hence identical in any engine and
+any partitioning, and the final cast back to double is a single
+deterministic rounding. Cost: negligible — the cast happens once per row
+map-side, the aggregate stays a JVM hash aggregate with partial/final
+combine, and the plan remains whole-stage-codegen'd.
+
+The per-element *input* expression (e.g. ``l_extendedprice *
+(1 - l_discount)``) is evaluated in IEEE double, which is deterministic
+per-row, so both engines cast bit-identical doubles to decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Enough integer headroom for 1e18 row-sums of 1e9-magnitude values,
+#: and enough scale that the double->decimal rounding never loses a
+#: digit that a later double cast could see.
+DECIMAL_T = "decimal(38,10)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-insensitive SUM over doubles, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DECIMAL_T)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-insensitive AVG over doubles, returned as double.
+
+    Defined as exact-decimal SUM cast to double, divided by COUNT in
+    double: both operands are engine-independent, so the quotient is too
+    (decimal AVG itself has engine-specific scale rules — avoided).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DECIMAL_T)).cast("double") / F.count(c)
+
+
+def dsum_expr(sql_expr: str) -> str:
+    """The DuckDB-oracle spelling of :func:`dsum` for ``oracle_sql()``.
+
+    The decimal->double cast goes through VARCHAR: DuckDB's direct
+    DECIMAL(38,10)->DOUBLE converts the hugeint mantissa to double
+    *before* descaling, losing precision past 2^53 (empirically:
+    289473120.0300000000 -> 289473120.03000003), while Spark's
+    Decimal.toDouble is correctly rounded. VARCHAR carries the exact
+    digits and the string->double parse is correctly rounded, matching
+    Spark bit-for-bit.
+    """
+    return f"CAST(CAST(SUM(CAST(({sql_expr}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+def davg_expr(sql_expr: str) -> str:
+    """The DuckDB-oracle spelling of :func:`davg`."""
+    return f"{dsum_expr(sql_expr)} / COUNT({sql_expr})"

@@ -1,0 +1,7 @@
+"""The query surface. Each submodule registers driver-checkable queries
+via :mod:`.registry`; importing the package populates the registry."""
+
+from . import registry  # noqa: F401
+from . import relational  # noqa: F401
+
+__all__ = ["registry"]

@@ -1,0 +1,42 @@
+"""Registry wiring operator implementations to the driver contract.
+
+Every query is a ``(spark, sf_dir) -> DataFrame`` callable; most also
+carry an equivalent DuckDB SQL oracle (the driver hash-compares the
+two at sf0.01 — __spark_entry__.py docstring). Queries without an
+oracle (hash-incompatible randomness, e.g. minhash over xxhash64) get
+the driver's weaker rows-only check and are unit-tested instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import tune
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a driver-checkable query (and optionally its oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str, **kw: Any) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir, **kw)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco

@@ -1,0 +1,126 @@
+"""Core relational query surface: scan, filter, join, aggregate, sort.
+
+The reference's only relational ops are catalog scans, full/watermark
+scans, one ORDER BY, and identity projection (SURVEY.md §2.A S1-S6, F1,
+P1, O1). Everything here expresses those plus the Spark-native surface
+(§2.B) on the fixture star schema. Double aggregates go through the
+exact-decimal helpers in functions/numeric.py so results hash-match the
+DuckDB oracle regardless of partitioning.
+
+Scale notes (100 TB posture):
+ - nation/region are bounded-cardinality dims -> always broadcast
+   (no shuffle on the fact side for those joins).
+ - fact-fact joins (lineitem x orders) shuffle on the join key; AQE
+   handles skew/coalescing (session.py).
+ - watermark filters are plain parquet-pushable predicates — Catalyst
+   pushes them into the scan (verified via .explain in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, davg_expr, dsum, dsum_expr
+from ..sources.tables import load_table
+from .registry import query
+
+#: Watermark used by the flagship incremental-style queries. Mirrors the
+#: reference's persisted ``lastRunTime`` watermark semantics
+#: (/root/reference/src/db_extractor_full.py:382-408) as a fixed literal
+#: so the oracle can reproduce it.
+SHIP_WM = "1996-01-01 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: scan -> watermark filter -> 3 joins (1 broadcast) -> agg -> sort
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_shipdate > TIMESTAMP '{SHIP_WM}'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer nation over the post-watermark lineitems.
+
+    Exercises in one plan: parquet scan with pushed watermark predicate
+    (reference S5/F1, db_extractor_full.py:382-396), two shuffle joins on
+    the fact keys, a broadcast join to the 25-row nation dim, a hash
+    aggregate with map-side partials, and a global sort.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(SHIP_WM).cast("timestamp"))
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: the canonical multi-agg hash aggregate
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_expr('l_quantity')} AS sum_qty,
+           {dsum_expr('l_extendedprice')} AS sum_base_price,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_expr('l_quantity')} AS avg_qty,
+           {davg_expr('l_extendedprice')} AS avg_price,
+           {davg_expr('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 restated on the fixture lineitem (SURVEY.md §2.B agg row)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

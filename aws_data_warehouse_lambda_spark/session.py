@@ -1,0 +1,72 @@
+"""SparkSession construction and tuning.
+
+Replaces the reference's hand-rolled execution envelope
+(/root/reference/src/db_extractor_full.py:29,35,126,141,174,223 — fetch
+batches, encode pools, upload pools, part sizing) with Spark's scheduler,
+shuffle, and AQE. All knobs here are chosen for correctness parity with
+the DuckDB oracle (UTC timestamps) and for scale posture (AQE on,
+partition coalescing, skew-join handling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to ANY session we are handed (the
+#: driver owns the session in the verify harness). Everything here is
+#: safe to set post-startup.
+RUNTIME_CONF: dict[str, str] = {
+    # DuckDB timestamps are UTC-naive; pin the session so literals and
+    # window boundaries agree with the oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-plan, partition coalescing, skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / mapInPandas path (the slow-path escape
+    # hatch; vectorized batches instead of row pickling).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables (region/nation/customer/supplier/part at our SFs)
+    # should broadcast; 64MB is generous locally and sane on a cluster.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime confs to an externally-provided session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs can be locked down on managed clusters; the
+            # engine still functions, just less tuned.
+            pass
+    n = shuffle_partitions or default_parallelism()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "adwl-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a local session (tests / bench). The verify driver passes its
+    own session to ``entry``/``queries`` — those go through :func:`tune`.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or default_parallelism()))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate(), shuffle_partitions)

@@ -1,0 +1,48 @@
+"""Fixture parquet sources.
+
+The reference scans live Postgres tables discovered from the catalog
+(/root/reference/src/db_extractor_full.py:456-460). In this harness the
+"database" is the driver-generated parquet directory (TESTDATA.md); the
+JDBC scale path lives in sources/jdbc.py. Reads are plain
+``spark.read.parquet`` so Catalyst gets pushdown + pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The ten driver fixture tables (TESTDATA.md:13-15).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimensions it is always correct to broadcast in a join at any
+#: scale factor (bounded cardinality: 5 regions, 25 nations).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

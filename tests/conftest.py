@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from aws_data_warehouse_lambda_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("adwl-tests", shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,43 @@
+"""Simulates the external verify driver: own SparkSession (hostile
+config: non-UTC TZ), imports __spark_entry__, smoke + oracle compare."""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[4]").appName("driver-sim")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+
+import __spark_entry__ as e
+
+# smoke: entry()
+df = e.entry(spark)
+rows = df.collect()
+print("SMOKE entry rows:", len(rows))
+print("SMOKE schema:", df.schema.simpleString())
+print("SMOKE first row:", rows[0])
+assert len(rows) > 0
+
+# correctness: every oracle at sf0.01, duckdb side-by-side
+import duckdb
+qs, os_ = e.queries(), e.oracle_sql()
+print("registered queries:", sorted(qs), "oracles:", sorted(os_))
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+for name in sorted(os_):
+    sdf = qs[name](spark, sf).toPandas()
+    odf = con.execute(os_[name]).df()
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    assert scols == ocols, (name, scols, ocols)
+    s = sorted(map(str, sdf[scols].itertuples(index=False, name=None)))
+    o = sorted(map(str, odf[ocols].itertuples(index=False, name=None)))
+    match = s == o
+    print(f"ORACLE {name}: rows={len(s)} match={match}")
+    if not match:
+        for a,b in zip(s,o):
+            if a!=b: print("  first diff:\n   spark ", a, "\n   duck  ", b); break
+        sys.exit(1)
+print("DRIVER-SIM: ALL PASS")

@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate (__spark_entry__.py
+docstring): run each registered query on Spark and its oracle SQL on
+DuckDB over the same parquet, then compare row count + schema (column
+names) + order-insensitive canonicalized values. Stricter than a hash:
+on mismatch it reports the first differing rows.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+import pandas as pd
+
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NaN>"
+        return repr(v)
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        ts = pd.Timestamp(v)
+        return ts.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return cols, rows
+
+
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
+    s_cols, s_rows = canonicalize(spark_df)
+    o_cols, o_rows = canonicalize(oracle_df)
+    assert s_cols == o_cols, f"{name}: column mismatch spark={s_cols} oracle={o_cols}"
+    assert len(s_rows) == len(o_rows), (
+        f"{name}: row count mismatch spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+    for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+        assert a == b, f"{name}: first differing row #{i}:\n  spark ={a}\n  oracle={b}"
+
+
+def run_parity(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
+    sdf = query_fn(spark, sf_dir).toPandas()
+    con = duckdb_con(sf_dir)
+    try:
+        odf = con.execute(oracle).df()
+    finally:
+        con.close()
+    compare(sdf, odf, name)

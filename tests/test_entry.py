@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"n_name", "revenue", "n_items"} == set(df.columns)
+    # revenue sorted descending per the flagship's ORDER BY
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_queries_and_oracles_shape(spark):
+    qs = entrymod.queries()
+    assert "q_revenue_by_nation" in qs
+    assert set(entrymod.oracle_sql()) <= set(qs)

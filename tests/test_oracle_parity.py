@@ -1,0 +1,30 @@
+"""Driver-gate replica: every registered query with an oracle must
+hash-match DuckDB at sf0.01 (the driver's exact comparison scale)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_ORACLE
+from .oracle_harness import run_parity
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+def test_every_oracle_key_has_query():
+    assert set(_ORACLES) <= set(_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, name):
+    run_parity(spark, SF_ORACLE, name, _QUERIES[name], _ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = _QUERIES[name](spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
