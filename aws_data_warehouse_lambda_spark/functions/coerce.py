@@ -1,0 +1,73 @@
+"""Output type-coercion layer.
+
+The reference coerces values inside its JSON encoder's ``default`` hook
+(src/db_extractor_full.py:74-78, duplicate :151-158): UUID -> ``.hex``,
+datetime/date/time -> ``str()``, Decimal -> ``str()`` (precision-
+preserving), anything else -> ``str()``. Spark-first restatement: these
+are column *expressions* applied once at plan time, not per-row Python —
+the north-star Parquet sink keeps native types (TimestampType,
+DecimalType) and only the JSON compat sink stringifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Matches canonical textual UUIDs (what a Postgres uuid column yields
+#: over JDBC as string).
+_UUID_RE = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+
+def uuid_to_hex(col: Column | str) -> Column:
+    """UUID -> 32-char lowercase hex, the reference's ``UUID.hex``
+    (src/db_extractor_full.py:75). Non-UUID values pass through."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.rlike(_UUID_RE), F.lower(F.regexp_replace(c, "-", ""))
+    ).otherwise(c)
+
+
+def timestamp_to_str(col: Column | str) -> Column:
+    """datetime -> Postgres-text-format string, the reference's
+    ``str(o)`` (src/db_extractor_full.py:76). str(datetime) omits
+    trailing .000000 for whole seconds; date_format can't do that
+    conditionally, so build it from two parts."""
+    c = F.col(col) if isinstance(col, str) else col
+    whole = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    micros = F.date_format(c, "SSSSSS")
+    return F.when(micros == "000000", whole).otherwise(
+        F.concat(whole, F.lit("."), micros)
+    )
+
+
+def decimal_to_str(col: Column | str) -> Column:
+    """Decimal -> exact string (src/db_extractor_full.py:77)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string")
+
+
+def coerce_for_json(df: DataFrame, uuid_columns: frozenset[str] = frozenset()) -> DataFrame:
+    """Stringify non-JSON-native columns for the compat sink, mirroring
+    the reference encoder's type dispatch. Parquet sinks must NOT use
+    this — they keep native types (SURVEY.md §1.3)."""
+    out = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            c = timestamp_to_str(c)
+        elif isinstance(f.dataType, T.DecimalType):
+            c = decimal_to_str(c)
+        elif isinstance(f.dataType, T.StringType) and f.name in uuid_columns:
+            c = uuid_to_hex(c)
+        elif not isinstance(
+            f.dataType,
+            (T.StringType, T.BooleanType, T.ByteType, T.ShortType,
+             T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+             T.ArrayType, T.MapType, T.StructType),
+        ):
+            # catch-all -> str (src/db_extractor_full.py:78)
+            c = c.cast("string")
+        out.append(c.alias(f.name))
+    return df.select(*out)

@@ -1,0 +1,8 @@
+from .state import EngineState, capture_run_time  # noqa: F401
+from .cdc import ScanPlan, dispatch_plan, incremental_scan  # noqa: F401
+from .discovery import discover_tables, sanitize_identifier  # noqa: F401
+from .drift import schema_document, schema_md5  # noqa: F401
+
+# NOTE: plans.pipeline is imported directly (not re-exported) — it
+# depends on sinks, which depend on plans.state; re-exporting it here
+# would close an import cycle.

@@ -1,0 +1,74 @@
+"""CDC plan dispatch: full dump vs insert-only vs insert+update scans.
+
+The reference's three physical scans (src/db_extractor_full.py:370-414):
+
+  * no timestamp columns  -> full ``SELECT *``                 (:370-381)
+  * created_at only       -> ``WHERE created_at > :wm
+                               ORDER BY created_at``           (:382-396)
+  * created_at+updated_at -> ``WHERE created_at > :wm OR
+                               updated_at > :wm
+                               ORDER BY created_at``           (:397-408)
+
+Spark-first restatement: the watermark predicate is a plain Catalyst
+filter, so it is pushed into the source (JDBC WHERE clause or parquet
+row-group pruning) — same evaluation locality as the reference's
+server-side WHERE. The ORDER BY is kept per reference semantics; note it
+is a global sort (one shuffle) whose only purpose downstream is ordered
+output objects — at 100 TB drop it unless the consumer needs it
+(``ordered=False``).
+
+Watermark comparisons are strict ``>`` (:389,403).
+"""
+
+from __future__ import annotations
+
+import enum
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .discovery import detect_timestamp_columns
+
+
+class ScanPlan(enum.Enum):
+    FULL = "full"
+    INSERT_ONLY = "insert_only"
+    UPSERT = "upsert"
+
+
+def dispatch_plan(columns: list[str]) -> ScanPlan:
+    """Route a table to its physical scan by exact watermark-column
+    presence (src/db_extractor_full.py:355-362 + branch :370,383,398)."""
+    has_created, has_updated = detect_timestamp_columns(columns)
+    if has_created and has_updated:
+        return ScanPlan.UPSERT
+    if has_created:
+        return ScanPlan.INSERT_ONLY
+    return ScanPlan.FULL
+
+
+def watermark_predicate(plan: ScanPlan, watermark: str) -> Column | None:
+    """The pushdown-able WHERE clause for a plan (None => full scan)."""
+    wm = F.lit(watermark).cast("timestamp")
+    if plan is ScanPlan.INSERT_ONLY:
+        return F.col("created_at") > wm
+    if plan is ScanPlan.UPSERT:
+        return (F.col("created_at") > wm) | (F.col("updated_at") > wm)
+    return None
+
+
+def incremental_scan(df: DataFrame, watermark: str, ordered: bool = True) -> DataFrame:
+    """Apply the dispatched CDC scan to a source DataFrame.
+
+    Unmatched-plan errors (:409-414) cannot happen here: FULL is the
+    explicit fallback, mirroring the reference's full-dump path.
+    """
+    plan = dispatch_plan(df.columns)
+    pred = watermark_predicate(plan, watermark)
+    if pred is not None:
+        df = df.where(pred)
+        if ordered:
+            # Reference sorts incremental extracts by created_at
+            # (:390,404). Global sort == one range-partitioned shuffle.
+            df = df.orderBy("created_at")
+    return df

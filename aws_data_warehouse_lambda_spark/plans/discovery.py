@@ -1,0 +1,55 @@
+"""Table discovery, identifier sanitization, exclusion lists.
+
+Reference behavior re-expressed:
+ * dynamic table discovery from the catalog
+   (src/db_extractor_full.py:456-460; src/db_schema_dump.py:47) — here,
+   from a parquet dataset directory or the Spark catalog; over JDBC the
+   same ``information_schema`` query works through ``spark.read.jdbc``.
+ * identifier sanitization (strip non-[a-z0-9_], lowercase) as the
+   injection guard (src/db_extractor_full.py:462-474).
+ * two *distinct* exclusion lists, matching the reference's split between
+   the data path (8 tables, :476-492) and the schema path (:47) —
+   configurable here, empty-by-default for the fixture dataset.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+#: Reference's data-path exclusions (src/db_extractor_full.py:476-492)
+#: and schema-path exclusions (src/db_schema_dump.py:47). Kept as
+#: defaults for JDBC parity; the fixture dataset contains none of them.
+DATA_EXCLUSIONS: frozenset[str] = frozenset({"audit_history"})
+SCHEMA_EXCLUSIONS: frozenset[str] = frozenset({"audit_history", "v_locations"})
+
+_IDENT_RE = re.compile(r"[^a-z0-9_]")
+
+
+def sanitize_identifier(name: str) -> str:
+    """Lowercase and strip every non-[a-z0-9_] char
+    (src/db_extractor_full.py:462-474)."""
+    return _IDENT_RE.sub("", name.lower())
+
+
+def discover_tables(source_dir: str, exclusions: frozenset[str] = frozenset()) -> list[str]:
+    """Enumerate tables of a parquet dataset directory (one ``<name>.parquet``
+    file/dir per table — the harness's stand-in for
+    ``information_schema.tables``), sanitized, excluded, sorted."""
+    names = []
+    for entry in sorted(os.listdir(source_dir)):
+        if entry.endswith(".parquet"):
+            names.append(sanitize_identifier(entry[: -len(".parquet")]))
+    return [n for n in names if n and n not in exclusions]
+
+
+def detect_timestamp_columns(columns: list[str]) -> tuple[bool, bool]:
+    """Exact-match detection of the CDC watermark columns.
+
+    The reference substring-matches (``"created_at" in col`` —
+    src/db_extractor_full.py:355-362), so a column named
+    ``x_created_at_old`` flips a table into incremental mode; SURVEY.md
+    §2.A F2 flags that as a bug not to replicate. Exact match here.
+    """
+    cols = set(columns)
+    return "created_at" in cols, "updated_at" in cols

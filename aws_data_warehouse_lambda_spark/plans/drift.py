@@ -1,0 +1,45 @@
+"""Schema-dump document + MD5 drift detection.
+
+Reference: build ``{table: [[column, data_type], ...]}`` from
+``information_schema.columns`` (src/db_schema_dump.py:51-55), serialize
+to JSON (:58), MD5 it (:61-64), write + bump serial only when the hash
+changed (:66-95). Here the schema comes from DataFrame schemas (the
+same metadata a JDBC read exposes); the document shape and hash-skip
+semantics are preserved.
+
+Note SURVEY.md §2.A S3: the reference's schema query omits the
+``table_schema`` filter its data path has, merging same-named tables
+across schemas — not replicated (our discovery is per-dataset).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame
+
+
+def schema_document(tables: dict[str, DataFrame]) -> dict[str, list[list[str]]]:
+    """Ordinal-ordered [column, type] pairs per table, Spark simpleString
+    types standing in for information_schema data_type."""
+    return {
+        name: [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+        for name, df in sorted(tables.items())
+    }
+
+
+def schema_json(doc: dict) -> str:
+    """Canonical serialization — sorted keys, no whitespace drift."""
+    return json.dumps(doc, sort_keys=True, separators=(",", ":"))
+
+
+def schema_md5(doc: dict) -> str:
+    """Content address of the schema document (src/db_schema_dump.py:61-64)."""
+    return hashlib.md5(schema_json(doc).encode()).hexdigest()
+
+
+def has_drifted(doc: dict, last_md5: str | None) -> bool:
+    """True when the schema changed since the stored hash (first run
+    always counts as drift — reference seeds lastMD5Hash='None')."""
+    return schema_md5(doc) != last_md5

@@ -1,0 +1,114 @@
+"""The extract pipeline — the reference's whole lifecycle, Spark-first.
+
+Reference lifecycle (SURVEY.md §3): state read -> connect -> discover
+tables -> per-table fork(scan -> encode -> multipart sink) -> state
+commit. Spark restatement (SURVEY.md §3 "Spark restatement"): state read
+-> discover -> per table: DataFrame scan with pushed watermark predicate
+-> parquet sink under run_serial partition -> commit state ONLY when all
+tables succeeded.
+
+Parallelism: the reference forks one OS process per table but drains
+nearly serially (src/db_extractor_full.py:498-537, SURVEY.md §2.A X1).
+Here each table is a Spark job whose tasks already saturate the cluster;
+inter-table overlap is optional (FAIR scheduler + threads) and off by
+default because intra-job parallelism dominates at scale.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sinks.parquet_sink import write_table_parquet
+from .cdc import incremental_scan
+from .discovery import DATA_EXCLUSIONS, SCHEMA_EXCLUSIONS, discover_tables
+from .drift import has_drifted, schema_document, schema_json, schema_md5
+from .state import EngineState, capture_run_time, serial_key
+
+log = logging.getLogger(__name__)
+
+
+def _load(spark: SparkSession, source_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{source_dir.rstrip('/')}/{table}.parquet")
+
+
+def extract_run(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    state_path: str,
+    tables: list[str] | None = None,
+    exclusions: frozenset[str] = DATA_EXCLUSIONS,
+    ordered: bool = True,
+) -> dict:
+    """One data-extract run over every discovered table.
+
+    Returns a manifest {table: rows_can_be_requeried_at_path}. Raises on
+    the first failed table WITHOUT committing state, so the failed
+    table's delta is retried next run (deviation from the reference,
+    which commits regardless — src/db_extractor_full.py:539-556 never
+    checks worker errors; SURVEY.md §3 step 6).
+    """
+    state = EngineState.load(state_path)
+    run_time = capture_run_time()  # BEFORE any scan: at-least-once (:26)
+    watermark = state.data_last_run_time
+    serial = state.data_serial + 1
+
+    names = tables or discover_tables(source_dir, exclusions)
+    manifest: dict[str, str] = {}
+    for t in names:
+        df = incremental_scan(_load(spark, source_dir, t), watermark, ordered=ordered)
+        manifest[t] = write_table_parquet(df, out_dir, t, serial)
+        log.info("extracted %s -> %s", t, manifest[t])
+
+    state.commit_data_run(run_time).save(state_path)
+    return {"serial": serial_key(serial), "watermark": run_time, "tables": manifest}
+
+
+def schema_dump_run(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    state_path: str,
+    exclusions: frozenset[str] = SCHEMA_EXCLUSIONS,
+) -> dict:
+    """Schema dump with MD5 drift-skip (src/db_schema_dump.py:40-95):
+    write the schema document + bump the schema serial only on change."""
+    state = EngineState.load(state_path)
+    names = discover_tables(source_dir, exclusions)
+    doc = schema_document({t: _load(spark, source_dir, t) for t in names})
+    digest = schema_md5(doc)
+
+    if not has_drifted(doc, state.schema_last_md5):
+        log.info("schema unchanged (md5=%s); skipping dump", digest)
+        return {"changed": False, "md5": digest, "serial": serial_key(state.schema_serial)}
+
+    if state.schema_last_md5 is not None:
+        log.warning("SCHEMA DRIFT detected (was %s, now %s)", state.schema_last_md5, digest)
+
+    serial = state.schema_serial + 1
+    path = f"{out_dir.rstrip('/')}/schema/{serial_key(serial)}_db_schema.json"
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(schema_json(doc))
+
+    state.commit_schema_run(digest).save(state_path)
+    return {"changed": True, "md5": digest, "serial": serial_key(serial), "path": path}
+
+
+def run_all(spark: SparkSession, source_dir: str, out_dir: str, state_path: str) -> dict:
+    """Entry-point parity with lambda_handler (src/lambda_function.py:5-19):
+    schema dump then data extract, each isolated so one failing stage
+    doesn't stop the other — but state still only commits per-stage on
+    that stage's success."""
+    results: dict = {}
+    for stage, fn in (("schema", schema_dump_run), ("data", extract_run)):
+        try:
+            results[stage] = fn(spark, source_dir, out_dir, state_path)
+        except Exception as exc:  # noqa: BLE001 — per-stage isolation (R1)
+            log.exception("stage %s failed", stage)
+            results[stage] = {"error": str(exc)}
+    return results

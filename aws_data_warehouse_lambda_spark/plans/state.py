@@ -1,0 +1,106 @@
+"""Run-state document: watermark + serial numbers + schema hash.
+
+Mirrors the reference's SSM Parameter Store doc
+(/root/reference/README.md:32-44, read at src/db_extractor_full.py:427-441,
+committed at :539-556): ``{"data": {"lastRunTime", "serialNumber"},
+"schema": {"serialNumber", "lastMD5Hash"}}``.
+
+Two semantics are load-bearing and kept exactly:
+
+* **Capture-before-scan** (src/db_extractor_full.py:26,543): the new
+  watermark is the wall-clock time captured *before* any table is read,
+  so rows written concurrently with the run are re-extracted next run —
+  at-least-once, never-lost.
+* **Commit-on-success** (deliberate deviation, SURVEY.md §3 step 6): the
+  reference advances the watermark even when worker tables failed,
+  silently dropping their delta; we commit state only after every table
+  sinks successfully.
+
+The store is a plain JSON file (local path or any Hadoop-visible URI the
+driver mounts); on a cluster this lives next to the output dataset. A
+Structured Streaming checkpoint dir is the streaming analog.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from dataclasses import dataclass, field
+
+#: Epoch watermark -> first run extracts everything
+#: (/root/repo/FIXTURES.md:145-149 state-doc seed).
+EPOCH_WATERMARK = "1970-01-01 00:00:00.000000"
+
+#: Reference formats the watermark with str(datetime) — microseconds,
+#: space separator (src/db_extractor_full.py:26).
+_WM_FORMAT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def capture_run_time(now: _dt.datetime | None = None) -> str:
+    """The pre-scan timestamp that becomes the next watermark."""
+    now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    return now.strftime(_WM_FORMAT)
+
+
+@dataclass
+class EngineState:
+    data_last_run_time: str = EPOCH_WATERMARK
+    data_serial: int = 0
+    schema_serial: int = 0
+    schema_last_md5: str | None = None
+
+    @classmethod
+    def from_doc(cls, doc: dict) -> "EngineState":
+        data, schema = doc.get("data", {}), doc.get("schema", {})
+        md5 = schema.get("lastMD5Hash")
+        return cls(
+            data_last_run_time=data.get("lastRunTime", EPOCH_WATERMARK),
+            data_serial=int(data.get("serialNumber", 0)),
+            schema_serial=int(schema.get("serialNumber", 0)),
+            schema_last_md5=None if md5 in (None, "None") else md5,
+        )
+
+    def to_doc(self) -> dict:
+        return {
+            "data": {
+                "lastRunTime": self.data_last_run_time,
+                "serialNumber": self.data_serial,
+            },
+            "schema": {
+                "serialNumber": self.schema_serial,
+                "lastMD5Hash": self.schema_last_md5 or "None",
+            },
+        }
+
+    @classmethod
+    def load(cls, path: str) -> "EngineState":
+        if not os.path.exists(path):
+            return cls()
+        with open(path) as f:
+            return cls.from_doc(json.load(f))
+
+    def save(self, path: str) -> None:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.to_doc(), f, indent=2)
+        os.replace(tmp, path)  # atomic on POSIX — no torn state doc
+
+    def commit_data_run(self, run_time: str) -> "EngineState":
+        """Advance watermark+serial after ALL tables sank successfully
+        (serial increments by one per run, zero-padded in sink keys —
+        src/db_extractor_full.py:540-551)."""
+        self.data_serial += 1
+        self.data_last_run_time = run_time
+        return self
+
+    def commit_schema_run(self, md5_hash: str) -> "EngineState":
+        """Advance schema serial+hash on drift (src/db_schema_dump.py:79-93)."""
+        self.schema_serial += 1
+        self.schema_last_md5 = md5_hash
+        return self
+
+
+def serial_key(serial: int) -> str:
+    """Zero-padded run-serial partition value (src/db_extractor_full.py:347)."""
+    return str(serial).zfill(6)

@@ -1,0 +1,2 @@
+from .parquet_sink import write_table_parquet  # noqa: F401
+from .json_compat import write_json_lines, write_json_array  # noqa: F401

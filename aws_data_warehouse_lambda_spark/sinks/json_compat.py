@@ -1,0 +1,66 @@
+"""JSON output compatibility sinks.
+
+The reference emits one S3 object per table per run: a single JSON
+*array of objects* (``[`` + comma-joined orjson fragments + ``]``,
+``[]`` when empty — src/db_extractor_full.py:148,252-281). Two paths:
+
+* :func:`write_json_lines` — the scalable path: JSON-lines part files
+  via ``df.write.json`` (distributed, committer-managed). A downstream
+  consumer that insists on a single array can concatenate parts with a
+  streaming framer; at 100 TB a single JSON object is an anti-pattern,
+  so this is the default.
+* :func:`write_json_array` — byte-parity path for small compat extracts:
+  streams ``df.toJSON().toLocalIterator()`` through the driver into one
+  array-framed object. Deliberately bounded: refuses datasets above a
+  row cap because a single-object sink is inherently driver-serial (the
+  reference has the same bottleneck — its whole table flows through one
+  Lambda process).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from ..functions.coerce import coerce_for_json
+
+#: Guard rail for the driver-streaming compat path.
+MAX_COMPAT_ROWS = 5_000_000
+
+
+def write_json_lines(
+    df: DataFrame, path: str, coerce: bool = True,
+    uuid_columns: frozenset[str] = frozenset(),
+) -> str:
+    """Distributed JSON-lines sink (the scale path). ``uuid_columns``
+    names the string columns carrying textual UUIDs (the reference sees
+    typed uuid.UUID values over pg8000; parquet/JDBC yield strings, so
+    the caller must say which to hex-normalize)."""
+    out = coerce_for_json(df, uuid_columns) if coerce else df
+    out.write.mode("overwrite").json(path)
+    return path
+
+
+def write_json_array(
+    df: DataFrame, path: str, coerce: bool = True,
+    uuid_columns: frozenset[str] = frozenset(),
+) -> str:
+    """Single JSON-array object, reference byte-layout parity
+    (``[]`` for empty deltas). Streams through the driver — compat only."""
+    out = coerce_for_json(df, uuid_columns) if coerce else df
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    n = 0
+    with open(path, "w") as f:
+        f.write("[")
+        for n, fragment in enumerate(out.toJSON().toLocalIterator(), start=1):
+            if n > MAX_COMPAT_ROWS:
+                raise ValueError(
+                    f"write_json_array is a compat sink capped at {MAX_COMPAT_ROWS} rows; "
+                    "use write_json_lines for large extracts"
+                )
+            if n > 1:
+                f.write(",")
+            f.write(fragment)
+        f.write("]")
+    return path

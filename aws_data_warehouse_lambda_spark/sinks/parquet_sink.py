@@ -1,0 +1,48 @@
+"""Run-serial partitioned Parquet sink — the north-star replacement for
+the reference's hand-rolled S3 multipart JSON sink.
+
+The reference's K1 sink (src/db_extractor_full.py:122-297) is ~175 LoC
+of multipart bookkeeping: 50MB part buffering, 4 upload threads, ordered
+ETag completion, abort-on-error. All of that is the file committer's
+job in Spark: ``df.write.parquet`` streams per-partition part files
+through the Hadoop committer with task-level retry and atomic job
+commit. SSE parity is a filesystem conf
+(``fs.s3a.server-side-encryption-algorithm=AES256``), not code.
+
+Key layout mirrors K3 (src/db_extractor_full.py:347):
+``{out}/{table}/run_serial={serial:06d}/part-*.parquet`` — Hive-style so
+readers get partition pruning over run serials for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..plans.state import serial_key
+
+#: Bound output file size at scale (the 50MB-part analog, but enforced
+#: by the writer, not hand-buffered).
+DEFAULT_MAX_RECORDS_PER_FILE = 5_000_000
+
+
+def table_run_path(out_dir: str, table: str, serial: int) -> str:
+    return f"{out_dir.rstrip('/')}/{table}/run_serial={serial_key(serial)}"
+
+
+def write_table_parquet(
+    df: DataFrame,
+    out_dir: str,
+    table: str,
+    serial: int,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> str:
+    """Write one table's run extract. An empty delta still writes a
+    valid (empty) dataset — the reference's empty-array parity
+    (src/db_extractor_full.py:262-278)."""
+    path = table_run_path(out_dir, table, serial)
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+    return path

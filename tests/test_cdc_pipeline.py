@@ -1,0 +1,202 @@
+"""CDC end-to-end: run extract at t0, mutate fixtures, run at t1 —
+assert delta-only extraction, at-least-once overlap, capture-before-scan
+watermarks, commit-on-success, drift detection. (SURVEY.md §5.3-5.4.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_data_warehouse_lambda_spark.plans.cdc import (
+    ScanPlan,
+    dispatch_plan,
+    incremental_scan,
+)
+from aws_data_warehouse_lambda_spark.plans.discovery import (
+    detect_timestamp_columns,
+    discover_tables,
+    sanitize_identifier,
+)
+from aws_data_warehouse_lambda_spark.plans.pipeline import (
+    extract_run,
+    run_all,
+    schema_dump_run,
+)
+from aws_data_warehouse_lambda_spark.plans.state import (
+    EPOCH_WATERMARK,
+    EngineState,
+    capture_run_time,
+    serial_key,
+)
+
+TS = dt.datetime
+
+
+def _write_sources(spark, src, *, with_new_rows=False):
+    """cdc_full / cdc_insert_only / cdc_upsert per FIXTURES.md §B."""
+    os.makedirs(src, exist_ok=True)
+    full = [Row(id=1, payload="a"), Row(id=2, payload="b")]
+    if with_new_rows:
+        full.append(Row(id=3, payload="c"))
+    spark.createDataFrame(full).write.mode("overwrite").parquet(f"{src}/cdc_full.parquet")
+
+    # rows that exist before run 1 use fixed past dates; rows "written
+    # after run 1" must postdate its wall-clock watermark -> future-dated
+    future = dt.datetime.utcnow() + dt.timedelta(days=1)
+    ins = [
+        Row(id=1, created_at=TS(2024, 1, 1), amount=10.0),
+        Row(id=2, created_at=TS(2024, 1, 2), amount=20.0),
+    ]
+    if with_new_rows:
+        ins.append(Row(id=3, created_at=future, amount=30.0))
+    spark.createDataFrame(ins).write.mode("overwrite").parquet(f"{src}/cdc_insert_only.parquet")
+
+    ups = [
+        Row(id="r1", created_at=TS(2024, 1, 1), updated_at=TS(2024, 1, 1), status="new"),
+        Row(id="r2", created_at=TS(2024, 1, 2), updated_at=TS(2024, 1, 2), status="new"),
+    ]
+    if with_new_rows:
+        # r1 updated after the first run; r4 inserted after it
+        ups[0] = Row(id="r1", created_at=TS(2024, 1, 1), updated_at=future, status="upd")
+        ups.append(Row(id="r4", created_at=future + dt.timedelta(hours=1),
+                       updated_at=future + dt.timedelta(hours=1), status="new"))
+    spark.createDataFrame(ups).write.mode("overwrite").parquet(f"{src}/cdc_upsert.parquet")
+
+
+def test_dispatch_and_exact_match():
+    assert dispatch_plan(["id", "payload"]) is ScanPlan.FULL
+    assert dispatch_plan(["id", "created_at"]) is ScanPlan.INSERT_ONLY
+    assert dispatch_plan(["id", "created_at", "updated_at"]) is ScanPlan.UPSERT
+    # the reference's substring bug (db_extractor_full.py:358-362) must NOT reproduce
+    assert detect_timestamp_columns(["x_created_at_old", "updated_at_backup"]) == (False, False)
+
+
+def test_sanitize_identifier():
+    # reference behavior (db_extractor_full.py:462-474): lowercase, strip non-[a-z0-9_]
+    assert sanitize_identifier("My-Table;DROP") == "mytabledrop"
+    assert sanitize_identifier("orders_2024") == "orders_2024"
+
+
+def test_state_roundtrip(tmp_path):
+    p = str(tmp_path / "state.json")
+    s = EngineState.load(p)
+    assert s.data_last_run_time == EPOCH_WATERMARK and s.data_serial == 0
+    wm = capture_run_time()
+    s.commit_data_run(wm).save(p)
+    s2 = EngineState.load(p)
+    assert s2.data_serial == 1 and s2.data_last_run_time == wm
+    # doc shape matches the reference SSM document (README.md:32-44)
+    doc = json.load(open(p))
+    assert set(doc) == {"data", "schema"}
+    assert set(doc["data"]) == {"lastRunTime", "serialNumber"}
+    assert serial_key(7) == "000007"
+
+
+def test_cdc_end_to_end(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state = str(tmp_path / "state.json")
+    _write_sources(spark, src)
+
+    # run 1: epoch watermark -> everything extracted
+    r1 = extract_run(spark, src, out, state)
+    assert r1["serial"] == "000001"
+    got = spark.read.parquet(f"{out}/cdc_insert_only/run_serial=000001")
+    assert got.count() == 2
+    assert spark.read.parquet(f"{out}/cdc_full/run_serial=000001").count() == 2
+
+    # mutate sources: inserts + one update, all after run 1's watermark
+    _write_sources(spark, src, with_new_rows=True)
+
+    # run 2: only the delta for CDC tables; full tables re-dump everything
+    r2 = extract_run(spark, src, out, state)
+    assert r2["serial"] == "000002"
+    ins2 = spark.read.parquet(f"{out}/cdc_insert_only/run_serial=000002").collect()
+    assert [r.id for r in ins2] == [3]
+    ups2 = spark.read.parquet(f"{out}/cdc_upsert/run_serial=000002").collect()
+    assert sorted(r.id for r in ups2) == ["r1", "r4"]  # update + insert
+    assert spark.read.parquet(f"{out}/cdc_full/run_serial=000002").count() == 3
+
+    # incremental outputs are sorted by created_at (reference :390,404)
+    assert [r.id for r in ups2] == ["r1", "r4"]
+
+
+def test_watermark_capture_before_scan(spark, tmp_path):
+    """The committed watermark must predate the scan (at-least-once)."""
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state = str(tmp_path / "state.json")
+    _write_sources(spark, src)
+    before = dt.datetime.utcnow()
+    r = extract_run(spark, src, out, state)
+    committed = dt.datetime.strptime(r["watermark"], "%Y-%m-%d %H:%M:%S.%f")
+    after = dt.datetime.utcnow()
+    assert before <= committed <= after
+    # and strictly before scan completion => rows written mid-run reappear
+
+
+def test_commit_only_on_success(spark, tmp_path):
+    """A failing table must NOT advance the watermark (deliberate
+    deviation from the reference, which commits regardless)."""
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state = str(tmp_path / "state.json")
+    _write_sources(spark, src)
+    with pytest.raises(Exception):
+        extract_run(spark, src, out, state, tables=["cdc_full", "does_not_exist"])
+    s = EngineState.load(state)
+    assert s.data_serial == 0 and s.data_last_run_time == EPOCH_WATERMARK
+
+
+def test_empty_delta_still_writes(spark, tmp_path):
+    """Empty delta -> valid empty dataset (reference writes '[]';
+    db_extractor_full.py:262-278)."""
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state = str(tmp_path / "state.json")
+    _write_sources(spark, src)
+    extract_run(spark, src, out, state)  # run 1 takes everything
+    extract_run(spark, src, out, state)  # run 2: no changes
+    empty = spark.read.parquet(f"{out}/cdc_insert_only/run_serial=000002")
+    assert empty.count() == 0
+    assert empty.columns == ["id", "created_at", "amount"]
+
+
+def test_schema_drift(spark, tmp_path):
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state = str(tmp_path / "state.json")
+    _write_sources(spark, src)
+    r1 = schema_dump_run(spark, src, out, state)
+    assert r1["changed"] and r1["serial"] == "000001"
+    assert os.path.exists(r1["path"])
+    doc = json.load(open(r1["path"]))
+    assert doc["cdc_insert_only"][1] == ["created_at", "timestamp"]
+
+    r2 = schema_dump_run(spark, src, out, state)
+    assert not r2["changed"]  # unchanged -> skip (db_schema_dump.py:94-95)
+
+    # drift: new column appears
+    spark.read.parquet(f"{src}/cdc_full.parquet").withColumn(
+        "extra", F.lit(1)
+    ).write.mode("overwrite").parquet(f"{src}/cdc_full2.parquet")
+    r3 = schema_dump_run(spark, src, out, state)
+    assert r3["changed"] and r3["serial"] == "000002"
+
+
+def test_run_all_stage_isolation(spark, tmp_path):
+    """lambda_handler parity: a failing data stage doesn't block the
+    schema stage (src/lambda_function.py:10-19)."""
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state = str(tmp_path / "state.json")
+    _write_sources(spark, src)
+    res = run_all(spark, src, out, state)
+    assert res["schema"]["changed"] and res["data"]["serial"] == "000001"
+
+
+def test_discovery_exclusions(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_sources(spark, src)
+    names = discover_tables(src)
+    assert names == ["cdc_full", "cdc_insert_only", "cdc_upsert"]
+    assert discover_tables(src, frozenset({"cdc_full"})) == ["cdc_insert_only", "cdc_upsert"]

@@ -1,0 +1,78 @@
+"""Coercion layer + sinks: UUID/ts/decimal/fallback coercions mirror the
+reference's JSON encoder hooks (db_extractor_full.py:74-78); the JSON
+compat sink reproduces the array framing incl. the empty '[]' object."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from decimal import Decimal
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from aws_data_warehouse_lambda_spark.functions.coerce import coerce_for_json
+from aws_data_warehouse_lambda_spark.sinks.json_compat import write_json_array
+from aws_data_warehouse_lambda_spark.sources.jdbc import JdbcSource
+from aws_data_warehouse_lambda_spark.plans.cdc import ScanPlan
+
+
+def _df(spark):
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),           # uuid text
+        T.StructField("created_at", T.TimestampType()),
+        T.StructField("amount", T.DecimalType(18, 4)),
+        T.StructField("n", T.LongType()),
+    ])
+    rows = [
+        Row(id="550E8400-E29B-41D4-A716-446655440000",
+            created_at=dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+            amount=Decimal("12.3400"), n=7),
+        Row(id="not-a-uuid",
+            created_at=dt.datetime(2024, 1, 2, 3, 4, 5),
+            amount=None, n=None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_coercions(spark):
+    out = coerce_for_json(_df(spark), uuid_columns=frozenset({"id"})).collect()
+    r0, r1 = out
+    # UUID -> .hex (lowercase, no dashes) — db_extractor_full.py:75
+    assert r0.id == "550e8400e29b41d4a716446655440000"
+    assert r1.id == "not-a-uuid"  # non-UUID strings pass through
+    # datetime -> str(o) Postgres text format — :76 (micros kept,
+    # whole seconds don't grow a fraction)
+    assert r0.created_at == "2024-01-02 03:04:05.123456"
+    assert r1.created_at == "2024-01-02 03:04:05"
+    # Decimal -> precision-preserving str — :77
+    assert r0.amount == "12.3400"
+    assert r1.amount is None
+    # JSON-native ints untouched
+    assert r0.n == 7
+
+
+def test_json_array_sink(spark, tmp_path):
+    p = str(tmp_path / "t.json")
+    write_json_array(_df(spark), p, uuid_columns=frozenset({"id"}))
+    doc = json.load(open(p))
+    assert isinstance(doc, list) and len(doc) == 2
+    assert doc[0]["id"] == "550e8400e29b41d4a716446655440000"
+
+    # empty delta -> literal [] (db_extractor_full.py:262-278)
+    empty = _df(spark).limit(0)
+    write_json_array(empty, p)
+    assert open(p).read() == "[]"
+
+
+def test_jdbc_reader_options():
+    src = JdbcSource(url="jdbc:postgresql://h:5432/db", user="u", password="p")
+    opts = src.reader_options(
+        "orders", ScanPlan.UPSERT, "2024-01-01 00:00:00.000000",
+        partition_column="id", num_partitions=32, lower_bound=0, upper_bound=10**9,
+    )
+    assert opts["fetchsize"] == "20000"  # reference batch size (B1)
+    assert "statement_timeout" in opts["sessionInitStatement"]  # C3
+    assert "created_at > '2024-01-01" in opts["dbtable"]
+    assert "OR updated_at >" in opts["dbtable"]
+    assert opts["numPartitions"] == "32"  # the 100TB lever the reference lacks
