@@ -3,5 +3,13 @@ via :mod:`.registry`; importing the package populates the registry."""
 
 from . import registry  # noqa: F401
 from . import relational  # noqa: F401
+from . import catalog  # noqa: F401
+from . import scans  # noqa: F401
+from . import joins  # noqa: F401
+from . import aggregates  # noqa: F401
+from . import windows  # noqa: F401
+from . import setops  # noqa: F401
+from . import scalars  # noqa: F401
+from . import events_batch  # noqa: F401
 
 __all__ = ["registry"]

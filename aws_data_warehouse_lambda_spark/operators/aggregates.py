@@ -1,0 +1,171 @@
+"""Aggregation surface: multi-level grouping, distinct, approx sketches.
+
+All absent from the reference (SURVEY.md §2.B); Spark-native here. Every
+double aggregate routes through the decimal-exact helpers so partial/
+final combine order can't perturb the oracle hash. Rollup/cube/grouping
+sets produce NULL group markers + grouping_id identically in Spark and
+DuckDB (bit order verified empirically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_expr
+from ..sources.tables import load_table, register_temp_views
+from .registry import query
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           GROUPING(r_name, n_name) AS gid,
+           COUNT(*) AS n_customers,
+           {dsum_expr('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY gid, r_name, n_name
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region->nation with grouping_id — subtotals and a
+    grand total in one shuffle (partial aggregation underneath)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("gid", "r_name", "n_name")
+    )
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderpriority,
+           GROUPING(c_mktsegment, o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           {dsum_expr('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    ORDER BY gid, c_mktsegment, o_orderpriority
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over segment x priority: all four grouping combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("gid", "c_mktsegment", "o_orderpriority")
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+"""
+
+
+@query("q_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (identical text runs on
+    both engines)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expands to a two-phase agg plan)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("q_approx_distinct")  # no oracle: HLL sketches are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the scale path for distinct
+    counts — one pass, fixed memory, no distinct expansion. Rows-only
+    driver check; accuracy asserted vs exact counts in unit tests."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q_percentiles")  # no oracle: approx_percentile sketch is engine-specific
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile over order totals per priority (KLL-style sketch;
+    DuckDB's quantile algorithms differ, so rows-only)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_min_max_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_min_max_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX are order-insensitive even on doubles — no decimal detour
+    needed; also exercises timestamp extrema."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("o_orderpriority")
+    )

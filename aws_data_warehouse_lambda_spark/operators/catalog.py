@@ -1,0 +1,62 @@
+"""Catalog scans — the reference's S1/S2/S3 operators as queries.
+
+Reference: table list from information_schema.tables
+(src/db_extractor_full.py:456-460), per-table column list (:349-353),
+columns+types dump (src/db_schema_dump.py:47-55). Here the catalog is
+the fixture dataset; the oracle cross-checks against DuckDB's own
+information_schema over the same registered tables, so this is a real
+metadata-parity check, not a fixture echo.
+
+The catalog rows are built driver-side (they ARE driver-side metadata —
+a few hundred rows even for a 100k-table warehouse) and parallelized
+into a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..plans.discovery import discover_tables
+from ..sources.tables import load_table
+from .registry import query
+
+_TABLES_SQL = """
+    SELECT table_name
+    FROM information_schema.tables
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    ORDER BY table_name
+"""
+
+_COLUMNS_SQL = """
+    SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal_position
+    FROM information_schema.columns
+    WHERE table_name IN ('region','nation','customer','supplier','part',
+                         'orders','lineitem','events','documents','embeddings')
+    ORDER BY table_name, ordinal_position
+"""
+
+
+@query("q_catalog_tables", oracle=_TABLES_SQL)
+def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: enumerate tables (db_extractor_full.py:456-460)."""
+    names = discover_tables(sf_dir)
+    schema = T.StructType([T.StructField("table_name", T.StringType(), False)])
+    return spark.createDataFrame([(n,) for n in names], schema).orderBy("table_name")
+
+
+@query("q_catalog_columns", oracle=_COLUMNS_SQL)
+def q_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3: ordinal-ordered column inventory per table
+    (db_extractor_full.py:349-353, db_schema_dump.py:51-55)."""
+    rows = []
+    for t in discover_tables(sf_dir):
+        for i, f in enumerate(load_table(spark, sf_dir, t).schema.fields, start=1):
+            rows.append((t, f.name, i))
+    schema = T.StructType([
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("ordinal_position", T.IntegerType(), False),
+    ])
+    return spark.createDataFrame(rows, schema).orderBy("table_name", "ordinal_position")

@@ -1,0 +1,153 @@
+"""Event-time windowed aggregations (batch form) + pivot.
+
+These are the batch equivalents of the Structured Streaming jobs in
+streaming/jobs.py, registered as oracle-checkable queries (SURVEY.md §7
+step 4): tumbling / sliding / session windows over events.ts. Spark's
+``window()`` aligns buckets to the epoch, exactly like DuckDB's
+``time_bucket`` / ``date_trunc`` — verified in the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_expr
+from ..sources.tables import load_table
+from .registry import query
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_tumbling_window",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_expr('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window x event_type: count + exact-decimal sum.
+    In streaming this same expression runs under a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    SELECT ws AS window_start,
+           ws + INTERVAL 60 MINUTE AS window_end,
+           COUNT(*) AS n
+    FROM (
+        SELECT UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                       time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+        FROM events
+    )
+    GROUP BY ws
+    ORDER BY ws
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-minute window sliding every 30 minutes: each event lands in
+    exactly two windows (Spark expands this the same way the oracle's
+    UNNEST does)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "60 minutes", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts > LAG(ts) OVER w + INTERVAL '30' MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30' MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) in batch mode — window.end is
+    last-event + gap, which the oracle reproduces with lag/cumsum
+    sessionization. Streaming twin in streaming/jobs.py."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q_pivot_event_types",
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+)
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts to one column per type. Explicit value list =
+    single-pass plan (no distinct-values pre-query); COALESCE(...,0)
+    matches SQL conditional counts for absent combinations."""
+    e = load_table(spark, sf_dir, "events")
+    piv = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    ).orderBy("day")

@@ -1,0 +1,245 @@
+"""Join surface: broadcast, semi, anti, outer, full-outer, as-of, range.
+
+The reference has no joins (SURVEY.md §2.B — verified absent); these are
+the Spark-native join family the query layer exposes, each shaped for
+scale: bounded dims broadcast explicitly, fact-fact joins shuffle on
+their keys with AQE skew handling, and the as-of join demonstrates both
+the relational composition and the applyInPandas merge_asof form.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.numeric import dsum, dsum_expr
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT r_name,
+           COUNT(*) AS n_suppliers,
+           {dsum_expr('s_acctbal')} AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained broadcast joins onto bounded dims (25 nations, 5
+    regions): zero shuffle on the supplier side regardless of scale."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), dsum("s_acctbal").alias("total_acctbal"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle=f"""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           {dsum_expr('o_totalprice')} AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving customers with zero orders
+    (COUNT=0, SUM=NULL in both engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"), dsum("o_totalprice").alias("total_spent"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+                  FROM customer GROUP BY c_nationkey),
+         supp AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+                  FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+           cust.n_customers, supp.n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    ORDER BY nationkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two aggregates (nations missing on either side
+    survive with NULL counts)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, c.nk == s.nk, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            "n_customers",
+            "n_suppliers",
+        )
+        .orderBy("nationkey")
+    )
+
+
+_ASOF_ORACLE = """
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT MAX(o.o_orderdate) FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_order_date
+    FROM events e
+    ORDER BY e.event_id
+"""
+
+
+@query("q_join_asof", oracle=_ASOF_ORACLE)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2.B): for each
+    event, the most recent order of that customer at-or-before the event
+    time. Composition form: equi-join on the key, inequality filter on
+    the time, max() per left row. The join shuffles on user_id/custkey;
+    at scale the orders side should be pre-bucketed on o_custkey."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    joined = e.join(
+        o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left"
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(F.max("o_orderdate").alias("last_order_date"))
+        .orderBy("event_id")
+    )
+
+
+@query("q_join_asof_pandas", oracle=_ASOF_ORACLE)
+def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of join via applyInPandas + pd.merge_asof — the
+    custom-operator escape hatch (SURVEY.md §2.B UDF row): co-group both
+    sides by key, merge_asof within each group. Arrow-batched; the only
+    per-key state is that key's rows, so it scales with the widest key,
+    not the table."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    out_schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("last_order_date", T.TimestampType()),
+    ])
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        if right.empty:
+            out = left.assign(last_order_date=pd.NaT)
+        else:
+            right = right.sort_values("o_orderdate")
+            out = pd.merge_asof(
+                left, right, left_on="ts", right_on="o_orderdate",
+                direction="backward", allow_exact_matches=True,
+            ).rename(columns={"o_orderdate": "last_order_date"})
+        return out[["event_id", "user_id", "ts", "last_order_date"]]
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(merge, out_schema)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('budget', 0.0, 1000.0),
+               ('mid', 1000.0, 1500.0),
+               ('premium', 1500.0, 100000.0)
+    )
+    SELECT band, COUNT(*) AS n_parts
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band ORDER BY band
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against an inline band table. Spark plans this
+    as BroadcastNestedLoopJoin since the band side is tiny — the correct
+    physical choice; for two large range sides, bucketize the range key
+    and equi-join on bucket."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 1000.0), ("mid", 1000.0, 1500.0), ("premium", 1500.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("band")
+    )

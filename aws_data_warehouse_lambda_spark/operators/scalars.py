@@ -1,0 +1,145 @@
+"""Scalar-function surface: string, date/time, math/conditional, JSON.
+
+The reference's only scalar transforms are the four output coercions
+(SURVEY.md §2.A T1-T4, re-expressed in functions/coerce.py); this module
+is the Spark-native scalar library exposed as driver-checkable queries.
+Oracle-parity notes:
+  * ROUND on doubles is avoided — Spark rounds the shortest-repr decimal
+    (HALF_UP on BigDecimal.valueOf) while DuckDB rounds the binary
+    value; they disagree on .5-looking doubles. floor/ceil/abs/mod are
+    exact on doubles and safe.
+  * day-of-week conventions differ between engines — not exposed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 9) AS name_prefix,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+           CONCAT(c_mktsegment, ':', c_name) AS tagged,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression pack (all JVM-side, whole-stage codegen'd)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+           CAST(MONTH(o_orderdate) AS INT) AS mo,
+           CAST(DAY(o_orderdate) AS INT) AS dom,
+           DATE_TRUNC('month', o_orderdate) AS month_start
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal field extraction + truncation (partition-pruning building
+    blocks: a 100 TB layout would partition on these derived columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q_math_case",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000.0) AS dist_from_mid,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_band,
+           CAST(l_orderkey % 16 AS BIGINT) AS bucket,
+           CASE WHEN l_discount >= 0.05 THEN 'discounted'
+                WHEN l_tax > 0.04 THEN 'taxed'
+                ELSE 'plain' END AS class
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + CASE expression pack (abs/floor/ceil/mod are bit-exact on
+    doubles, unlike ROUND — see module docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("dist_from_mid"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_band"),
+        (F.col("l_orderkey") % 16).alias("bucket"),
+        F.when(F.col("l_discount") >= 0.05, "discounted")
+        .when(F.col("l_tax") > 0.04, "taxed")
+        .otherwise("plain")
+        .alias("class"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           event_type
+    FROM events ORDER BY event_id
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: get_json_object over the events.props JSON
+    payload (SURVEY.md §2.B scalar row)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        "event_type",
+    ).orderBy("event_id")
+
+
+@query(
+    "q_json_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an extracted JSON field (integer sum — exact)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("k_total"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,85 @@
+"""Scan operators: full dump, watermark CDC scans, sort/limit.
+
+These are the reference's actual data path (SURVEY.md §2.A S4/S5/S6,
+F1, O1, P1) re-expressed as driver-checkable queries over the fixture
+tables. The watermark literals stand in for the persisted lastRunTime
+(src/db_extractor_full.py:543); predicates are strict ``>`` like the
+reference (:389,403) and are pushed into the parquet scan by Catalyst
+(the JDBC path pushes the same predicate into the remote WHERE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+EVENTS_WM = "2024-01-15 00:00:00"
+SHIP_WM = "1997-01-01 00:00:00"
+
+
+@query("q_full_scan", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P1: full ``SELECT *`` dump (db_extractor_full.py:370-381)."""
+    return load_table(spark, sf_dir, "nation")
+
+
+@query(
+    "q_incremental_scan",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events WHERE ts > TIMESTAMP '{EVENTS_WM}' ORDER BY ts
+    """,
+)
+def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/F1/O1: insert-only CDC scan — ``WHERE created_at > wm ORDER BY
+    created_at`` (db_extractor_full.py:382-396) with events.ts as the
+    watermark column. The predicate lands in PushedFilters; the ORDER BY
+    is the reference's source-side sort kept for parity."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("ts") > F.lit(EVENTS_WM).cast("timestamp")).orderBy("ts")
+
+
+@query(
+    "q_upsert_scan",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > TIMESTAMP '2001-06-01 00:00:00'
+       OR o_orderdate > TIMESTAMP '2001-06-01 00:00:00'
+    """,
+)
+def q_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/F1: the two-column watermark disjunction —
+    ``created_at > wm OR updated_at > wm`` (db_extractor_full.py:397-408)
+    — over a joined relation with two timestamp columns."""
+    wm = F.lit("2001-06-01 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where((F.col("l_shipdate") > wm) | (F.col("o_orderdate") > wm))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+    )
+
+
+@query(
+    "q_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT. Spark plans this as TakeOrderedAndProject
+    — a per-partition top-k then a k-row merge on the driver, no global
+    shuffle; the right shape at any scale. Tie-break on o_orderkey makes
+    the k-set deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )

@@ -1,0 +1,87 @@
+"""Set operations: UNION (ALL), INTERSECT, EXCEPT (ALL).
+
+Absent from the reference (SURVEY.md §2.B). Spark's exceptAll/intersect
+shuffle on the full row; these queries keep the row narrow (keys only)
+which is also the right scale posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _big_spenders(spark, sf_dir) -> DataFrame:
+    """Customers with any order over 250k."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+
+
+def _building(spark, sf_dir) -> DataFrame:
+    """Customers in the BUILDING segment."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+_BIG = "SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000"
+_BLD = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+@query("q_union", oracle=f"SELECT custkey FROM ({_BIG} UNION {_BLD}) ORDER BY custkey")
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): big spenders or building-segment customers."""
+    return (
+        _big_spenders(spark, sf_dir)
+        .union(_building(spark, sf_dir))
+        .distinct()
+        .orderBy("custkey")
+    )
+
+
+@query("q_intersect", oracle=f"{_BIG} INTERSECT {_BLD} ORDER BY custkey")
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: building-segment customers who are also big spenders."""
+    return (
+        _big_spenders(spark, sf_dir)
+        .intersect(_building(spark, sf_dir))
+        .orderBy("custkey")
+    )
+
+
+@query("q_except", oracle=f"{_BLD} EXCEPT {_BIG} ORDER BY custkey")
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: building-segment customers who never spent big."""
+    return (
+        _building(spark, sf_dir)
+        .exceptAll(_big_spenders(spark, sf_dir))
+        .distinct()
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "q_union_all_counts",
+    oracle="""
+    SELECT side, COUNT(*) AS n FROM (
+        SELECT 'customer' AS side FROM customer
+        UNION ALL
+        SELECT 'supplier' AS side FROM supplier
+    ) GROUP BY side ORDER BY side
+    """,
+)
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) with unionByName across mismatched
+    relations narrowed to a common shape."""
+    c = load_table(spark, sf_dir, "customer").select(F.lit("customer").alias("side"))
+    s = load_table(spark, sf_dir, "supplier").select(F.lit("supplier").alias("side"))
+    return c.unionByName(s).groupBy("side").agg(F.count(F.lit(1)).alias("n")).orderBy("side")

@@ -1,0 +1,173 @@
+"""Window-function surface: ranking, frames, lag/lead, sessionization.
+
+Absent from the reference (SURVEY.md §2.B). Every window is given a
+total order (tie-break on a key column) so results are deterministic
+across engines and partitionings. Running double sums go through the
+exact-decimal accumulator; the oracle's decimal->double cast takes the
+VARCHAR detour (see functions/numeric.py) because running totals exceed
+2^53 in hugeint units.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_temp_views
+from .registry import query
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT c_nationkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    ORDER BY c_nationkey, rn
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per nation: the canonical Window + row_number <= k.
+    One shuffle on the partition key; no global sort of the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_nationkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS VARCHAR) AS DOUBLE) AS running_total
+    FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue: cumulative frame with a total order.
+    Decimal accumulator keeps the prefix sums engine-identical (DuckDB's
+    segment-tree frame evaluation would reorder double additions)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w)
+            .cast("double").alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER w AS prev_ts,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over each user's event timeline."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "q_window_ranks",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM part
+    WINDOW w AS (ORDER BY p_retailprice DESC, p_partkey)
+    ORDER BY rnk, p_partkey
+    """,
+)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over one global window. An un-partitioned window is
+    a single-task sort — fine for a dimension table, an anti-pattern for
+    facts (partition first, as in q_topk_per_group)."""
+    w = Window.orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+        )
+        .orderBy("rnk", "p_partkey")
+    )
+
+
+_SESSIONIZE_SQL = """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                    OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            + INTERVAL '30' MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+"""
+
+
+@query("q_sessionize", oracle=_SESSIONIZE_SQL)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag -> new-session
+    flag -> running count as session id -> per-session aggregate. The
+    identical SQL text runs on both engines. Streaming analog:
+    session_window in streaming/jobs.py."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SESSIONIZE_SQL)

@@ -10,6 +10,8 @@ JDBC scale path lives in sources/jdbc.py. Reads are plain
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: The ten driver fixture tables (TESTDATA.md:13-15).
 TABLES: tuple[str, ...] = (
@@ -34,8 +36,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+#: Columns stored as TIMESTAMP(NANOS) parquet, which Spark has no native
+#: type for. With spark.sql.legacy.parquet.nanosAsLong (session.py) they
+#: arrive as int64 nanos; we truncate to microsecond TimestampType —
+#: the same ns->us truncation DuckDB applies, keeping oracle parity.
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

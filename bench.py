@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is executed once after a warm-up pass of the smallest query to
+amortize JVM/codegen startup; timing covers plan + execution to a driver-side
+count (foreach-noop would undercount sinks; collect would bias large results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: one per operator family that dominates 100 TB cost —
+# scan+filter+join+agg (flagship), pure agg, wide sort-merge join,
+# window, dedup and similarity extensions.
+HEADLINE = [
+    "q_revenue_by_nation",
+    "q_pricing_summary",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_topk_per_group",
+    "q_window_running",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_topk_bruteforce",
+    "q_text_quality",
+    "q_token_stats",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from aws_data_warehouse_lambda_spark.session import tune
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .getOrCreate()
+    )
+    tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm-up: run the flagship once to pay JVM/codegen/parquet-footer costs.
+    queries[names[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
