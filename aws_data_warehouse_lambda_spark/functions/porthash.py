@@ -1,0 +1,57 @@
+"""Portable (Spark == DuckDB) deterministic hashing for dedup/fingerprint
+operators.
+
+The sketch pipelines (MinHash, SimHash, fingerprints) must be
+oracle-checkable, so every hash has to produce IDENTICAL values in Spark
+and in the DuckDB oracle. Spark's ``hash``/``xxhash64`` and DuckDB's
+``hash`` are different algorithms, so we build on the one primitive both
+engines share bit-for-bit: ``md5`` of a UTF-8 string.
+
+``h60(s)``  = first 15 hex chars of md5(s) parsed as a 60-bit integer.
+``perm_i(h)`` = universal hashing ``(a_i * (h mod P) + b_i) mod P`` with
+P = 2^31 - 1 (Mersenne), so products stay < 2^62 (no int64 overflow) in
+both engines.
+
+At 100 TB, md5 is ~5x slower than xxhash64; the sketches only need SOME
+stable 60-bit hash, so production deployments can swap ``h60`` for
+``F.xxhash64`` (one line) and lose nothing but the DuckDB oracle.
+Reference has no sketches at all — this supports the mandated dedup
+extensions (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31 - 1: (a * (h % P)) < 2^31 * 2^31 = 2^62 fits int64.
+P: int = 2_147_483_647
+
+#: Fixed (a, b) coefficient pairs for the universal-hash permutation
+#: family. Arbitrary odd constants (from a fixed LCG), committed so every
+#: run and both engines agree. 16 permutations = 8 LSH bands of 2 rows.
+PERM_COEFFS: tuple[tuple[int, int], ...] = tuple(
+    ((1103515245 * i + 12345) % P | 1, (69069 * i + 362437) % P) for i in range(1, 33)
+)
+
+
+def h60(c: Column) -> Column:
+    """60-bit integer hash of a string column, identical in DuckDB."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB SQL text computing exactly :func:`h60` of ``expr``."""
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def perm(i: int, h: Column) -> Column:
+    """i-th universal-hash permutation of a :func:`h60` value (Spark)."""
+    a, b = PERM_COEFFS[i]
+    return (F.lit(a) * (h % F.lit(P)) + F.lit(b)) % F.lit(P)
+
+
+def perm_sql(i: int, hexpr: str) -> str:
+    """DuckDB SQL text computing exactly :func:`perm` i of ``hexpr``."""
+    a, b = PERM_COEFFS[i]
+    return f"(({a} * ({hexpr} % {P}) + {b}) % {P})"

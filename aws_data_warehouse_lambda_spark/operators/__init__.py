@@ -11,5 +11,6 @@ from . import windows  # noqa: F401
 from . import setops  # noqa: F401
 from . import scalars  # noqa: F401
 from . import events_batch  # noqa: F401
+from . import dedup  # noqa: F401
 
 __all__ = ["registry"]

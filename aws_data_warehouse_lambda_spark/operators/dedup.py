@@ -1,0 +1,462 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` fixtures.
+
+Mandated extension family (SURVEY.md §2.C; absent from the reference —
+its only "dedup" is the watermark CDC overlap, /root/reference/src/
+db_extractor_full.py:382-408, which re-extracts rather than dedups).
+
+Five variants, in increasing fuzziness:
+
+==================  =========================================================
+q_dedup_exact       hash-groupBy on md5(text) — the 100 TB pattern is
+                    "group by digest, keep min id"; never group by the
+                    full payload (shuffle would carry the text).
+q_dedup_ngram       exact Jaccard over word 3-shingles via a shingle
+  _jaccard          self-join — ground truth for the sketch variants;
+                    O(pairs sharing a shingle), only viable under a
+                    candidate cap; kept as the oracle-of-record.
+q_dedup_minhash     MinHash (16 portable universal-hash permutations) +
+                    LSH banding (8 bands x 2 rows) -> candidate pairs ->
+                    exact-Jaccard verify. The banding join is the scale
+                    path: cost is O(colliding candidates), not O(n^2).
+q_dedup_simhash     32-bit SimHash over the shingle-hash set + 4-bit band
+                    join + Hamming<=3 verify (pigeonhole: <=3 differing
+                    bits guarantee one of the 4 nibbles collides).
+q_dedup_embedding   cosine near-dup over 64-dim embeddings, pair join +
+                    left-fold dot product (bit-exact vs the oracle).
+==================  =========================================================
+
+Every pipeline is deterministic (md5-derived hashing, functions/
+porthash.py), so each carries a FULL DuckDB oracle of the same
+algorithm — the sketches are hash-checked end-to-end, not rows-only.
+
+Scale posture (100 TB): all shingle/band joins key on 60-bit ints, never
+strings; band join keys are (band_id, minhash values) so hot shingles
+don't create a single hot partition; candidate pairs are distinct-ed
+before the verify join; AQE skew handling stays effective because every
+shuffle key is high-cardinality. Production swap: h60 -> xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.porthash import P, h60, h60_sql, perm, perm_sql
+from ..sources.tables import load_table
+from .registry import query
+
+N_PERMS = 16
+N_BANDS = 8  # rows per band = N_PERMS // N_BANDS = 2
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = SIMHASH_BITS // 4
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+HAMMING_MAX = 3
+COSINE_THRESHOLD = 0.45  # fixture embeddings are near-orthogonal random
+                         # vectors (max pair cos ~0.51); production would
+                         # use ~0.95 for true near-dups.
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def _shingles(text: Column) -> Column:
+    """Word 3-gram shingles as an array<string> (JVM-side, no UDF)."""
+    w = _words(text)
+    n = F.size(w) - F.lit(2)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(w, i, 3), " ")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct 60-bit shingle hashes — shared scan for the
+    Jaccard and MinHash pipelines. Hashing before the shuffle keeps the
+    exchange payload at 16 bytes/row regardless of document size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+        .select("doc_id", h60(F.col("s")).alias("sh"))
+        .distinct()
+    )
+
+
+#: DuckDB CTEs mirroring :func:`_shingle_hashes` (sh) + per-doc set sizes.
+_SHINGLE_SQL = f"""
+    sh AS (
+        SELECT DISTINCT doc_id,
+               {h60_sql("array_to_string(string_split(text, ' ')[i:i+2], ' ')")} AS sh
+        FROM documents,
+             UNNEST(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)) t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keeper_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the minimum doc_id.
+
+    100 TB posture: the shuffle key is the 128-bit digest, not the text,
+    so exchange volume is O(rows), not O(bytes); map-side partial
+    aggregation collapses most groups before the exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+_JACCARD_VERIFY_SQL = f"""
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(p.shared AS DOUBLE)
+                 / CAST(sa.n + sb.n - p.shared AS DOUBLE), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_dedup_ngram_jaccard", oracle=f"WITH {_SHINGLE_SQL} , {_JACCARD_VERIFY_SQL}")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (>= 0.8) — sketch ground truth.
+
+    The shingle self-join is quadratic in the worst case (a shingle shared
+    by k docs contributes k^2 candidate rows); at 100 TB this variant is
+    the referee run on samples, while q_dedup_minhash is the full-corpus
+    path. Join key is the 60-bit shingle hash (int, not string).
+    """
+    sh = _shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min({perm_sql(i, 'sh')}) AS mh{i}" for i in range(N_PERMS)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {j} AS band, mh{2 * j} AS k1, mh{2 * j + 1} AS k2 FROM mh"
+        for j in range(N_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL},
+    mh AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+         AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(p.shared AS DOUBLE)
+                 / CAST(sa.n + sb.n - p.shared AS DOUBLE), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
+
+    The scale path for fuzzy dedup: 16 universal-hash minima per doc,
+    banded 8x2; only docs colliding on a whole band ever meet in a join.
+    At Jaccard s the candidate probability is 1-(1-s^2)^8 (~1 for the
+    planted >=0.9 pairs, ~0.03 at s=0.25), so the verify join touches a
+    vanishing fraction of the n^2 pair space. Deterministic portable
+    hashing (porthash.py) => the DuckDB oracle runs the same algorithm.
+    """
+    sh = _shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    mh = sh.groupBy("doc_id").agg(
+        *[F.min(perm(i, F.col("sh"))).alias(f"mh{i}") for i in range(N_PERMS)]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"mh{2 * j}").alias("k1"),
+                        F.col(f"mh{2 * j + 1}").alias("k2"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k1", "bk.k2")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(sh.alias("sa_sh"), F.col("doc_a") == F.col("sa_sh.doc_id"))
+        .join(
+            sh.alias("sb_sh"),
+            (F.col("doc_b") == F.col("sb_sh.doc_id"))
+            & (F.col("sa_sh.sh") == F.col("sb_sh.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN ((sh >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{k} >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {k})"
+        for k in range(SIMHASH_BITS)
+    )
+    nibble_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, sig, {b} AS band,"
+        f" (sig >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK} AS nib FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL},
+    bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM sh GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM bits),
+    nib AS (
+{nibble_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM nib a JOIN nib b
+          ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over shingle hashes, banded candidate generation.
+
+    Signatures are built from the word-3-gram shingle set (shingles
+    discriminate where a small shared vocabulary makes word sets nearly
+    identical across documents). Each differing shingle nudges every
+    bit-sum by ±2, so near-identical docs land within Hamming<=3 while
+    unrelated docs sit near the binomial mean of 16. The 4x8-bit band
+    join has recall 1 for Hamming<=3 (pigeonhole) while keeping the join
+    linear in collisions. SimHash is a per-doc reduce (one shuffle) +
+    one banded join — the cheapest sketch here at 100 TB.
+    """
+    sh = _shingle_hashes(spark, sf_dir)
+    hc = F.col("sh")
+    bits = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(hc, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{k}")
+            for k in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{k} >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {k})"
+        for k in range(SIMHASH_BITS)
+    )
+    sig = bits.select("doc_id", F.expr(f"CAST({sig_expr} AS BIGINT)").alias("sig"))
+    nib = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(sig >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK}"
+                        ).alias("nib"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bn"),
+    ).select("doc_id", "sig", "bn.band", "bn.nib")
+    a, b = nib.alias("a"), nib.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.where(ham <= HAMMING_MAX)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold double-precision dot product: ((0+p1)+p2)+... — the same
+    association order DuckDB's list_reduce uses, so results are
+    bit-identical across engines (floats upcast before multiply)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+
+
+_NORM_SQL = f"""
+    norms AS (
+        SELECT vec_id, embedding,
+               sqrt({_DOT_SQL.format(a="embedding", b="embedding")}) AS nrm
+        FROM embeddings
+    )
+"""
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH {_NORM_SQL}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+                 / (a.nrm * b.nrm), 5) AS cos_sim
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+          / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (fixture threshold 0.45).
+
+    Fixture-scale plan is the O(n^2) pair join (BroadcastNestedLoop on
+    500 rows); the 100 TB path is q_sim_lsh_bucketed's sign-bucket join —
+    this query is the exactness referee. Norms are precomputed once per
+    row (O(n) not O(n^2) norm work).
+    """
+    norms = _norms(spark, sf_dir)
+    a, b = norms.alias("a"), norms.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= COSINE_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 5).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
