@@ -1,0 +1,42 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side only.
+
+Dot products fold left with an explicit 0.0 seed: ((0+p1)+p2)+... is the
+association order DuckDB's ``list_reduce`` produces (its first fold
+p1+p2 equals 0.0+p1 then +p2 because +0.0 is exact), so Spark results
+are bit-identical to the DuckDB oracle — float elements are upcast to
+double BEFORE the multiply in both engines.
+
+Scale: ``F.aggregate``/``F.zip_with`` run inside codegen (no Python).
+For very hot paths a vectorized Pandas UDF (numpy dot) is ~3x faster
+per batch but sums in SIMD order, breaking oracle bit-parity — keep it
+for production, not for hash-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+#: DuckDB SQL template computing exactly :func:`dot` (format with a=, b=).
+DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({DOT_SQL.format(a=a, b=a)})"

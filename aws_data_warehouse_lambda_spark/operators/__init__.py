@@ -12,5 +12,9 @@ from . import setops  # noqa: F401
 from . import scalars  # noqa: F401
 from . import events_batch  # noqa: F401
 from . import dedup  # noqa: F401
+from . import similarity  # noqa: F401
+from . import text  # noqa: F401
+from . import multimodal  # noqa: F401
+from . import streaming_queries  # noqa: F401
 
 __all__ = ["registry"]

@@ -41,7 +41,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.porthash import P, h60, h60_sql, perm, perm_sql
+from ..functions.porthash import h60, h60_sql, perm, perm_sql
+from ..functions.vectors import DOT_SQL as _DOT_SQL
+from ..functions.vectors import dot as _dot
+from ..functions.vectors import norm as _norm
 from ..sources.tables import load_table
 from .registry import query
 
@@ -389,29 +392,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Left-fold double-precision dot product: ((0+p1)+p2)+... — the same
-    association order DuckDB's list_reduce uses, so results are
-    bit-identical across engines (floats upcast before multiply)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-_DOT_SQL = (
-    "list_reduce(list_transform(range(1, len({a}) + 1), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
-)
-
-
 def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
 
 

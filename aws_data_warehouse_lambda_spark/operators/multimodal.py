@@ -1,0 +1,158 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed
+metadata, processed by Arrow-batched ``mapInPandas`` (SURVEY.md §2.C).
+
+The reference moves only relational rows (its catch-all stringifies
+anything exotic, /root/reference/src/db_extractor_full.py:78); an LLM
+data pipeline additionally carries images/audio/video as binary columns
+with metadata. This module makes that path real on Spark:
+
+- payloads travel as ``BinaryType`` columns (Tungsten/Arrow handle them
+  natively; parquet stores them as BYTE_ARRAY with page compression);
+- per-payload compute runs in ``mapInPandas`` — Arrow ships columnar
+  batches to Python once per ~10k rows, NOT once per row, and the
+  output schema is declared up front so Catalyst keeps planning around
+  the black box;
+- actual media decoding is STUBBED (this container has no image/audio
+  libraries): :func:`decode_image` gates on Pillow and otherwise raises
+  ``NotImplementedError``; the fixture exercises the deterministic
+  fake-decode path, which keeps schema/batching/partitioning real and
+  the query oracle-checkable.
+
+Scale posture: payload batches are bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (tune down for
+multi-MB payloads so an Arrow batch stays < executor headroom);
+feature extraction is embarrassingly parallel with no shuffle at all.
+
+The fixture has no real media, so payloads are synthesized
+deterministically from ``documents.text`` (utf-8 bytes) — the Spark
+plumbing (binary column -> Arrow -> pandas -> typed features) is
+identical for a real image column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes int, payload_md5 string, "
+    "fake_width int, fake_height int"
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Decode a real image payload to (width, height).
+
+    Gated on Pillow, which is intentionally absent in this container —
+    callers use :func:`fake_decode` for fixtures. A production cluster
+    ships the decode libs on the executors and this branch activates.
+    """
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 — optional, absent here
+    except ImportError as exc:  # pragma: no cover - no Pillow in container
+        raise NotImplementedError(
+            "real image decode needs Pillow on the executors; "
+            "fixtures use fake_decode()"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return im.width, im.height
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for media decode: pseudo-dimensions derived
+    from the payload bytes (stable across engines and runs)."""
+    first = payload[0] if payload else 0
+    return 1 + first % 64, 1 + len(payload) % 64
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one Arrow batch in, one feature frame out."""
+    import hashlib
+
+    for pdf in batches:
+        dims = [fake_decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "payload_md5": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                "fake_width": [w for w, _ in dims],
+                "fake_height": [h for _, h in dims],
+            }
+        )
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the synthesized binary payload + typed metadata column."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text").alias("modality"),
+    )
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'text' AS modality,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(1 + unicode(substring(text, 1, 1)) % 64 AS INT) AS fake_width,
+           CAST(1 + octet_length(encode(text)) % 64 AS INT) AS fake_height
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through Arrow-batched
+    mapInPandas — the template for image/audio feature pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_payload(docs)
+        .mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+FRAME_STRIDE = 8  # keep every 8th element of the 64-dim "clip"
+
+
+@query(
+    "q_frame_sample",
+    oracle=f"""
+    SELECT vec_id, label,
+           list_transform(
+               range(1, len(embedding) + 1, {FRAME_STRIDE}),
+               i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+           ) AS sampled_q
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for array-typed media: keep every k-th element of
+    a fixed-rate buffer (the video keyframe / audio downsample shape).
+    Values are quantized to int(1e4 * x) so the comparison is exact;
+    the slice itself is a JVM transform over the array — no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = F.size("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE)),
+            lambda i: F.round(F.element_at("embedding", i).cast("double") * 10000)
+            .cast("bigint"),
+        ).alias("sampled_q"),
+    ).orderBy("vec_id")

@@ -1,0 +1,170 @@
+"""Similarity search over the ``embeddings`` fixture (64-dim float
+vectors) — the mandated ANN extension family (SURVEY.md §2.C; nothing
+comparable exists in the reference).
+
+Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
+
+q_sim_topk_bruteforce
+    Exact cosine top-k for a small query set against the full corpus.
+    The query side is broadcast (it is tiny by construction), so the
+    scan side streams once with NO shuffle: cost O(|Q| * N) FLOPs,
+    perfectly data-parallel. This is the referee and the right plan
+    whenever |Q| is small (evaluation probes, canary queries).
+
+q_sim_lsh_bucketed
+    All-pairs top-k where every vector is a query: sign-LSH buckets
+    (4 deterministic coordinate hyperplanes -> 16 buckets) turn the
+    O(N^2) pair space into per-bucket blocks joined on an equality key.
+    At scale the bucket id becomes the shuffle/partition key, each
+    bucket is searched independently, and recall is tuned by adding
+    hyperplanes (more, smaller buckets) or probing neighbor buckets.
+    Production would draw seeded *random* hyperplanes; deterministic
+    coordinate planes keep the DuckDB oracle exact, and the machinery
+    (bucket -> equality join -> per-bucket rank) is identical.
+
+Both are pure DataFrame plans (codegen'd left-fold dot products,
+functions/vectors.py); ranking is rounded to 5 decimals with a vec_id
+tiebreak so ordering is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import DOT_SQL, dot, norm, norm_sql
+from ..sources.tables import load_table
+from .registry import query
+
+N_QUERIES = 10  # q_sim_topk_bruteforce probes: vec_id < 10
+TOP_K = 5
+LSH_PLANES = (1, 17, 33, 49)  # 1-indexed dims -> 16 sign buckets
+LSH_TOP_K = 3
+
+_COS = f"{DOT_SQL.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm)"
+
+_NORMS_SQL = f"""
+    norms AS (
+        SELECT vec_id, embedding, {norm_sql("embedding")} AS nrm
+        FROM embeddings
+    )
+"""
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+
+
+@query(
+    "q_sim_topk_bruteforce",
+    oracle=f"""
+    WITH {_NORMS_SQL}
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({_COS}, 5) AS cos_sim,
+           CAST(row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY round({_COS}, 5) DESC, c.vec_id) AS INT) AS rank
+    FROM norms q JOIN norms c ON c.vec_id >= {N_QUERIES}
+    WHERE q.vec_id < {N_QUERIES}
+    QUALIFY rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k, broadcast query side: zero-shuffle scan plan.
+
+    The corpus is read once; each task holds the |Q| query vectors and
+    emits its local pairs, and only the tiny top-k window shuffles by
+    query_id. At 100 TB this is bounded by pure scan throughput.
+    """
+    norms = _norms(spark, sf_dir)
+    q = F.broadcast(norms.where(F.col("vec_id") < N_QUERIES)).alias("q")
+    c = norms.where(F.col("vec_id") >= N_QUERIES).alias("c")
+    cos = dot(F.col("q.embedding"), F.col("c.embedding")) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.crossJoin(c)
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(cos, 5).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d}] >= 0 THEN 1 ELSE 0 END << {k})"
+    for k, d in enumerate(LSH_PLANES)
+)
+
+
+def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = None
+    for k, d in enumerate(LSH_PLANES):
+        bit = F.when(F.element_at("embedding", d).cast("double") >= 0, 1).otherwise(
+            0
+        ) * F.lit(1 << k)
+        bucket = bit if bucket is None else bucket + bit
+    return _norms(spark, sf_dir).withColumn("bucket", bucket)
+
+
+@query(
+    "q_sim_lsh_bucketed",
+    oracle=f"""
+    WITH {_NORMS_SQL},
+    bucketed AS (
+        SELECT vec_id, embedding, nrm, {_BUCKET_SQL} AS bucket FROM norms
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+           round({_COS}, 5) AS cos_sim,
+           CAST(row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY round({_COS}, 5) DESC, c.vec_id) AS INT) AS rank
+    FROM bucketed q JOIN bucketed c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    QUALIFY rank <= {LSH_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs approximate top-k via sign-LSH buckets.
+
+    The self-join keys on the bucket id (an equality join Catalyst can
+    hash-partition), so each of the 16 buckets is ranked independently —
+    the pair space shrinks ~16x and parallelizes by bucket. Skew note:
+    pathological corpora can fill one bucket; at scale, salt the bucket
+    id with a secondary plane set or enable AQE skew-join (session.py
+    turns AQE on).
+    """
+    b = _bucketed(spark, sf_dir)
+    q, c = b.alias("q"), b.alias("c")
+    cos = dot(F.col("q.embedding"), F.col("c.embedding")) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.join(
+            c,
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("q.bucket").alias("bucket"),
+            F.round(cos, 5).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LSH_TOP_K)
+        .orderBy("query_id", "rank")
+    )

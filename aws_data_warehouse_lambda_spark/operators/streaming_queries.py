@@ -1,0 +1,68 @@
+"""Driver-checkable wrappers for the Structured Streaming jobs.
+
+Each wrapper RUNS a real streaming query (file source -> watermark ->
+stateful/windowed agg -> memory sink, Trigger.AvailableNow) and returns
+the materialized result, so the driver's oracle gate covers the
+streaming path end-to-end, not just a batch re-statement. AvailableNow
+over the single-file fixture drains in one micro-batch, making the
+stateful sessionizer's output exactly the batch answer (streaming/
+jobs.py docstrings cover the multi-batch refinement semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.numeric import dsum_expr
+from ..streaming.jobs import run_sessionize, run_tumbling
+from .registry import query
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {dsum_expr("value")} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour tumbling window (complete mode): must equal the
+    batch GROUP BY — decimal-exact sums make the hash comparable."""
+    return run_tumbling(spark, sf_dir)
+
+
+@query(
+    "q_stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             + INTERVAL '30' MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState
+    sessionization) checked against the batch lag/gap SQL."""
+    return run_sessionize(spark, sf_dir)

@@ -1,0 +1,237 @@
+"""Text-analysis operators over the ``documents`` fixture — the mandated
+LLM-training-data extension family (SURVEY.md §2.C). The reference's only
+string operation is identifier sanitization (/root/reference/src/
+db_extractor_full.py:462-474); everything here is new surface.
+
+All four queries are single-pass, JVM-side column expressions (regex
+counts, split/length arithmetic, md5-derived fingerprints) — no Python
+UDFs, so at 100 TB they run at parquet scan throughput inside
+WholeStageCodegen and aggregate with map-side partial combine.
+
+Engine-parity notes: regexes are limited to the syntax Java's engine and
+DuckDB's RE2 interpret identically (literal alternations, \\b, character
+classes); all ratios cast operands to DOUBLE before dividing; rounding
+to 6 decimals both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.porthash import h60, h60_sql
+from ..sources.tables import load_table
+from .registry import query
+
+#: Marker stopwords per language for the n-gram language-ID heuristic.
+#: Tiny on purpose: a real deployment ships a few hundred n-grams per
+#: language; the argmax plumbing below is unchanged by the list size.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|a|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+    "es": r"\b(el|los|las|y|es|una)\b",
+}
+
+#: English stopwords for the quality score's stopword ratio.
+STOPWORDS_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+#: BPE-ish tokenizer: word pieces, digit runs, single punctuation marks.
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+FINGERPRINT_GRAM = 8  # char n-gram width
+FINGERPRINT_STRIDE = 4  # stride between grams (winnowing-lite)
+
+
+def _count(c: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def _count_sql(expr: str, pattern: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{pattern}'))"
+
+
+def _langid_oracle() -> str:
+    scores = ",\n           ".join(
+        f"{_count_sql('lower(text)', pat)} AS s_{lang}"
+        for lang, pat in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = " ".join(
+        f"WHEN s_{lang} > 0 AND {' AND '.join(f's_{lang} >= s_{other}' for other in langs if other != lang)} THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+           {scores}
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE {best} ELSE 'und' END AS predicted_lang,
+           {" + ".join(f"s_{lang}" for lang in langs)} AS marker_hits
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+@query("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: count per-language marker words,
+    argmax with a fixed priority order for ties, 'und' when no marker
+    fires. One scan, no shuffle until the final sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            _count(lowered, pat).alias(f"s_{lang}")
+            for lang, pat in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    for lang in reversed(langs):  # wrap inside-out so langs[0] wins ties
+        cond = F.col(f"s_{lang}") > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        pred = F.when(cond, lang).otherwise(pred)
+    total = sum((F.col(f"s_{lang}") for lang in langs[1:]), F.col(f"s_{langs[0]}"))
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        total.alias("marker_hits"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_words,
+           round(CAST(length(text) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_word,
+           round(CAST({_count_sql("text", "[^a-z0-9 ]")} AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+           round(CAST({_count_sql("lower(text)", STOPWORDS_RE)} AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND CAST({_count_sql("text", "[^a-z0-9 ]")} AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) < 0.1
+                THEN 'keep' ELSE 'drop' END AS quality_flag
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, words, chars/word, punctuation ratio,
+    stopword ratio, and a keep/drop gate — the standard pre-training
+    corpus filter shape (single scan, pure expressions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_words = F.size(F.split(F.col("text"), " "))
+    punct = _count(F.col("text"), "[^a-z0-9 ]")
+    stop = _count(F.lower(F.col("text")), STOPWORDS_RE)
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        F.round(n_chars.cast("double") / n_words.cast("double"), 6).alias(
+            "chars_per_word"
+        ),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop.cast("double") / n_words.cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.when((n_words >= 20) & (punct_ratio < 0.1), "keep")
+        .otherwise("drop")
+        .alias("quality_flag"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_token_stats",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum({_count_sql("lower(text)", TOKEN_RE)}) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum({_count_sql("lower(text)", TOKEN_RE)}) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS bpe_per_doc
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) aggregated per
+    (lang, source) — the corpus-sizing query every data pipeline runs.
+    Partial aggregation makes the shuffle O(groups), not O(docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = _count(F.lower(F.col("text")), TOKEN_RE)
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+            F.round(
+                F.sum(bpe).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("bpe_per_doc"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               {h60_sql(f"substring(text, i, {FINGERPRINT_GRAM})")} AS gh
+        FROM documents,
+             UNNEST(range(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 0) + 1,
+                          {FINGERPRINT_STRIDE})) t(i)
+    ),
+    fp AS (SELECT doc_id, min(gh) AS fingerprint FROM grams GROUP BY doc_id)
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc
+    FROM fp
+    GROUP BY fingerprint
+    ORDER BY min_doc
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min 60-bit hash over strided char 8-grams
+    (winnowing-lite / rolling-hash family). Near-identical docs collide
+    on the fingerprint, giving an O(n) grouping-based near-dup screen —
+    the cheapest pre-filter before the pairwise sketches in dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_grams = F.greatest(
+        F.length("text") - F.lit(FINGERPRINT_GRAM - 1), F.lit(0)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n_grams >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_grams, F.lit(FINGERPRINT_STRIDE)),
+                    lambda i: F.substring(F.col("text"), i, FINGERPRINT_GRAM),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).select("doc_id", h60(F.col("g")).alias("gh"))
+    fp = grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("min_doc")
+    )

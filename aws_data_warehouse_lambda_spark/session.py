@@ -56,7 +56,47 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     except Exception:
         pass
+    _ship_package(spark)
     return spark
+
+
+_shipped_to: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to the Python workers via addPyFile.
+
+    mapInPandas / applyInPandasWithState functions are cloudpickled *by
+    reference* (module + qualname), so workers must be able to import
+    ``aws_data_warehouse_lambda_spark`` — which an externally-owned
+    session (the verify driver, a real cluster) has no reason to have on
+    its PYTHONPATH. Zipping the package once per process and
+    ``addPyFile``-ing it is the standard --py-files deployment, and it
+    makes every Python-path operator work no matter who built the
+    session or where its workers run.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _shipped_to:
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = pathlib.Path(tempfile.gettempdir()) / f"{pkg_dir.name}-pyfiles.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".zip.tmp")
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+        tmp.replace(zip_path)
+    try:
+        spark.sparkContext.addPyFile(str(zip_path))
+    except Exception:
+        # Duplicate registration on some cluster managers raises; the
+        # file is already distributed in that case.
+        pass
+    _shipped_to.add(app_id)
 
 
 def get_spark(app_name: str = "adwl-spark", shuffle_partitions: int | None = None) -> SparkSession:

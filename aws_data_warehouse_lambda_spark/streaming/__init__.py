@@ -1,0 +1,5 @@
+"""Structured Streaming surface: incremental analogs of the batch event
+queries (SURVEY.md §7 step 4). The reference's incremental model — a
+watermark-filtered re-extract per run (/root/reference/src/
+db_extractor_full.py:382-408) — maps onto Spark's streaming source +
+event-time watermark; these jobs are the always-on version of that."""

@@ -1,0 +1,174 @@
+"""Structured Streaming jobs over the ``events`` fixture.
+
+Layout mirrors the batch operators: each job is a function returning a
+*streaming* DataFrame plus a ``run_*`` helper that drives it to a memory
+sink with ``Trigger.AvailableNow`` and hands back the materialized batch
+result. AvailableNow processes everything currently in the source and
+stops — the streaming equivalent of the reference's "extract everything
+since the last watermark, then exit" Lambda run (/root/reference/src/
+db_extractor_full.py:382-408, 900 s budget), with the watermark/state
+handled by Spark's checkpoint instead of a hand-rolled SSM document.
+
+Scale posture: in production the source is a directory fed by the CDC
+sink (or Kafka), the memory sink becomes parquet/Delta with a checkpoint
+location, and ``withWatermark`` bounds state for late data. State in the
+stateful sessionizer is O(open sessions), not O(events).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.numeric import dsum
+
+#: events.parquet as stored on disk: ts is TIMESTAMP(NANOS), which the
+#: session reads as int64 nanos (spark.sql.legacy.parquet.nanosAsLong,
+#: session.py) — streaming sources need the schema declared up front.
+EVENTS_DISK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP_MIN = 30
+
+_sink_ids = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events fixture (ns -> µs timestamp),
+    the same coercion the batch loader applies (sources/tables.py)."""
+    # The file source wants a directory; the fixture is a single file, so
+    # stream the sf_dir with a glob pinned to the events table.
+    raw = (
+        spark.readStream.schema(EVENTS_DISK_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count+sum per event_type under a 1-hour watermark
+    — the streaming twin of q_tumbling_window (operators/events_batch)."""
+    e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def _drain_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Run a streaming DF to completion (AvailableNow) into a memory
+    sink; return the materialized table. Production swaps this for a
+    parquet/Delta sink + checkpointLocation — one line."""
+    name = f"stream_sink_{next(_sink_ids)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(tumbling_stream(spark, sf_dir), spark, "complete").orderBy(
+        "window_start", "event_type"
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, session_start timestamp, session_end timestamp"
+)
+SESSION_STATE_SCHEMA = "start long, end long, n long"
+
+
+def _sessionize_user(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful sessionizer for one user: merge this batch's events into
+    the open session carried in state; emit every session seen so far
+    this batch (closed ones final, the trailing one refinable by later
+    batches — update-mode semantics). State is 3 ints per user."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        ts_us.extend(pdf["ts"].values.astype("datetime64[us]").astype("int64"))
+    ts_us.sort()
+
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start, end, n = None, None, 0
+
+    sessions: list[tuple[int, int, int]] = []
+    for t in ts_us:
+        if start is None:
+            start, end, n = t, t, 1
+        elif t - end > gap_us:
+            sessions.append((start, end, n))
+            start, end, n = t, t, 1
+        else:
+            end, n = t, n + 1
+    if start is not None:
+        state.update((int(start), int(end), int(n)))
+        sessions.append((start, end, n))
+
+    if sessions:
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "n_events": [s[2] for s in sessions],
+                "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
+                "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
+            }
+        )
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: 30-minute
+    inactivity-gap sessionization, the streaming twin of q_sessionize
+    (operators/windows.py). Arrow-batched; state bounded by open
+    sessions; NoTimeout because AvailableNow drains the source (a 24/7
+    deployment would use EventTimeTimeout to expire idle sessions)."""
+    e = events_stream(spark, sf_dir)
+    return e.groupBy("user_id").applyInPandasWithState(
+        _sessionize_user,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(sessionize_stream(spark, sf_dir), spark, "update").orderBy(
+        "user_id", "session_start"
+    )

@@ -1,0 +1,86 @@
+"""Unit tests for the LLM-pipeline extension operators (dedup /
+similarity / text / multimodal / streaming) — behavior the generic
+oracle-parity gate (test_oracle_parity.py) can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_data_warehouse_lambda_spark.functions.porthash import P, PERM_COEFFS
+from aws_data_warehouse_lambda_spark.operators.dedup import (
+    q_dedup_minhash,
+    q_dedup_ngram_jaccard,
+)
+from aws_data_warehouse_lambda_spark.operators.multimodal import (
+    decode_image,
+    fake_decode,
+)
+from aws_data_warehouse_lambda_spark.operators.similarity import (
+    q_sim_lsh_bucketed,
+    q_sim_topk_bruteforce,
+)
+from aws_data_warehouse_lambda_spark.operators.windows import q_sessionize
+from aws_data_warehouse_lambda_spark.streaming.jobs import run_sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_perm_coeffs_fit_int64() -> None:
+    # a * (h % P) + b must stay below 2^63 for any 60-bit h.
+    for a, b in PERM_COEFFS:
+        assert 0 < a < P and 0 <= b < P
+        assert a * (P - 1) + b < 2**63
+
+
+def test_minhash_catches_all_exact_pairs(spark) -> None:
+    """At the fixture's similarity levels (planted pairs >= 0.9), the
+    8x2 banding has ~1-2e-6 miss probability per pair — MinHash output
+    must equal the exact-Jaccard ground truth."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in q_dedup_ngram_jaccard(spark, SF).collect()
+    }
+    sketched = {(r.doc_a, r.doc_b) for r in q_dedup_minhash(spark, SF).collect()}
+    assert sketched == exact
+
+
+def test_bruteforce_topk_shape(spark) -> None:
+    rows = q_sim_topk_bruteforce(spark, SF).collect()
+    by_query: dict[int, list[int]] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_query) == set(range(10))
+    for ranks in by_query.values():
+        assert ranks == [1, 2, 3, 4, 5]
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+
+
+def test_lsh_bucket_neighbors_share_bucket(spark) -> None:
+    df = q_sim_lsh_bucketed(spark, SF)
+    assert df.where((df.bucket < 0) | (df.bucket > 15)).count() == 0
+    assert df.where(df.query_id == df.neighbor_id).count() == 0
+
+
+def test_fake_decode_deterministic() -> None:
+    assert fake_decode(b"abc") == fake_decode(b"abc")
+    assert fake_decode(b"") == (1, 1)
+    w, h = fake_decode(b"\x7f" * 100)
+    assert 1 <= w <= 64 and 1 <= h <= 64
+
+
+def test_real_decode_is_stubbed() -> None:
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+
+
+def test_stream_sessionize_equals_batch(spark) -> None:
+    """AvailableNow over the single-file fixture drains in one batch, so
+    the stateful sessionizer must reproduce the batch lag/gap answer."""
+    streamed = run_sessionize(spark, SF).select(
+        "user_id", "n_events", "session_start", "session_end"
+    )
+    batch = q_sessionize(spark, SF).select(
+        "user_id", "n_events", "session_start", "session_end"
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
