@@ -76,16 +76,32 @@ def _shingles(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_hashes(
+    spark: SparkSession, sf_dir: str, *, persist: bool = False
+) -> DataFrame:
     """(doc_id, sh) distinct 60-bit shingle hashes — shared scan for the
     Jaccard and MinHash pipelines. Hashing before the shuffle keeps the
-    exchange payload at 16 bytes/row regardless of document size."""
+    exchange payload at 16 bytes/row regardless of document size.
+
+    ``persist=True`` caches the relation (MEMORY_AND_DISK): the sketch
+    pipelines consume it 3x (signature agg + both sides of the verify
+    join), and Spark plans each consumer as a fresh scan+md5+distinct —
+    at 100 TB that's re-reading the corpus three times. A multi-step
+    production pipeline would land this table in parquet once; inside a
+    single query, persist is the same decision (LRU-evicted, disk
+    spill-backed, ~16 bytes/shingle so orders of magnitude smaller than
+    the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    sh = (
         docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
         .select("doc_id", h60(F.col("s")).alias("sh"))
         .distinct()
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
 
 
 #: DuckDB CTEs mirroring :func:`_shingle_hashes` (sh) + per-doc set sizes.
@@ -156,7 +172,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the referee run on samples, while q_dedup_minhash is the full-corpus
     path. Join key is the 60-bit shingle hash (int, not string).
     """
-    sh = _shingle_hashes(spark, sf_dir)
+    sh = _shingle_hashes(spark, sf_dir, persist=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -230,11 +246,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vanishing fraction of the n^2 pair space. Deterministic portable
     hashing (porthash.py) => the DuckDB oracle runs the same algorithm.
     """
-    sh = _shingle_hashes(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh = _shingle_hashes(spark, sf_dir, persist=True)
     mh = sh.groupBy("doc_id").agg(
-        *[F.min(perm(i, F.col("sh"))).alias(f"mh{i}") for i in range(N_PERMS)]
+        *[F.min(perm(i, F.col("sh"))).alias(f"mh{i}") for i in range(N_PERMS)],
+        F.count(F.lit(1)).alias("n"),
     )
+    sizes = mh.select("doc_id", "n")
     bands = mh.select(
         "doc_id",
         F.explode(
