@@ -16,5 +16,6 @@ from . import similarity  # noqa: F401
 from . import text  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import python_udfs  # noqa: F401
 
 __all__ = ["registry"]

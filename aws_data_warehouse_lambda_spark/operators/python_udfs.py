@@ -1,0 +1,148 @@
+"""The Python-UDF escape hatch, exercised end-to-end (SURVEY.md §2.B
+UDF/UDAF/UDTF row).
+
+The engine's rule is "UDFs are the slow path": everything these queries
+compute could (and in the hot path WOULD) be a built-in expression — the
+point here is to keep the three Python extension surfaces working,
+Arrow-batched, and oracle-checked, because the multimodal/ML operators
+that genuinely need Python (operators/multimodal.py, a production
+tokenizer, an embedding model) ride exactly these rails:
+
+- scalar ``@pandas_udf``      — vectorized column function
+- grouped-agg ``@pandas_udf`` — vectorized UDAF under groupBy().agg()
+- ``@udtf``                   — Python table function (lateral-join shape)
+
+All three receive/return Arrow batches (~10k rows per transfer), so the
+per-row Python tax is amortized; still expect ~10x slower than the JVM
+expression for trivial math — measure before reaching for them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..sources.tables import load_table
+from .registry import query
+
+#: Same tokenizer as operators/text.py TOKEN_RE — Python re and RE2
+#: agree on this syntax subset.
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@pandas_udf(T.IntegerType())
+def bpe_token_count(text: pd.Series) -> pd.Series:
+    """Vectorized token counter (pandas str ops over an Arrow batch)."""
+    return text.str.lower().str.count(_TOKEN_RE).astype("int32")
+
+
+@query(
+    "q_pandas_udf_scalar",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS INT)
+               AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: per-doc BPE-ish token count. The JVM twin is
+    q_token_stats' regexp expression — this exists to keep the Arrow
+    scalar-UDF rail tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@pandas_udf(T.DoubleType())
+def median_agg(v: pd.Series) -> float:
+    """Grouped-agg pandas UDF (UDAF): exact median. Deterministic under
+    any partitioning because Spark feeds the WHOLE group to the UDF
+    (this is also why grouped-agg UDFs shuffle the full column — use
+    approx_percentile in the JVM when the exactness isn't needed)."""
+    return float(v.median())
+
+
+@pandas_udf(T.LongType())
+def count_agg(v: pd.Series) -> int:
+    """Companion UDAF: Spark disallows mixing grouped-agg pandas UDFs
+    with JVM aggregates in one agg(), so the count rides Python too."""
+    return len(v)
+
+
+@query(
+    "q_pandas_udf_grouped_agg",
+    oracle="""
+    SELECT lang,
+           CAST(median(n_chars) AS DOUBLE) AS median_chars,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized UDAF under groupBy().agg(): per-language median doc
+    length (exact medians of int64 — engine-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            median_agg(F.col("n_chars")).alias("median_chars"),
+            count_agg(F.col("n_chars")).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+CHUNK_WORDS = 50
+
+
+@udtf(returnType="chunk_idx int, chunk_text string, n_words int")
+class ChunkDocument:
+    """Python UDTF: split a document into fixed-size word chunks — the
+    lateral-join shape every context-window packer needs (one input row
+    -> N output rows with per-row metadata)."""
+
+    def eval(self, text: str) -> "Iterator":  # noqa: F821 - pyspark introspects
+        words = (text or "").split(" ")
+        for idx in range(0, len(words), CHUNK_WORDS):
+            chunk = words[idx : idx + CHUNK_WORDS]
+            yield idx // CHUNK_WORDS, " ".join(chunk), len(chunk)
+
+
+@query(
+    "q_udtf_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((i - 1) / {CHUNK_WORDS} AS INT) AS chunk_idx,
+           array_to_string(list_slice(string_split(text, ' '),
+                                      i, i + {CHUNK_WORDS - 1}), ' ') AS chunk_text,
+           CAST(len(list_slice(string_split(text, ' '),
+                               i, i + {CHUNK_WORDS - 1})) AS INT) AS n_words
+    FROM documents,
+         UNNEST(range(1, len(string_split(text, ' ')) + 1, {CHUNK_WORDS})) t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a Python UDTF applied per row (LATERAL
+    join). At scale this stays a narrow transformation — no shuffle;
+    chunk rows inherit the input partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("chunk_document", ChunkDocument)
+    docs.createOrReplaceTempView("_docs_for_chunking")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+        FROM _docs_for_chunking d,
+             LATERAL chunk_document(d.text) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
