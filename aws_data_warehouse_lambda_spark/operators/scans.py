@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_with_watermark
 from .registry import query
 
 EVENTS_WM = "2024-01-15 00:00:00"
@@ -36,10 +36,12 @@ def q_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/F1/O1: insert-only CDC scan — ``WHERE created_at > wm ORDER BY
     created_at`` (db_extractor_full.py:382-396) with events.ts as the
-    watermark column. The predicate lands in PushedFilters; the ORDER BY
-    is the reference's source-side sort kept for parity."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.where(F.col("ts") > F.lit(EVENTS_WM).cast("timestamp")).orderBy("ts")
+    watermark column. The predicate compares the RAW int64 nanos (below
+    the ns->µs conversion) so it lands in PushedFilters and prunes row
+    groups; the ORDER BY is the reference's source-side sort kept for
+    parity."""
+    ev = load_table_with_watermark(spark, sf_dir, "events", "ts", EVENTS_WM)
+    return ev.orderBy("ts")
 
 
 @query(

@@ -53,6 +53,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_with_watermark(
+    spark: SparkSession, sf_dir: str, name: str, col: str, watermark: str
+) -> DataFrame:
+    """CDC scan: ``col > watermark`` applied BELOW any ns->µs conversion.
+
+    A predicate on the converted column wraps the scan output in an
+    expression, so only IsNotNull reaches PushedFilters and every row
+    group is read. Comparing the raw int64 nanos against the watermark
+    in nanos keeps the filter a plain column-vs-literal comparison that
+    lands in the parquet scan (row-group min/max pruning — the whole
+    point of watermark CDC at 100 TB). For regular timestamp columns the
+    predicate pushes down as-is.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    nanos_cols = [
+        c
+        for c in _NANOS_TS_COLUMNS.get(name, ())
+        if isinstance(df.schema[c].dataType, T.LongType)
+    ]
+    if col in nanos_cols:
+        import pandas as pd
+
+        wm_ns = int(pd.Timestamp(watermark).value)  # exact ns since epoch
+        df = df.where(F.col(col) > F.lit(wm_ns))
+    else:
+        df = df.where(F.col(col) > F.lit(watermark).cast("timestamp"))
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
