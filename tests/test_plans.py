@@ -50,13 +50,21 @@ def test_incremental_scan_pushes_watermark(spark) -> None:
 
 def test_aggs_have_mapside_partial_combine(spark) -> None:
     # Every hot aggregation must be partial+final HashAggregate pairs so
-    # the exchange carries O(groups), not O(rows). (Whole-stage codegen
-    # itself is silently inactive in this container's Spark build even
-    # for range().sum() — an environment property, so not asserted.)
+    # the exchange carries O(groups), not O(rows).
     for name in ("q_pricing_summary", "q_token_stats", "q_dedup_exact"):
         plan = plan_of(spark, name)
         assert plan.count("HashAggregate") >= 2, name
         assert "partial_" in plan, name
+
+
+def test_hot_paths_run_in_codegen(spark) -> None:
+    # Codegen markers (*) only appear in the FINAL adaptive plan after
+    # execution, so run the query first and inspect executedPlan.
+    for name in ("q_pricing_summary", "q_dedup_exact"):
+        df = QUERIES[name](spark, SF)
+        df.collect()  # count() would execute a different wrapped plan
+        tree = df._jdf.queryExecution().executedPlan().treeString()
+        assert "*(" in tree, f"{name}: no WholeStageCodegen stage in\n{tree[:2000]}"
 
 
 def test_topk_uses_broadcast_for_query_side(spark) -> None:
