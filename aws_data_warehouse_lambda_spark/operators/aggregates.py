@@ -147,6 +147,34 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: both sort and linearly interpolate at p*(n-1)).
+    The exactness referee for q_percentiles' sketch; needs a full sort
+    per group, so at 100 TB prefer the sketch and keep this for samples
+    and acceptance checks."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "q_min_max_exact",
     oracle="""
     SELECT o_orderpriority,

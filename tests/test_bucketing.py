@@ -1,0 +1,80 @@
+"""Bucketed co-located join: the 100 TB technique for repeated joins on
+the same key. Writing both sides bucketed by the join key lets Spark
+plan the join with NO exchange on either side — at scale, this converts
+the dominant shuffle of a fact-fact join into a local merge. The parquet
+run-serial sink (sinks/parquet_sink.py) would apply the same bucketing
+for tables whose downstream consumers join on a stable key."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_data_warehouse_lambda_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def bucketed_tables(spark, tmp_path):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderdate")
+    for df, name, key in ((li, "li_b", "l_orderkey"), (o, "o_b", "o_orderkey")):
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    yield "li_b", "o_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables) -> None:
+    li_b, o_b = bucketed_tables
+    # Force the shuffle-join path: at fixture scale the broadcast
+    # threshold would hide exactly the exchange bucketing eliminates
+    # (on a fact-fact join at 100 TB neither side broadcasts).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(li_b)
+            .join(spark.table(o_b), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderdate")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).alias("rev"))
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # Co-located buckets: neither join input may shuffle.
+    assert "Exchange" not in join_section, join_section
+
+
+def test_bucketed_join_is_correct(spark, bucketed_tables) -> None:
+    li_b, o_b = bucketed_tables
+    bucketed_count = (
+        spark.table(li_b)
+        .join(spark.table(o_b), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    plain_count = (
+        load_table(spark, SF, "lineitem")
+        .join(
+            load_table(spark, SF, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert bucketed_count == plain_count > 0
