@@ -1,0 +1,53 @@
+"""Skew-safe joins: explicit key salting.
+
+AQE's skew-join splitting (on in session.py) handles most skew at
+runtime by splitting oversized partitions, but it only applies to
+sort-merge joins inside one stage. Explicit salting is the tool when a
+hot key must be spread BEFORE the shuffle — streaming-static joins,
+aggregate-after-join pipelines, or a key so hot one task would still OOM
+after AQE splits (the classic null-key / default-value skew).
+
+Mechanics: the big (skewed) side gets a salt in [0, n) derived from a
+uniformly-distributing column, widening each hot key into n shuffle
+keys; the small side is replicated n times with every salt value; the
+join keys on (key, salt). Results are identical to the unsalted join;
+cost is n-fold replication of the SMALL side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Column,
+    *,
+    distribute_by: Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``big`` to ``small`` on the equi-condition ``on``, salting
+    ``big`` so a hot join key spreads over ``n_salts`` shuffle partitions.
+
+    ``distribute_by`` must be a column of ``big`` that varies WITHIN a
+    join key (a row id, an event id) — the salt is a hash of it, so rows
+    of one hot key scatter while remaining deterministic run-to-run.
+    """
+    salted_big = big.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(distribute_by), F.lit(n_salts))
+    )
+    salted_small = small.withColumn(
+        SALT_COL,
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    joined = salted_big.join(
+        salted_small,
+        on & (salted_big[SALT_COL] == salted_small[SALT_COL]),
+        how,
+    )
+    return joined.drop(SALT_COL)

@@ -143,3 +143,62 @@ def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").cast("bigint").alias("k_total"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           array_to_string(
+               list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3),
+               ',') AS first3_sorted,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function pack (SURVEY.md §2.B scalar row): split / size /
+    array_distinct / array_sort / slice / array_contains — all JVM
+    expressions; vocabulary is ASCII so lexicographic sorts agree
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    uniq = F.array_distinct(words)
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(uniq).alias("n_unique"),
+        F.array_join(F.slice(F.array_sort(uniq), 1, 3), ",").alias("first3_sorted"),
+        F.array_contains(words, "spark").alias("has_spark"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed access: parse the JSON props payload into a map column
+    (from_json MapType) and aggregate over a looked-up key — the
+    semi-structured column shape (map access stays JVM-side)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "map<string,string>").getItem("k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,53 @@
+"""salted_join must be result-identical to the plain join while turning
+one hot key into n_salts shuffle keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_data_warehouse_lambda_spark.functions.skew import SALT_COL, salted_join
+from aws_data_warehouse_lambda_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _skewed_events(spark):
+    # Fake a hot key: fold most user_ids onto one value.
+    e = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    return e.withColumn(
+        "user_id", F.when(F.col("user_id") % 7 != 0, F.lit(1)).otherwise(F.col("user_id"))
+    )
+
+
+def test_salted_join_matches_plain_join(spark) -> None:
+    events = _skewed_events(spark)
+    users = (
+        load_table(spark, SF, "events")
+        .select(F.col("user_id")).distinct()
+        .withColumn("segment", F.pmod("user_id", F.lit(3)))
+    )
+    plain = events.join(users, "user_id").groupBy("segment").count()
+    salted = (
+        salted_join(
+            events.alias("e"),
+            users.alias("u"),
+            F.col("e.user_id") == F.col("u.user_id"),
+            distribute_by=F.col("e.event_id"),
+            n_salts=8,
+        )
+        .groupBy("segment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salt_spreads_hot_key(spark) -> None:
+    events = _skewed_events(spark)
+    salts = (
+        events.withColumn(SALT_COL, F.pmod(F.xxhash64("event_id"), F.lit(8)))
+        .where(F.col("user_id") == 1)
+        .select(SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert salts == 8  # the hot key occupies all salt shards
