@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.numeric import dsum_expr
-from ..streaming.jobs import run_sessionize, run_tumbling
+from ..streaming.jobs import run_session_window, run_sessionize, run_tumbling
 from .registry import query
 
 
@@ -66,3 +66,34 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState
     sessionization) checked against the batch lag/gap SQL."""
     return run_sessionize(spark, sf_dir)
+
+
+@query(
+    "q_stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts > LAG(ts) OVER w + INTERVAL '30' MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30' MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session_window (Spark's built-in merging-session
+    state) — same oracle as the batch q_session_window and the custom
+    stateful q_stream_sessionize, closing the three-way equivalence."""
+    return run_session_window(spark, sf_dir)

@@ -80,6 +80,30 @@ def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) under a watermark — Spark's
+    built-in stateful session assembly (merging-session state store),
+    vs. the custom applyInPandasWithState version below. Complete mode
+    emits every assembled session when AvailableNow drains the source."""
+    e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        e.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(
+        session_window_stream(spark, sf_dir), spark, "complete"
+    ).orderBy("user_id", "session_start")
+
+
 def _drain_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     """Run a streaming DF to completion (AvailableNow) into a memory
     sink; return the materialized table. Production swaps this for a
