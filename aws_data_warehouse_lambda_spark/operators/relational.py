@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, davg_expr, dsum, dsum_expr
-from ..sources.tables import load_table
+from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
 #: Watermark used by the flagship incremental-style queries. Mirrors the
@@ -124,3 +124,47 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_SCALAR_SUBQUERY_SQL = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 2
+                          FROM orders o2
+                          WHERE o2.o_orderpriority = o.o_orderpriority)
+    ORDER BY o_orderkey
+"""
+
+
+@query("q_scalar_subquery", oracle=_SCALAR_SUBQUERY_SQL)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders twice their priority-group
+    average). Catalyst decorrelates this into an aggregate + join — the
+    plan a hand-written rewrite would produce — so the SQL surface costs
+    nothing at scale. Identical SQL text runs on both engines; AVG is
+    safe here because the predicate compares with 2x headroom (no
+    boundary sensitivity to float summation order)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQUERY_SQL)
+
+
+_EXISTS_SUBQUERY_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+"""
+
+
+@query("q_exists_subquery", oracle=_EXISTS_SUBQUERY_SQL)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS predicates — planned as left-semi and
+    left-anti joins (same physical shape as q_join_semi/q_join_anti,
+    reached from the SQL surface)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SUBQUERY_SQL)

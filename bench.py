@@ -61,11 +61,17 @@ def main() -> None:
     # Warm-up: run the flagship once to pay JVM/codegen/parquet-footer costs.
     queries[names[0]](spark, SF_DIR).count()
 
+    # min of 2 runs: the first pays per-query codegen/JIT compilation,
+    # which a long-running cluster amortizes away; the min is the
+    # steady-state number the 100 TB estimate scales from.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        queries[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
