@@ -1,0 +1,107 @@
+"""Late-data handling under a checkpointed watermark — the streaming
+analog of the reference's persisted CDC watermark (SSM lastRunTime,
+/root/reference/src/db_extractor_full.py:26,543): state carries across
+runs, and data older than the watermark is finalized/dropped.
+
+Two AvailableNow runs share one checkpoint:
+  run 1 ingests on-time events -> watermark advances past them;
+  run 2 ingests a LATE event (below the carried watermark) plus a fresh
+  event -> in append mode the late event's window was already finalized,
+  so it must not produce a new output row, while the fresh event must.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, src_dir: str, rows: list[tuple[str, str, float]], name: str):
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    del name
+
+
+def _run_once(spark, src_dir: str, out_dir: str, ckpt_dir: str) -> None:
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_late_rows_below_checkpointed_watermark_are_dropped(spark, tmp_path) -> None:
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Run 1: on-time traffic through hour 10 and into hour 12 — the
+    # watermark (max ts - 10 min) passes the end of the hour-10 window,
+    # so that window finalizes and is emitted in append mode.
+    _write_batch(
+        spark,
+        src,
+        [
+            ("2024-03-01 10:05:00", "click", 1.0),
+            ("2024-03-01 10:20:00", "click", 1.0),
+            ("2024-03-01 12:00:00", "view", 1.0),
+        ],
+        "batch1",
+    )
+    _run_once(spark, src, out, ckpt)
+    first = {
+        (str(r.w_start), r.event_type): r.n for r in spark.read.parquet(out).collect()
+    }
+    assert first.get(("2024-03-01 10:00:00", "click")) == 2
+
+    # Run 2, same checkpoint: one LATE click back in hour 10 (below the
+    # carried watermark -> dropped) and one fresh view in hour 13.
+    _write_batch(
+        spark,
+        src,
+        [
+            ("2024-03-01 10:40:00", "click", 1.0),  # late: window finalized
+            ("2024-03-01 13:30:00", "view", 1.0),  # fresh
+        ],
+        "batch2",
+    )
+    _run_once(spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    by_key = {}
+    for r in rows:
+        by_key[(str(r.w_start), r.event_type)] = by_key.get(
+            (str(r.w_start), r.event_type), 0
+        ) + r.n
+
+    # The hour-10 click count must still be 2 — the late row vanished;
+    # no duplicate/updated hour-10 output row may exist.
+    assert by_key[("2024-03-01 10:00:00", "click")] == 2
+    # The fresh hour-12 view was finalized by run 2's watermark advance.
+    assert by_key.get(("2024-03-01 12:00:00", "view")) == 1
