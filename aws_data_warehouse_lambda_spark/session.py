@@ -78,16 +78,29 @@ def _ship_package(spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
     if app_id in _shipped_to:
         return
+    import hashlib
+    import os
     import pathlib
     import tempfile
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    zip_path = pathlib.Path(tempfile.gettempdir()) / f"{pkg_dir.name}-pyfiles.zip"
+    # Content-addressed zip name: a stale zip from an older source tree
+    # must never be shipped (workers would silently run old code), and
+    # concurrent processes with the same sources converge on one file.
+    sources = sorted(pkg_dir.rglob("*.py"))
+    digest = hashlib.md5()
+    for py in sources:
+        digest.update(str(py.relative_to(pkg_dir)).encode())
+        digest.update(py.read_bytes())
+    zip_path = (
+        pathlib.Path(tempfile.gettempdir())
+        / f"{pkg_dir.name}-pyfiles-{digest.hexdigest()[:12]}.zip"
+    )
     if not zip_path.exists():
-        tmp = zip_path.with_suffix(".zip.tmp")
+        tmp = zip_path.with_suffix(f".{os.getpid()}.tmp")
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for py in sorted(pkg_dir.rglob("*.py")):
+            for py in sources:
                 zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
         tmp.replace(zip_path)
     try:

@@ -129,49 +129,85 @@ def run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, n_events long, session_start timestamp, session_end timestamp"
 )
-SESSION_STATE_SCHEMA = "start long, end long, n long"
+#: Open sessions for every user of one bucket, as parallel arrays —
+#: applyInPandasWithState state must be a fixed struct, and array fields
+#: let one state row carry the whole bucket.
+SESSION_STATE_SCHEMA = (
+    "users array<long>, starts array<long>, ends array<long>, ns array<long>"
+)
+
+#: State groups are hash buckets of user_id, not raw user_ids: one
+#: Python invocation (and one state row) per bucket per micro-batch
+#: instead of one per user — the same Arrow-boundary amortization as the
+#: bucketed cogroup in operators/joins.py (N_ASOF_BUCKETS).
+N_SESSION_BUCKETS = 64
 
 
-def _sessionize_user(
+def _sessionize_bucket(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Stateful sessionizer for one user: merge this batch's events into
-    the open session carried in state; emit every session seen so far
-    this batch (closed ones final, the trailing one refinable by later
-    batches — update-mode semantics). State is 3 ints per user."""
+    """Stateful sessionizer for one bucket of users: merge this batch's
+    events into each user's open session carried in state; emit every
+    session touched this batch (closed ones final, trailing ones
+    refinable by later batches — update-mode semantics)."""
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
-    ts_us: list[int] = []
-    for pdf in pdfs:
-        ts_us.extend(pdf["ts"].values.astype("datetime64[us]").astype("int64"))
-    ts_us.sort()
 
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    open_sessions: dict[int, tuple[int, int, int]] = {}
     if state.exists:
-        start, end, n = state.get
-    else:
-        start, end, n = None, None, 0
+        users, starts, ends, ns = state.get
+        open_sessions = {
+            u: (s, e, c) for u, s, e, c in zip(users, starts, ends, ns)
+        }
+    if not frames and not open_sessions:
+        return
 
-    sessions: list[tuple[int, int, int]] = []
-    for t in ts_us:
-        if start is None:
-            start, end, n = t, t, 1
-        elif t - end > gap_us:
-            sessions.append((start, end, n))
-            start, end, n = t, t, 1
-        else:
-            end, n = t, n + 1
-    if start is not None:
-        state.update((int(start), int(end), int(n)))
-        sessions.append((start, end, n))
+    out_u: list[int] = []
+    out_sessions: list[tuple[int, int, int]] = []
+    if frames:
+        batch = pd.concat(frames)
+        batch = batch.assign(
+            _us=batch["ts"].values.astype("datetime64[us]").astype("int64")
+        ).sort_values(["user_id", "_us"], kind="mergesort")
+        for user, grp in batch.groupby("user_id", sort=False):
+            user = int(user)
+            start, end, n = open_sessions.get(user, (None, None, 0))
+            for t in grp["_us"].tolist():
+                if start is None:
+                    start, end, n = t, t, 1
+                elif t - end > gap_us:
+                    out_u.append(user)
+                    out_sessions.append((start, end, n))
+                    start, end, n = t, t, 1
+                else:
+                    end, n = t, n + 1
+            open_sessions[user] = (int(start), int(end), int(n))
+            out_u.append(user)
+            out_sessions.append((start, end, n))
 
-    if sessions:
+    items = sorted(open_sessions.items())
+    state.update(
+        (
+            [u for u, _ in items],
+            [s for _, (s, _e, _n) in items],
+            [e for _, (_s, e, _n) in items],
+            [n for _, (_s, _e, n) in items],
+        )
+    )
+
+    if out_sessions:
         yield pd.DataFrame(
             {
-                "user_id": key[0],
-                "n_events": [s[2] for s in sessions],
-                "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
-                "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
+                "user_id": out_u,
+                "n_events": [s[2] for s in out_sessions],
+                "session_start": pd.to_datetime(
+                    [s[0] for s in out_sessions], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [s[1] for s in out_sessions], unit="us"
+                ),
             }
         )
 
@@ -179,12 +215,15 @@ def _sessionize_user(
 def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: 30-minute
     inactivity-gap sessionization, the streaming twin of q_sessionize
-    (operators/windows.py). Arrow-batched; state bounded by open
-    sessions; NoTimeout because AvailableNow drains the source (a 24/7
-    deployment would use EventTimeTimeout to expire idle sessions)."""
-    e = events_stream(spark, sf_dir)
-    return e.groupBy("user_id").applyInPandasWithState(
-        _sessionize_user,
+    (operators/windows.py). Arrow-batched, state-bucketed (one state row
+    per N_SESSION_BUCKETS hash bucket, bounded by open sessions);
+    NoTimeout because AvailableNow drains the source (a 24/7 deployment
+    would use EventTimeTimeout to expire idle sessions)."""
+    e = events_stream(spark, sf_dir).withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(N_SESSION_BUCKETS))
+    )
+    return e.groupBy("bucket").applyInPandasWithState(
+        _sessionize_bucket,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",
