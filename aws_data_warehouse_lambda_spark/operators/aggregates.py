@@ -12,9 +12,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, dsum_expr
+from ..functions.numeric import DECIMAL_T, dsum, dsum_expr
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
+
+
+def _dsum_if(cond: F.Column, value: F.Column) -> F.Column:
+    """Conditional decimal-exact sum: SUM(x) FILTER (WHERE cond)."""
+    return F.sum(F.when(cond, value).cast(DECIMAL_T)).cast("double")
+
+
+def _dsum_if_expr(cond_sql: str, value_sql: str) -> str:
+    """DuckDB spelling of :func:`_dsum_if` (VARCHAR detour per dsum_expr)."""
+    return (
+        f"CAST(CAST(SUM(CAST(({value_sql}) AS DECIMAL(38,10))) "
+        f"FILTER (WHERE {cond_sql}) AS VARCHAR) AS DOUBLE)"
+    )
 
 
 @query(
@@ -197,3 +210,90 @@ def q_min_max_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_conditional_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           {_dsum_if_expr("l_tax = 0", "l_extendedprice")} AS taxfree_revenue,
+           COUNT(*) AS n_total
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation in one pass over the fact
+    table — the idiomatic replacement for N self-joining subqueries.
+    Stays a single hash aggregate with map-side partials; the conditions
+    are codegen'd per-row predicates, not extra scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+            _dsum_if(F.col("l_tax") == 0, F.col("l_extendedprice")).alias(
+                "taxfree_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+#: Shared spelling of the exact-moment components. Per-row squares and
+#: cross-products are IEEE double products (deterministic bit-for-bit in
+#: both engines); their DECIMAL(38,10) sums are exact integers underneath,
+#: so every derived statistic below starts from engine-identical doubles.
+_MOMENT_FINAL = """
+    round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+    round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+    round((n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+"""
+
+
+@query(
+    "q_stats_moments",
+    oracle=f"""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {dsum_expr('l_quantity')} AS sx,
+               {dsum_expr('l_extendedprice')} AS sy,
+               {dsum_expr('l_quantity * l_quantity')} AS sxx,
+               {dsum_expr('l_extendedprice * l_extendedprice')} AS syy,
+               {dsum_expr('l_quantity * l_extendedprice')} AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n, {_MOMENT_FINAL}
+    FROM sums ORDER BY l_returnflag
+    """,
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment statistics (stddev/covar/corr) computed
+    from exact decimal power sums instead of the built-in one-pass
+    estimators: Spark's stddev/corr merge Welford partials in partition
+    order, which can't hash-match another engine, while power sums are
+    order-insensitive and still a single map-side-combined aggregate.
+    The final algebra runs once per group on engine-identical doubles
+    (rounded to 6 dp to absorb any FMA-contraction difference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    sums.createOrReplaceTempView("_moment_sums")
+    return sums.sparkSession.sql(f"""
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n, {_MOMENT_FINAL}
+        FROM _moment_sums ORDER BY l_returnflag
+    """)

@@ -126,6 +126,70 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 restated on the fixture schema (no o_shippriority column):
+    top-10 unshipped BUILDING orders by pending revenue.
+
+    Scale shape: both date predicates push into the parquet scans, the
+    customer filter shrinks the dim before its join, and the final top-10
+    is a TakeOrderedAndProject — each task keeps 10 rows, no global sort
+    materialization.
+    """
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_IN_SUBQUERY_SQL = """
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
+    ORDER BY p_partkey
+"""
+
+
+@query("q_in_subquery", oracle=_IN_SUBQUERY_SQL)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subquery predicates. Catalyst plans IN as a left-semi
+    join and NOT IN as a null-aware left-anti join (l_partkey is
+    non-nullable here, so the null-aware path degenerates to a plain
+    anti join). Same physical shapes as q_join_semi/q_join_anti, reached
+    from the subquery surface."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_IN_SUBQUERY_SQL)
+
+
 _SCALAR_SUBQUERY_SQL = """
     SELECT o_orderkey, o_totalprice
     FROM orders o

@@ -69,6 +69,49 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URGENT = "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+_HIGH = "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'"
+
+
+def _priority_custkeys(spark, sf_dir, priority: str) -> DataFrame:
+    """One row per order of the given priority (duplicate custkeys kept —
+    the multiset input the ALL variants are about)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == priority)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@query(
+    "q_intersect_all",
+    oracle=f"{_URGENT} INTERSECT ALL {_HIGH} ORDER BY custkey",
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset): each custkey kept min(urgent-orders,
+    high-orders) times. Spark plans intersectAll as a partial-count
+    aggregate + generate — one shuffle on the row, no join."""
+    return (
+        _priority_custkeys(spark, sf_dir, "1-URGENT")
+        .intersectAll(_priority_custkeys(spark, sf_dir, "2-HIGH"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "q_except_all",
+    oracle=f"{_URGENT} EXCEPT ALL {_HIGH} ORDER BY custkey",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): urgent-order multiplicity minus
+    high-order multiplicity per custkey."""
+    return (
+        _priority_custkeys(spark, sf_dir, "1-URGENT")
+        .exceptAll(_priority_custkeys(spark, sf_dir, "2-HIGH"))
+        .orderBy("custkey")
+    )
+
+
 @query(
     "q_union_all_counts",
     oracle="""

@@ -40,6 +40,8 @@ N_QUERIES = 10  # q_sim_topk_bruteforce probes: vec_id < 10
 TOP_K = 5
 LSH_PLANES = (1, 17, 33, 49)  # 1-indexed dims -> 16 sign buckets
 LSH_TOP_K = 3
+IVF_CELLS = 8  # q_sim_ivf coarse centroids: vec_id < 8
+IVF_TOP_K = 3
 
 _COS = f"{DOT_SQL.format(a='q.embedding', b='c.embedding')} / (q.nrm * c.nrm)"
 
@@ -166,5 +168,105 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= LSH_TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse-quantized ANN (the FAISS-style scale path)
+# ---------------------------------------------------------------------------
+
+_CENT_COS = f"{DOT_SQL.format(a='v.embedding', b='k.embedding')} / (v.nrm * k.nrm)"
+
+_ASSIGNED_SQL = f"""
+    centroids AS (
+        SELECT vec_id AS cent_id, embedding, nrm FROM norms
+        WHERE vec_id < {IVF_CELLS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+            SELECT v.vec_id, v.embedding, v.nrm, k.cent_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_CENT_COS} DESC, k.cent_id) AS cr
+            FROM norms v CROSS JOIN centroids k
+            WHERE v.vec_id >= {IVF_CELLS}
+        ) WHERE cr = 1
+    )
+"""
+
+
+@query(
+    "q_sim_ivf",
+    oracle=f"""
+    WITH {_NORMS_SQL},
+    {_ASSIGNED_SQL}
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
+           round({_COS}, 5) AS cos_sim,
+           CAST(row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY round({_COS}, 5) DESC, c.vec_id) AS INT) AS rank
+    FROM assigned q JOIN assigned c
+      ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {IVF_CELLS + N_QUERIES}
+    QUALIFY rank <= {IVF_TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest coarse
+    centroid, then search only the query's own cell (nprobe=1).
+
+    The FAISS-style scale path: the centroid table is tiny and broadcast,
+    assignment is one broadcast-join pass over the corpus (no shuffle),
+    and the search join keys on the cell id — per-cell blocks shuffle
+    independently, pair space shrinks ~|cells|x, recall is tuned via
+    nprobe (probe the q nearest cells, not just the top one). Production
+    trains centroids with k-means (pyspark.ml KMeans); here the first
+    IVF_CELLS vectors serve as fixed centroids so assignment is
+    deterministic and the DuckDB oracle can replay it exactly — the
+    machinery (assign -> cell equality join -> per-cell rank) is
+    identical either way.
+    """
+    norms = _norms(spark, sf_dir)
+    cent = F.broadcast(
+        norms.where(F.col("vec_id") < IVF_CELLS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    corpus = norms.where(F.col("vec_id") >= IVF_CELLS)
+    cent_cos = dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    cr = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
+    assigned = (
+        corpus.crossJoin(cent)
+        .withColumn("cent_cos", cent_cos)
+        .withColumn("cr", F.row_number().over(cr))
+        .where(F.col("cr") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
+    )
+    q = assigned.where(F.col("vec_id") < IVF_CELLS + N_QUERIES).alias("q")
+    c = assigned.alias("c")
+    cos = dot(F.col("q.embedding"), F.col("c.embedding")) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.join(
+            c,
+            (F.col("q.cell") == F.col("c.cell"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("q.cell").alias("cell"),
+            F.round(cos, 5).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
         .orderBy("query_id", "rank")
     )

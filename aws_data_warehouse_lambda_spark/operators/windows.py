@@ -137,6 +137,51 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+           LAST_VALUE(o_totalprice) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+           CUME_DIST() OVER w AS cdist,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+               w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS VARCHAR) AS DOUBLE)
+               AS moving_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames: first/last/nth value over unbounded and
+    growing frames, cume_dist, and a 3-row sliding sum. The sliding sum
+    goes through the decimal accumulator — DuckDB evaluates sliding
+    frames with a segment tree whose addition order differs from Spark's
+    sequential frame walk, so double addition must be exact to hash-match."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    growing = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sliding = w.rowsBetween(-1, 1)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(growing).alias("first_price"),
+            F.last("o_totalprice").over(full).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(sliding)
+            .cast("double").alias("moving_sum"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 _SESSIONIZE_SQL = """
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,
