@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.numeric import dsum_expr
-from ..streaming.jobs import run_session_window, run_sessionize, run_tumbling
+from ..streaming.jobs import (
+    run_session_window,
+    run_sessionize,
+    run_sliding,
+    run_tumbling,
+)
 from .registry import query
 
 
@@ -35,6 +40,29 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming 1-hour tumbling window (complete mode): must equal the
     batch GROUP BY — decimal-exact sums make the hash comparable."""
     return run_tumbling(spark, sf_dir)
+
+
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+    SELECT ws AS window_start,
+           ws + INTERVAL 60 MINUTE AS window_end,
+           COUNT(*) AS n,
+           {dsum_expr("value")} AS total_value
+    FROM (
+        SELECT UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
+                       time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+               value
+        FROM events
+    )
+    GROUP BY ws
+    ORDER BY ws
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 60/30-minute sliding window (complete mode): must equal
+    the batch double-bucket expansion the oracle performs."""
+    return run_sliding(spark, sf_dir)
 
 
 @query(

@@ -80,6 +80,30 @@ def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-minute window sliding every 30 minutes under a 1-hour watermark
+    — the streaming twin of q_sliding_window (operators/events_batch).
+    Each event expands into exactly two window groups before the shuffle;
+    state is one row per (window, ) pair, expired by the watermark."""
+    e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        e.groupBy(F.window("ts", "60 minutes", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(sliding_stream(spark, sf_dir), spark, "complete").orderBy(
+        "window_start"
+    )
+
+
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) under a watermark — Spark's
     built-in stateful session assembly (merging-session state store),
