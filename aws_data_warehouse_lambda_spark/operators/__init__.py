@@ -14,6 +14,7 @@ from . import events_batch  # noqa: F401
 from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401
 from . import text  # noqa: F401
+from . import profiling  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import python_udfs  # noqa: F401

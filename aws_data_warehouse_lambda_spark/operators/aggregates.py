@@ -213,6 +213,38 @@ def q_min_max_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT) over different columns in one aggregate.
+    Catalyst rewrites this with an Expand (one row replica per distinct
+    set) + two-level aggregation, so it stays a single pipeline instead
+    of N self-joined subqueries; data volume into the shuffle is
+    N x rows but each replica carries only its own column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_parts"),
+            F.countDistinct("l_suppkey").alias("nd_supps"),
+            F.countDistinct("l_orderkey").alias("nd_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q_conditional_agg",
     oracle=f"""
     SELECT l_returnflag,

@@ -1,0 +1,131 @@
+"""Corpus profiling & reproducible sampling — LLM-training-data pipeline
+primitives (SURVEY.md §2.C family; nothing comparable in the reference,
+whose only row selection is the watermark filter at
+/root/reference/src/db_extractor_full.py:382-408).
+
+Reproducible sampling is THE way large pipelines subset data: a hash of
+a stable key against a threshold, never ``rand()`` — the sample is
+identical across runs, engines, partitionings, and retries, and
+membership is decidable per-row with no coordination. All three queries
+are single-pass scans with map-side-combined aggregates (or a pushed
+projection), so they run at parquet scan throughput at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.porthash import h60, h60_sql
+from ..sources.tables import load_table
+from .registry import query
+
+SAMPLE_MOD = 10  # q_sample_hash: keep h % 10 == 0 -> deterministic 10%
+
+#: q_sample_stratified per-language keep-rates (percent of 100). The
+#: over-represented language is downsampled hard, the long tail kept.
+STRATA_PCT: dict[str, int] = {"en": 10, "de": 50, "fr": 50, "es": 50}
+DEFAULT_PCT = 80
+
+_HKEY = h60_sql("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_HKEY} % {SAMPLE_MOD} = 0
+    ORDER BY doc_id
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-{SAMPLE_MOD} sample: md5-derived 60-bit hash of
+    the stable key, modulo threshold. Unlike ``df.sample()`` the result
+    is reproducible bit-for-bit anywhere, and the predicate is a plain
+    row-local filter — no shuffle, no state, trivially pushes past
+    column pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = h60(F.col("doc_id").cast("string")) % SAMPLE_MOD == 0
+    return docs.where(keep).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def _strata_case_sql() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items())
+    return f"CASE lang {arms} ELSE {DEFAULT_PCT} END"
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE {_HKEY} % 100 < {_strata_case_sql()})
+                AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified reproducible sampling: per-language keep-rates applied
+    as hash-threshold predicates (rebalancing a skewed corpus). Reported
+    as per-stratum total vs sampled counts in one aggregate pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_PCT)
+    for lang, pct in reversed(STRATA_PCT.items()):
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    sampled = h60(F.col("doc_id").cast("string")) % 100 < rate
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(sampled, 1)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+HIST_BIN = 50_000.0  # q_histogram: o_totalprice bin width
+
+
+@query(
+    "q_histogram",
+    oracle=f"""
+    SELECT bin, CAST(bin * {HIST_BIN} AS DOUBLE) AS bin_low, n,
+           min_price, max_price
+    FROM (
+        SELECT CAST(FLOOR(o_totalprice / {HIST_BIN}) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY bin
+    )
+    ORDER BY bin
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: bin = floor(x / width).
+    The distribution-profiling primitive (value histograms drive skew
+    detection and bin-packing decisions); shuffle is O(bins). DuckDB's
+    FLOOR returns DOUBLE where Spark's returns BIGINT — both sides cast
+    explicitly."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / HIST_BIN)
+    return (
+        o.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * HIST_BIN).cast("double").alias("bin_low"),
+            "n",
+            "min_price",
+            "max_price",
+        )
+        .orderBy("bin")
+    )

@@ -10,7 +10,7 @@ reference (:389,403) and are pushed into the parquet scan by Catalyst
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, load_table_with_watermark
@@ -64,6 +64,40 @@ def q_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .where((F.col("l_shipdate") > wm) | (F.col("o_orderdate") > wm))
         .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+    )
+
+
+@query(
+    "q_cdc_compact",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: newest row per key. The reference's watermark is
+    captured BEFORE the scan (db_extractor_full.py:26), so consecutive
+    runs overlap and the sink accumulates duplicate/superseded rows
+    (at-least-once). Downstream consumers compact by keeping the
+    latest version per primary key — row_number over (key ORDER BY
+    version DESC) = 1, one shuffle on the key. The same plan is the
+    batch MERGE/upsert-apply: at 100 TB it stays O(rows) with map-side
+    partial sort, and a partitioned sink turns it into per-partition
+    compaction."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
     )
 
 

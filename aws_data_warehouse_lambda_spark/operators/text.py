@@ -189,6 +189,52 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_TOP_K = 20
+
+
+@query(
+    "q_ngram_topk",
+    oracle=f"""
+    WITH words AS (
+        SELECT string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bi AS (
+        SELECT UNNEST(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM words
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bi
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {NGRAM_TOP_K}
+    """,
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{NGRAM_TOP_K} word bigrams: split -> adjacent-pair
+    expansion (JVM array transform, no Python) -> explode -> count ->
+    top-k. The n-gram frequency query behind contamination checks and
+    boilerplate detection. The explode multiplies rows ~word-count x, but
+    partial aggregation collapses them map-side before the one shuffle;
+    the final top-k is TakeOrderedAndProject (each task keeps k rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(NGRAM_TOP_K)
+    )
+
+
 @query(
     "q_text_fingerprint",
     oracle=f"""
