@@ -18,6 +18,7 @@ from ..streaming.jobs import (
     run_session_window,
     run_sessionize,
     run_sliding,
+    run_stream_stream_join,
     run_tumbling,
 )
 from .registry import query
@@ -63,6 +64,32 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming 60/30-minute sliding window (complete mode): must equal
     the batch double-bucket expansion the oracle performs."""
     return run_sliding(spark, sf_dir)
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase attribution within
+    30 min), both sides watermarked so join state expires. Checked
+    against the batch interval self-join."""
+    return run_stream_stream_join(spark, sf_dir)
 
 
 @query(

@@ -104,6 +104,59 @@ def run_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each user's ``click`` events joined
+    to their ``purchase`` events within the following 30 minutes.
+
+    Both sides are watermarked streams; the event-time bound
+    (purchase in [click, click+30min]) lets Spark expire join state —
+    a click older than watermark-30min can never match again and is
+    dropped. Without the interval condition the state would grow
+    unboundedly; with it, state is O(events in the watermark horizon),
+    the canonical funnel/attribution join at scale.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(stream_stream_join(spark, sf_dir), spark, "append").orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
 def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) under a watermark — Spark's
     built-in stateful session assembly (merging-session state store),
