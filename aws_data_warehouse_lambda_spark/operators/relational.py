@@ -170,6 +170,66 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_unpivot",
+    oracle=f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+               {dsum_expr('l_quantity')} AS sum_qty,
+               {dsum_expr('l_extendedprice')} AS sum_base_price,
+               {dsum_expr('l_discount')} AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value
+    FROM (UNPIVOT wide ON sum_qty, sum_base_price, sum_disc
+          INTO NAME measure VALUE value)
+    ORDER BY l_returnflag, measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide per-group measures to long (group, measure,
+    value) triples — the inverse of q_pivot_event_types. Spark plans
+    unpivot as an Expand (rows x measures) with no extra shuffle beyond
+    the feeding aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_base_price", "sum_disc"],
+        "measure",
+        "value",
+    ).orderBy("l_returnflag", "measure")
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'MACHINERY'
+    ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+@query("q_lateral_topk", oracle=_LATERAL_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    orders per MACHINERY customer). Catalyst decorrelates the lateral
+    into a window/rank over a single join — same physical shape as
+    q_topk_per_group, reached from the SQL-standard lateral surface
+    (identical SQL text runs on DuckDB)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
 _IN_SUBQUERY_SQL = """
     SELECT p_partkey, p_brand
     FROM part

@@ -91,3 +91,35 @@ def test_no_cartesian_in_sketch_dedup(spark) -> None:
 def test_scans_prune_columns(spark, name: str) -> None:
     plan = plan_of(spark, name)
     assert "ReadSchema" in plan
+
+
+@pytest.mark.parametrize("name", ["q_sort_limit", "q_shipping_priority", "q_ngram_topk"])
+def test_global_topk_avoids_full_sort(spark, name: str) -> None:
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-task top-k
+    # + k-row driver merge), never a global sort materialization.
+    plan = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in plan, name
+
+
+def test_shipping_priority_pushes_all_predicates(spark) -> None:
+    plan = plan_of(spark, "q_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_sample_hash_is_single_pass(spark) -> None:
+    # Reproducible sampling must be a row-local filter over one scan:
+    # no join, no aggregate before the (display-only) sort.
+    plan = plan_of(spark, "q_sample_hash")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_ivf_search_join_is_equality(spark) -> None:
+    # After centroid assignment, the cell search must be an equality join
+    # on the cell id (hash-partitionable), not an all-pairs nested loop.
+    plan = plan_of(spark, "q_sim_ivf")
+    idx = plan.find("cell")
+    assert idx != -1
+    assert "CartesianProduct" not in plan
