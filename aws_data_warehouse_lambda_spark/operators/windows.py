@@ -182,6 +182,41 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Spark's decimal->double cast is correctly rounded, so only the DuckDB
+#: side needs the VARCHAR detour (functions/numeric.py dsum_expr).
+_RANGE_FRAME_SQL = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS orders_last_90d,
+           CAST({sum_cast}) AS DOUBLE) AS spend_last_90d
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+_RANGE_SUM = """SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+           )"""
+
+
+@query(
+    "q_window_range_frame",
+    oracle=_RANGE_FRAME_SQL.format(sum_cast=f"CAST({_RANGE_SUM} AS VARCHAR"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed by event time: per-customer trailing-90-day
+    order count and spend. Unlike ROWS frames, RANGE bounds are value
+    offsets on the ordering column (peers enter/leave by timestamp), the
+    shape behind trailing-window feature engineering. The decimal
+    accumulator keeps the sliding sum engine-exact (DuckDB's segment
+    tree reorders double addition); the final double cast takes the
+    VARCHAR detour only on the DuckDB side."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_RANGE_FRAME_SQL.format(sum_cast=f"({_RANGE_SUM}"))
+
+
 _SESSIONIZE_SQL = """
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,

@@ -25,6 +25,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "q_revenue_by_nation",
     "q_pricing_summary",
+    "q_shipping_priority",
     "q_join_broadcast",
     "q_join_range",
     "q_topk_per_group",
