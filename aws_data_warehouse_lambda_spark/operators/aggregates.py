@@ -145,6 +145,36 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_hll_mergeable")  # no oracle: Datasketches HLL is engine-specific
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache Datasketches): build one sketch of
+    distinct customers per order priority, then UNION the finished
+    sketches into a corpus-wide estimate — re-aggregation WITHOUT
+    touching the raw rows again. This mergeability is the whole 100 TB
+    story: per-partition/per-day sketches land in a summary table and
+    any rollup (week, month, all) is a sketch union over tiny blobs.
+    Rows-only driver check; accuracy vs exact distinct is unit-tested
+    (test_extensions.py)."""
+    per_grp = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    per_grp_est = per_grp.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "n_orders",
+    )
+    union_est = per_grp.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        F.sum("n_orders").alias("n_orders"),
+    ).select(F.lit("ALL").alias("o_orderpriority"), "approx_customers", "n_orders")
+    return per_grp_est.unionByName(union_est).orderBy("o_orderpriority")
+
+
 @query("q_percentiles")  # no oracle: approx_percentile sketch is engine-specific
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile over order totals per priority (KLL-style sketch;

@@ -125,6 +125,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           round(mx, 6) AS max_abs,
+           list_transform(embedding,
+                          v -> CAST(round(CAST(v AS DOUBLE) / mx * 127) AS INT))
+               AS qvec
+    FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       v -> abs(CAST(v AS DOUBLE)))) AS mx
+        FROM embeddings
+    )
+    ORDER BY vec_id
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors (per-vector
+    absmax scaling, the storage-shrink step before shipping vectors to
+    an ANN index): qvec = round(x / max|x| * 127). 4x smaller on disk
+    and in shuffle; all JVM array transforms, no Python. Dequantize is
+    the inverse transform with the carried max_abs scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v_abs = F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    scaled = emb.select("vec_id", "embedding", F.array_max(v_abs).alias("mx"))
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") / F.col("mx") * 127).cast("int"),
+    )
+    return scaled.select(
+        "vec_id", F.round("mx", 6).alias("max_abs"), qvec.alias("qvec")
+    ).orderBy("vec_id")
+
+
 FRAME_STRIDE = 8  # keep every 8th element of the 64-dim "clip"
 
 

@@ -72,6 +72,37 @@ def test_real_decode_is_stubbed() -> None:
         decode_image(b"\x89PNG....")
 
 
+def test_sketch_estimates_track_exact_counts(spark) -> None:
+    """The engine-specific sketches (no DuckDB oracle) must land within
+    their error envelopes of the exact answers at sf0.01."""
+    import pyspark.sql.functions as F
+
+    from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
+    from aws_data_warehouse_lambda_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    orders = load_table(spark, sf, "orders")
+    exact = {
+        r["o_orderpriority"]: r["nd"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("nd"))
+        .collect()
+    }
+    exact["ALL"] = orders.select("o_custkey").distinct().count()
+
+    # approx_count_distinct at rsd=2% -> allow 5x headroom.
+    for r in QUERIES["q_approx_distinct"](spark, sf).collect():
+        assert abs(r["approx_customers"] - exact[r["o_orderpriority"]]) <= max(
+            3, 0.10 * exact[r["o_orderpriority"]]
+        ), r
+    # Datasketches HLL default lgK=12 -> ~1.6% rsd; same headroom. The
+    # ALL row exercises the sketch UNION path.
+    for r in QUERIES["q_hll_mergeable"](spark, sf).collect():
+        assert abs(r["approx_customers"] - exact[r["o_orderpriority"]]) <= max(
+            3, 0.10 * exact[r["o_orderpriority"]]
+        ), r
+
+
 def test_stream_sessionize_equals_batch(spark) -> None:
     """AvailableNow over the single-file fixture drains in one batch, so
     the stateful sessionizer must reproduce the batch lag/gap answer."""
