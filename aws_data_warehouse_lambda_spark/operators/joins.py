@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.numeric import dsum, dsum_expr
+from ..functions.skew import salted_join
 from ..sources.tables import load_table
 from .registry import query
 
@@ -224,6 +225,47 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(ob.groupBy("bucket"))
         .applyInPandas(merge, out_schema)
         .orderBy("event_id")
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted fact join (functions/skew.py): lineitem's join
+    key is widened over 16 salts (hash of l_linenumber+l_partkey varies
+    within an order), orders replicated 16x — a hot orderkey spreads
+    over 16 shuffle partitions instead of one task. The oracle is the
+    PLAIN join: salting must not change results, which is exactly what
+    the hash-compare proves. Use when a key is so hot AQE's skew split
+    (sort-merge-only, same-stage-only) can't help — e.g. the null-key /
+    default-value skew on a streaming-static join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li,
+        o,
+        on=li.l_orderkey == o.o_orderkey,
+        distribute_by=F.concat_ws("-", li.l_linenumber, li.l_partkey),
+        n_salts=16,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
