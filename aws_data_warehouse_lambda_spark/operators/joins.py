@@ -229,6 +229,40 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH brands AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(levenshtein(a.p_brand, b.p_brand) AS INT) AS edit_dist
+    FROM brands a JOIN brands b
+      ON a.p_brand < b.p_brand
+    WHERE levenshtein(a.p_brand, b.p_brand) <= 1
+    ORDER BY brand_a, brand_b
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join: near-identical brand labels matched by edit
+    distance (levenshtein <= 1), the record-linkage / label-canonical-
+    ization primitive. Here the distinct-value relation is tiny so the
+    pair join is exhaustive; at scale the same verify predicate runs
+    AFTER a candidate blocker (q-gram overlap or the MinHash banding in
+    dedup.py) so the pair space stays linear in collisions — never run
+    levenshtein over an unblocked n^2."""
+    brands = (
+        load_table(spark, sf_dir, "part").select("p_brand").distinct()
+    )
+    a = brands.select(F.col("p_brand").alias("brand_a"))
+    b = brands.select(F.col("p_brand").alias("brand_b"))
+    dist = F.levenshtein("brand_a", "brand_b")
+    return (
+        a.join(b, F.col("brand_a") < F.col("brand_b"))
+        .where(dist <= 1)
+        .select("brand_a", "brand_b", dist.cast("int").alias("edit_dist"))
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+@query(
     "q_join_salted",
     oracle=f"""
     SELECT o_orderpriority,
