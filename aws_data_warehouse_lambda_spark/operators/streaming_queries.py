@@ -18,6 +18,7 @@ from ..streaming.jobs import (
     run_session_window,
     run_sessionize,
     run_sliding,
+    run_stream_dedup,
     run_stream_stream_join,
     run_tumbling,
 )
@@ -64,6 +65,20 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming 60/30-minute sliding window (complete mode): must equal
     the batch double-bucket expansion the oracle performs."""
     return run_sliding(spark, sf_dir)
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates under a watermark — the consumer-side
+    dedup for the at-least-once CDC feed; key set must equal batch
+    DISTINCT."""
+    return run_stream_dedup(spark, sf_dir)
 
 
 @query(

@@ -104,6 +104,30 @@ def run_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication under a watermark: first arrival per
+    (user_id, event_type) key wins, later duplicates are dropped.
+
+    This is the streaming consumer's answer to the at-least-once
+    delivery the reference's capture-before-scan watermark produces
+    (/root/reference/src/db_extractor_full.py:26 — overlapping windows
+    re-deliver rows): dedup state is bounded by the watermark horizon,
+    so replayed rows inside the horizon drop exactly once and state
+    never grows unboundedly. Only the key columns are emitted — WHICH
+    duplicate arrives first is micro-batch-order dependent, the key set
+    is not."""
+    e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return e.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(stream_dedup(spark, sf_dir), spark, "append").orderBy(
+        "user_id", "event_type"
+    )
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each user's ``click`` events joined
     to their ``purchase`` events within the following 30 minutes.
