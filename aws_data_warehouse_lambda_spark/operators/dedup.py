@@ -163,15 +163,9 @@ _JACCARD_VERIFY_SQL = f"""
 """
 
 
-@query("q_dedup_ngram_jaccard", oracle=f"WITH {_SHINGLE_SQL} , {_JACCARD_VERIFY_SQL}")
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (>= 0.8) — sketch ground truth.
-
-    The shingle self-join is quadratic in the worst case (a shingle shared
-    by k docs contributes k^2 candidate rows); at 100 TB this variant is
-    the referee run on samples, while q_dedup_minhash is the full-corpus
-    path. Join key is the 60-bit shingle hash (int, not string).
-    """
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs at/above threshold — shared by the
+    pair query and the cluster-resolution query."""
     sh = _shingle_hashes(spark, sf_dir, persist=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -187,8 +181,116 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@query("q_dedup_ngram_jaccard", oracle=f"WITH {_SHINGLE_SQL} , {_JACCARD_VERIFY_SQL}")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (>= 0.8) — sketch ground truth.
+
+    The shingle self-join is quadratic in the worst case (a shingle shared
+    by k docs contributes k^2 candidate rows); at 100 TB this variant is
+    the referee run on samples, while q_dedup_minhash is the full-corpus
+    path. Join key is the 60-bit shingle hash (int, not string).
+    """
+    return (
+        _jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    spairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jp AS (
+        SELECT p.doc_a, p.doc_b
+        FROM spairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jp
+        UNION SELECT doc_b, doc_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(src, dst) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           list_sort(list(doc_id)) AS member_ids
+    FROM comp
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+
+
+@query("q_dedup_clusters", oracle=_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: connected components over the near-dup
+    pair graph — the step that turns pairwise matches into keep/drop
+    decisions (keeper = min doc_id per component; transitive: A~B, B~C
+    puts A,C in one cluster even if never directly compared).
+
+    Spark side is iterative min-label propagation: each round every node
+    takes the min of its own and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow). Each
+    round is one shuffle join; localCheckpoint cuts the growing lineage
+    and the loop exits on a fixpoint count of 0. At 100 TB the same loop
+    runs with the large-star/small-star optimization; the DuckDB oracle
+    computes the identical fixpoint as a recursive transitive closure.
+    """
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").persist()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(25):  # >= any plausible component diameter; exits early
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()  # eager: cuts lineage, materializes the round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_sort(F.collect_list("node")).alias("member_ids"),
+        )
+        .orderBy("cluster_id")
     )
 
 

@@ -235,6 +235,74 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+@query(
+    "q_tfidf",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+    idf AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               round(CAST(tf.tf AS DOUBLE)
+                     * ln(n.n_docs / CAST(idf.df AS DOUBLE)), 5) AS tfidf
+        FROM tf JOIN idf ON tf.word = idf.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf,
+           CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {TFIDF_TOP_K}
+    ORDER BY doc_id, rank
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-{TFIDF_TOP_K} distinguishing terms per document:
+    term frequency x ln(N/df), ranked per doc (SURVEY.md §2.C text row).
+
+    Three map-side-combined aggregates (tf, df, N) + one join keyed on
+    the term + a per-doc window — no Python, no driver collects (the
+    corpus size joins in as a broadcast 1-row relation). Ranking uses
+    the ROUNDED score with a word tiebreak so near-equal doubles can't
+    flip order between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    idf = words.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(idf, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                5,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .orderBy("doc_id", "rank")
+    )
+
+
 @query(
     "q_text_fingerprint",
     oracle=f"""
