@@ -1,0 +1,53 @@
+"""CLI entry point — the operational equivalent of the reference's
+``lambda_handler`` (/root/reference/src/lambda_function.py:5-19), invoked
+as a scheduled job instead of a Lambda trigger::
+
+    python -m aws_data_warehouse_lambda_spark \\
+        --source /root/testdata/sf0.01 --out /tmp/warehouse \\
+        --state /tmp/warehouse/state.json [--master local[8]]
+
+Runs the schema dump (MD5 drift-skip) then the incremental data extract
+(watermark CDC, run-serial parquet layout), each stage isolated, state
+committed only on that stage's success. Prints the run manifest as one
+JSON line. The ``--source`` is the fixture parquet directory in this
+harness; a production deployment points the loaders at JDBC
+(sources/jdbc.py) with identical downstream plumbing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="aws_data_warehouse_lambda_spark")
+    ap.add_argument("--source", required=True, help="source table directory")
+    ap.add_argument("--out", required=True, help="warehouse output directory")
+    ap.add_argument("--state", required=True, help="state document path (JSON)")
+    ap.add_argument("--master", default="local[*]", help="Spark master URL")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .plans.pipeline import run_all
+    from .session import tune
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("db-extract-run")
+        .getOrCreate()
+    )
+    tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        results = run_all(spark, args.source, args.out, args.state)
+    finally:
+        spark.stop()
+    print(json.dumps(results))
+    return 1 if any("error" in v for v in results.values()) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
