@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
 
@@ -103,6 +103,38 @@ def q_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("plain")
         .alias("class"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+_NULL_SEMANTICS_SQL = """
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice,
+               nullif(o_orderstatus, 'O') AS status
+        FROM orders
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(status) AS BIGINT) AS n_nonnull,
+           CAST(count(*) FILTER (WHERE status IS NOT DISTINCT FROM NULL)
+                AS BIGINT) AS n_nullsafe_null,
+           CAST(count(*) FILTER (WHERE status = 'F') AS BIGINT) AS n_eq_f
+    FROM o
+    GROUP BY status
+    ORDER BY status NULLS FIRST
+"""
+
+
+@query("q_null_semantics", oracle=_NULL_SEMANTICS_SQL)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL semantic corners every engine pair disagrees on unless
+    pinned (SURVEY.md §7 hard part e): GROUP BY collects NULLs into one
+    group, COUNT(col) skips NULLs while COUNT(*) doesn't, ``IS NOT
+    DISTINCT FROM`` (null-safe equality) matches NULL where ``=`` yields
+    NULL-falsy, and ORDER BY declares NULLS FIRST explicitly rather than
+    relying on engine defaults (Spark: NULLS FIRST asc; DuckDB: NULLS
+    LAST by default — the one divergence that silently reorders).
+    Identical SQL text runs on both engines."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_NULL_SEMANTICS_SQL)
 
 
 @query(
