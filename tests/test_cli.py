@@ -1,0 +1,60 @@
+"""End-to-end test of the CLI entry point (python -m
+aws_data_warehouse_lambda_spark) — the lambda_handler-parity path:
+schema dump + CDC extract + state commit, across two consecutive runs.
+Runs in a subprocess from a neutral cwd like a scheduler would."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _run_cli(out_dir: str) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "aws_data_warehouse_lambda_spark",
+            "--source",
+            SF,
+            "--out",
+            out_dir,
+            "--state",
+            f"{out_dir}/state.json",
+            "--master",
+            "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        env=env,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+def test_cli_two_runs_serial_and_drift(tmp_path) -> None:
+    out = str(tmp_path / "warehouse")
+
+    first = _run_cli(out)
+    assert first["schema"]["changed"] is True
+    assert first["schema"]["serial"] == "000001"
+    assert first["data"]["serial"] == "000001"
+    assert set(first["data"]["tables"]) >= {"lineitem", "orders", "events"}
+    assert os.path.isdir(f"{out}/lineitem/run_serial=000001")
+    assert os.path.isfile(first["schema"]["path"])
+
+    second = _run_cli(out)
+    # Schema unchanged -> drift-skip: no new dump, serial stays.
+    assert second["schema"]["changed"] is False
+    assert second["schema"]["serial"] == "000001"
+    # Data run always advances the serial and the watermark.
+    assert second["data"]["serial"] == "000002"
+    assert second["data"]["watermark"] > first["data"]["watermark"]
+    assert os.path.isdir(f"{out}/lineitem/run_serial=000002")
