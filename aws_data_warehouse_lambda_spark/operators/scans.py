@@ -68,6 +68,47 @@ def q_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_coerce_types",
+    oracle="""
+    SELECT o_orderkey,
+           md5(CAST(o_orderkey AS VARCHAR)) AS uuid_hex,
+           CAST(o_orderdate AS VARCHAR) AS ts_str,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's JSON-sink coercion layer (T1-T4,
+    db_extractor_full.py:74-78) as an oracle-checked plan: a dashed
+    UUID-format string (synthesized from md5 since the fixtures carry no
+    uuid column) through uuid_to_hex must yield back the undashed
+    lowercase hex; timestamps through timestamp_to_str must match
+    Postgres text format (str(datetime) semantics); decimals stringify
+    exactly. All plan-time column expressions — no per-row Python hook
+    like the reference's encoder ``default``."""
+    from ..functions.coerce import decimal_to_str, timestamp_to_str, uuid_to_hex
+
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    dashed_uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return o.select(
+        "o_orderkey",
+        uuid_to_hex(dashed_uuid).alias("uuid_hex"),
+        timestamp_to_str("o_orderdate").alias("ts_str"),
+        decimal_to_str(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "price_str"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "q_cdc_compact",
     oracle="""
     SELECT user_id, event_type, event_id, ts, value FROM (
