@@ -1,0 +1,119 @@
+"""Property-based tests (SURVEY.md §5.5): schema hashing is canonical,
+state round-trips, portable hashing stays in its advertised ranges, and
+the coercion expressions agree with the reference's Python semantics
+(str(datetime), UUID.hex) on arbitrary inputs.
+
+Pure-Python properties run with hypothesis defaults; Spark-evaluating
+properties batch every drawn list into ONE DataFrame pass with few
+examples (JVM round-trips dominate otherwise).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import uuid as uuidlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aws_data_warehouse_lambda_spark.functions.porthash import P, PERM_COEFFS
+from aws_data_warehouse_lambda_spark.plans.drift import (
+    has_drifted,
+    schema_json,
+    schema_md5,
+)
+from aws_data_warehouse_lambda_spark.plans.state import EngineState, serial_key
+
+# ---------------------------------------------------------------------------
+# Pure-Python properties
+# ---------------------------------------------------------------------------
+
+_ident = st.text("abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12)
+_schema_doc = st.dictionaries(
+    _ident,
+    st.lists(st.tuples(_ident, _ident).map(list), max_size=5),
+    max_size=5,
+)
+
+
+@given(_schema_doc)
+def test_schema_hash_is_canonical_under_key_order(doc) -> None:
+    """md5(schema) must not depend on dict insertion order — otherwise
+    every run would see phantom drift."""
+    reordered = dict(reversed(list(doc.items())))
+    assert schema_json(doc) == schema_json(reordered)
+    assert schema_md5(doc) == schema_md5(reordered)
+    assert not has_drifted(doc, schema_md5(reordered))
+
+
+@given(_schema_doc, _ident)
+def test_schema_hash_detects_any_added_column(doc, col) -> None:
+    changed = {**doc, "zz_new_table": [[col, "bigint"]]}
+    assert schema_md5(changed) != schema_md5(doc)
+    assert has_drifted(changed, schema_md5(doc))
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.text(max_size=30))
+def test_state_doc_round_trips(serial, wm) -> None:
+    """State doc survives to_doc/from_doc unchanged and the data commit
+    bumps exactly the data serial (reference doc shape, README.md:32-44)."""
+    s = EngineState.from_doc(
+        {
+            "data": {"lastRunTime": wm, "serialNumber": serial},
+            "schema": {"serialNumber": serial, "lastMD5Hash": "abc"},
+        }
+    )
+    assert EngineState.from_doc(s.to_doc()).to_doc() == s.to_doc()
+    bumped = s.commit_data_run("2026-01-01 00:00:00")
+    assert bumped.data_serial == serial + 1
+    assert bumped.schema_serial == serial  # schema serial untouched
+    assert serial_key(bumped.data_serial) == str(serial + 1).zfill(6)
+
+
+@given(st.text(max_size=64))
+def test_h60_python_mirror_in_range(s) -> None:
+    """h60 (first 15 md5 hex chars) is always in [0, 2^60) and every
+    perm output in [0, P) with intermediates fitting int64 — the no-
+    overflow contract the SQL spelling relies on."""
+    h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    assert 0 <= h < 1 << 60
+    for a, b in PERM_COEFFS:
+        prod = a * (h % P) + b
+        assert prod < 1 << 63
+        assert 0 <= prod % P < P
+
+
+# ---------------------------------------------------------------------------
+# Spark-evaluating properties (batched, few examples)
+# ---------------------------------------------------------------------------
+
+_timestamps = st.datetimes(
+    min_value=dt.datetime(1970, 1, 2),
+    max_value=dt.datetime(2100, 1, 1),
+).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.uuids(), min_size=1, max_size=20))
+def test_uuid_coercion_matches_python_hex(spark, uuids) -> None:
+    """uuid_to_hex == uuid.UUID.hex (the reference's coercion,
+    db_extractor_full.py:75) for arbitrary UUIDs."""
+    from aws_data_warehouse_lambda_spark.functions.coerce import uuid_to_hex
+
+    df = spark.createDataFrame([(str(u),) for u in uuids], "u string")
+    got = [r[0] for r in df.select(uuid_to_hex("u")).collect()]
+    assert got == [u.hex for u in uuids]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_timestamps, min_size=1, max_size=20))
+def test_timestamp_coercion_matches_python_str(spark, stamps) -> None:
+    """timestamp_to_str == str(datetime) (db_extractor_full.py:76),
+    including the whole-second form without a fractional part.
+    (Fixture parquet is ms-precision, so drawn stamps are too.)"""
+    from aws_data_warehouse_lambda_spark.functions.coerce import timestamp_to_str
+
+    df = spark.createDataFrame([(t,) for t in stamps], "t timestamp")
+    got = [r[0] for r in df.select(timestamp_to_str("t")).collect()]
+    assert got == [str(t) for t in stamps]
