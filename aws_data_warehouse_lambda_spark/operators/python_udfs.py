@@ -19,6 +19,8 @@ expression for trivial math — measure before reaching for them.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,6 +101,39 @@ def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@pandas_udf(T.DoubleType())
+def scored_length(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator-form scalar pandas UDF: the model-scoring shape. The
+    body before the loop runs ONCE per partition (load the model /
+    tokenizer there, not per batch); each Arrow batch then streams
+    through the loaded state. The stand-in 'model' is a fixed linear
+    scorer so the DuckDB oracle can replay it."""
+    weight, bias = 0.001, 1.0  # <- once-per-partition init (model load)
+    for text in batches:
+        yield text.str.len().astype("float64") * weight + bias
+
+
+@query(
+    "q_pandas_udf_iterator",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(length(text) AS DOUBLE) * 0.001 + 1.0, 6) AS score
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_pandas_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF: amortizes expensive per-partition
+    setup (model/tokenizer load) across all Arrow batches of the
+    partition — the rail a production quality-model scorer runs on. At
+    100 TB the init cost is paid #partitions times, not #batches or
+    #rows times."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(scored_length(F.col("text")), 6).alias("score")
+    ).orderBy("doc_id")
 
 
 CHUNK_WORDS = 50
