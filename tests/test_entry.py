@@ -17,3 +17,16 @@ def test_queries_and_oracles_shape(spark):
     qs = entrymod.queries()
     assert "q_revenue_by_nation" in qs
     assert set(entrymod.oracle_sql()) <= set(qs)
+
+
+def test_driver_window_ordering():
+    """The driver oracle-checks only a ~50-entry prefix of queries();
+    every query without a round-1 CORRECTNESS row must sit inside it."""
+    names = list(entrymod.queries())
+    assert names[: len(entrymod._DRIVER_FIRST)] == entrymod._DRIVER_FIRST
+    assert len(entrymod._DRIVER_FIRST) <= 50
+    # no drops: reordering must preserve the full registry
+    assert len(names) == len(set(names))
+    from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
+
+    assert set(names) == set(QUERIES)
