@@ -55,7 +55,10 @@ def coerce_for_json(df: DataFrame, uuid_columns: frozenset[str] = frozenset()) -
     out = []
     for f in df.schema.fields:
         c = F.col(f.name)
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        if isinstance(f.dataType, T.DateType):
+            # reference: str(datetime.date) == 'YYYY-MM-DD' (no time part)
+            c = F.date_format(c, "yyyy-MM-dd")
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
             c = timestamp_to_str(c)
         elif isinstance(f.dataType, T.DecimalType):
             c = decimal_to_str(c)

@@ -17,10 +17,20 @@ from __future__ import annotations
 import os
 import re
 
-#: Reference's data-path exclusions (src/db_extractor_full.py:476-492)
-#: and schema-path exclusions (src/db_schema_dump.py:47). Kept as
-#: defaults for JDBC parity; the fixture dataset contains none of them.
-DATA_EXCLUSIONS: frozenset[str] = frozenset({"audit_history"})
+#: Reference's data-path exclusions, verbatim (the 8-entry
+#: ``table_dump_ignore`` list, src/db_extractor_full.py:476-485) and
+#: schema-path exclusions (src/db_schema_dump.py:47). Defaults for JDBC
+#: parity; the fixture dataset contains none of them.
+DATA_EXCLUSIONS: frozenset[str] = frozenset({
+    "zip3_distances",
+    "transportation_service_provider_performances",
+    "move",
+    "move_to_gbloc",
+    "archived_access_codes",
+    "schema_migration",
+    "audit_history_tableslist",
+    "v_locations",
+})
 SCHEMA_EXCLUSIONS: frozenset[str] = frozenset({"audit_history", "v_locations"})
 
 _IDENT_RE = re.compile(r"[^a-z0-9_]")

@@ -37,6 +37,22 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+#: Hadoop/S3A confs for production deployments writing to S3. Not
+#: applied in the harness (no S3A jars locally); get_spark(production=
+#: True) and real cluster submit configs pick these up. SSE parity: the
+#: reference sets ServerSideEncryption="AES256" on every multipart
+#: upload (src/db_extractor_full.py:126-132).
+PRODUCTION_CONF: dict[str, str] = {
+    "spark.hadoop.fs.s3a.server-side-encryption-algorithm": "AES256",
+    # Reference uses up to 64 parallel S3 connections per worker
+    # (Config(max_pool_connections=64), src/db_extractor_full.py:125).
+    "spark.hadoop.fs.s3a.connection.maximum": "64",
+    # Reference streams multipart parts (io.BytesIO buffer, :138);
+    # S3A equivalent: buffer parts in memory, bounded by fast.upload
+    # active blocks.
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+}
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -112,9 +128,15 @@ def _ship_package(spark: SparkSession) -> None:
     _shipped_to.add(app_id)
 
 
-def get_spark(app_name: str = "adwl-spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "adwl-spark",
+    shuffle_partitions: int | None = None,
+    production: bool = False,
+) -> SparkSession:
     """Build a local session (tests / bench). The verify driver passes its
     own session to ``entry``/``queries`` — those go through :func:`tune`.
+    ``production=True`` adds the S3A block (SSE-AES256 etc.); S3A confs
+    are inert without the hadoop-aws jars, so this is cluster-only.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
@@ -126,4 +148,7 @@ def get_spark(app_name: str = "adwl-spark", shuffle_partitions: int | None = Non
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
+    if production:
+        for k, v in PRODUCTION_CONF.items():
+            builder = builder.config(k, v)
     return tune(builder.getOrCreate(), shuffle_partitions)

@@ -13,30 +13,69 @@ RDS IAM auth in src/db_conn.py). Spark restatement: one
    which the reference's single-cursor-per-table design cannot do; this
    is the 100 TB lever (N executors each reading a key range).
 
-No database exists in the test container, so this module only *builds*
-reader configs (unit-testable); ``read_table`` is exercised against a
-real JDBC URL in production.
+Injection posture: the reference binds the watermark as a pg8000
+parameter (src/db_extractor_full.py:388,404). Spark's ``dbtable``
+subquery cannot carry bind parameters, so this module validates-then-
+interpolates instead: the watermark must parse as a strict timestamp
+(it comes from the on-disk state JSON, so a tampered value must not
+reach the remote SQL) and the table/schema pass through
+``sanitize_identifier`` at query-build time.
+
+``read_table`` is exercised end-to-end against embedded Derby (in-JVM,
+ships with Spark) in tests/test_jdbc_derby.py; production targets
+Postgres with the same option set.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.cdc import ScanPlan
+from ..plans.discovery import sanitize_identifier
 
 FETCH_SIZE = 20_000  # src/db_extractor_full.py:29
 SESSION_INIT = "SET statement_timeout = '600s'"  # :365; READ ONLY via option below
+
+#: Accepted watermark shapes (state.py writes the first; the reference's
+#: seed value "1900-01-01 00:00:00" has no fraction).
+_WATERMARK_FORMATS = ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S")
+
+
+def validate_watermark(watermark: str) -> str:
+    """Return ``watermark`` iff it is a strict timestamp literal; raise
+    otherwise. The watermark is read from mutable state storage, so it
+    is untrusted input to the remote SQL text."""
+    for fmt in _WATERMARK_FORMATS:
+        try:
+            datetime.strptime(watermark, fmt)
+            return watermark
+        except ValueError:
+            continue
+    raise ValueError(f"watermark is not a timestamp literal: {watermark!r}")
+
+
+def rds_iam_token(hostname: str, username: str, region: str, port: int = 5432) -> str:
+    """Short-lived IAM auth token used as the JDBC password — mirrors the
+    reference's boto3 ``generate_db_auth_token`` call (src/db_conn.py:16-18).
+    Import-gated: boto3 is absent from the test container."""
+    import boto3  # deferred: optional dependency
+
+    return boto3.client("rds", region_name=region).generate_db_auth_token(
+        DBHostname=hostname, Port=port, DBUsername=username, Region=region
+    )
 
 
 @dataclass
 class JdbcSource:
     url: str  # jdbc:postgresql://host:5432/db
     user: str
-    password: str  # in production: RDS IAM auth token (src/db_conn.py:16-18)
+    password: str  # in production: rds_iam_token() (src/db_conn.py:16-18)
     schema: str = "public"
     fetchsize: int = FETCH_SIZE
+    driver: str = "org.postgresql.Driver"
     extra_options: dict = field(default_factory=dict)
 
     def _options(self) -> dict:
@@ -44,7 +83,7 @@ class JdbcSource:
             "url": self.url,
             "user": self.user,
             "password": self.password,
-            "driver": "org.postgresql.Driver",
+            "driver": self.driver,
             "fetchsize": str(self.fetchsize),
             "sessionInitStatement": SESSION_INIT,
             "readOnly": "true",
@@ -54,12 +93,21 @@ class JdbcSource:
     def table_query(self, table: str, plan: ScanPlan, watermark: str) -> str:
         """The pushdown dbtable subquery per CDC plan — mirrors the three
         reference scans (src/db_extractor_full.py:370-408) with the same
-        strict-> comparisons; ORDER BY is applied Spark-side."""
-        base = f"SELECT * FROM {self.schema}.{table}"
-        if plan is ScanPlan.INSERT_ONLY:
-            base += f" WHERE created_at > '{watermark}'"
-        elif plan is ScanPlan.UPSERT:
-            base += f" WHERE created_at > '{watermark}' OR updated_at > '{watermark}'"
+        strict-> comparisons; ORDER BY is applied Spark-side.
+
+        Identifiers are sanitized and the watermark validated HERE (not
+        at call sites) so no code path can interpolate raw input."""
+        schema = sanitize_identifier(self.schema)
+        table = sanitize_identifier(table)
+        if not schema or not table:
+            raise ValueError(f"empty identifier after sanitization: {self.schema!r}.{table!r}")
+        base = f"SELECT * FROM {schema}.{table}"
+        if plan in (ScanPlan.INSERT_ONLY, ScanPlan.UPSERT):
+            wm = validate_watermark(watermark)
+            if plan is ScanPlan.INSERT_ONLY:
+                base += f" WHERE created_at > '{wm}'"
+            else:
+                base += f" WHERE created_at > '{wm}' OR updated_at > '{wm}'"
         return f"({base}) AS src"
 
     def reader_options(

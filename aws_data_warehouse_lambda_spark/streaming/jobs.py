@@ -111,13 +111,16 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the streaming consumer's answer to the at-least-once
     delivery the reference's capture-before-scan watermark produces
     (/root/reference/src/db_extractor_full.py:26 — overlapping windows
-    re-deliver rows): dedup state is bounded by the watermark horizon,
+    re-deliver rows): ``dropDuplicatesWithinWatermark`` evicts a key's
+    state once the watermark passes its first-seen event time + delay,
     so replayed rows inside the horizon drop exactly once and state
-    never grows unboundedly. Only the key columns are emitted — WHICH
-    duplicate arrives first is micro-batch-order dependent, the key set
-    is not."""
+    never grows unboundedly. (Plain ``dropDuplicates`` on a key subset
+    WITHOUT the event-time column never evicts — Spark only cleans that
+    state when the watermark column is part of the keys.) Only the key
+    columns are emitted — WHICH duplicate arrives first is
+    micro-batch-order dependent, the key set is not."""
     e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    return e.dropDuplicates(["user_id", "event_type"]).select(
+    return e.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
 

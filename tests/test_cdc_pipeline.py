@@ -200,3 +200,35 @@ def test_discovery_exclusions(spark, tmp_path):
     names = discover_tables(src)
     assert names == ["cdc_full", "cdc_insert_only", "cdc_upsert"]
     assert discover_tables(src, frozenset({"cdc_full"})) == ["cdc_insert_only", "cdc_upsert"]
+
+
+def test_default_exclusions_match_reference():
+    """Parity-by-default: the data path ships the reference's 8-entry
+    table_dump_ignore list (src/db_extractor_full.py:476-485), the
+    schema path its 2-entry NOT IN list (src/db_schema_dump.py:47)."""
+    from aws_data_warehouse_lambda_spark.plans.discovery import (
+        DATA_EXCLUSIONS,
+        SCHEMA_EXCLUSIONS,
+    )
+
+    assert DATA_EXCLUSIONS == frozenset({
+        "zip3_distances",
+        "transportation_service_provider_performances",
+        "move",
+        "move_to_gbloc",
+        "archived_access_codes",
+        "schema_migration",
+        "audit_history_tableslist",
+        "v_locations",
+    })
+    assert SCHEMA_EXCLUSIONS == frozenset({"audit_history", "v_locations"})
+
+
+def test_production_conf_sets_s3a_sse():
+    """SSE parity: reference puts every S3 object with SSE AES256
+    (src/db_extractor_full.py:126-132)."""
+    from aws_data_warehouse_lambda_spark.session import PRODUCTION_CONF
+
+    key = "spark.hadoop.fs.s3a.server-side-encryption-algorithm"
+    assert PRODUCTION_CONF[key] == "AES256"
+    assert PRODUCTION_CONF["spark.hadoop.fs.s3a.connection.maximum"] == "64"

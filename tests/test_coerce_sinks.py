@@ -21,15 +21,18 @@ def _df(spark):
     schema = T.StructType([
         T.StructField("id", T.StringType()),           # uuid text
         T.StructField("created_at", T.TimestampType()),
+        T.StructField("birth_date", T.DateType()),
         T.StructField("amount", T.DecimalType(18, 4)),
         T.StructField("n", T.LongType()),
     ])
     rows = [
         Row(id="550E8400-E29B-41D4-A716-446655440000",
             created_at=dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+            birth_date=dt.date(1999, 12, 31),
             amount=Decimal("12.3400"), n=7),
         Row(id="not-a-uuid",
             created_at=dt.datetime(2024, 1, 2, 3, 4, 5),
+            birth_date=None,
             amount=None, n=None),
     ]
     return spark.createDataFrame(rows, schema)
@@ -45,6 +48,9 @@ def test_coercions(spark):
     # whole seconds don't grow a fraction)
     assert r0.created_at == "2024-01-02 03:04:05.123456"
     assert r1.created_at == "2024-01-02 03:04:05"
+    # date -> str(datetime.date) == bare 'YYYY-MM-DD' (no time part)
+    assert r0.birth_date == "1999-12-31"
+    assert r1.birth_date is None
     # Decimal -> precision-preserving str — :77
     assert r0.amount == "12.3400"
     assert r1.amount is None
