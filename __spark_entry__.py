@@ -73,6 +73,13 @@ _DRIVER_FIRST = [
     "q_pandas_udf_grouped_agg",
     "q_pandas_udf_iterator",
     "q_udtf_chunks",
+    # round-2 additions (operators/curation.py): new, so no row yet
+    "q_quality_filter",
+    "q_repetition",
+    "q_contamination",
+    "q_split_assign",
+    "q_embedding_centroids",
+    "q_dedup_keep_list",
 ]
 
 

@@ -18,5 +18,6 @@ from . import profiling  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import python_udfs  # noqa: F401
+from . import curation  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,367 @@
+"""Dataset-curation operators — the filter/split/contamination layer a
+pre-training corpus pipeline runs between raw extraction and training
+(SURVEY.md §2.C extension surface; the reference stops at extraction,
+/root/reference/src/db_extractor_full.py, so all of this is new).
+
+Six operators, all pure DataFrame plans:
+
+====================  =====================================================
+q_quality_filter      Gopher/C4-style rule battery (word count, mean word
+                      length, stopword hits, digit ratio) aggregated into a
+                      per-source filter funnel — single scan, map-side
+                      partial agg, shuffle O(sources).
+q_repetition          duplicate/top 3-gram fraction per doc (the Gopher
+                      repetition filters): explode -> per-doc gram counts
+                      on 60-bit hashes -> 1 - distinct/total.
+q_contamination       eval-set n-gram overlap (decontamination): distinct
+                      doc shingle hashes joined against a broadcast eval
+                      shingle set; overlap fraction per train doc.
+q_split_assign        deterministic stratified train/val/test assignment
+                      from a stable doc hash — reproducible at any scale,
+                      no RNG state; counts + token mass per (lang, split).
+q_embedding_centroids per-label mean embedding via posexplode -> avg by
+                      (label, dim): shuffle O(labels x dims), the pattern
+                      that scales to computing class centroids over 1e9
+                      vectors without collecting anything.
+q_dedup_keep_list     end-to-end dedup decision: near-dup pairs -> (large-
+                      star/small-star) connected components -> per-doc
+                      keep/drop with cluster id, singletons kept.
+====================  =====================================================
+
+Engine parity: hashing is the md5-derived h60 (functions/porthash.py),
+ratios cast to double and round(6) on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.porthash import h60, h60_sql
+from ..sources.tables import load_table
+from .dedup import (
+    _JACCARD_PAIRS_SQL,
+    _SHINGLE_SQL,
+    _jaccard_pairs,
+    _shingle_hashes,
+    connected_components,
+)
+from .registry import query
+from .text import STOPWORDS_RE, _count, _count_sql
+
+#: Quality-rule thresholds (Gopher-shaped, tuned to the fixture corpus).
+WC_MIN, WC_MAX = 15, 200
+MWL_MIN, MWL_MAX = 2.5, 10.0
+STOP_MIN_HITS = 2
+DIGIT_RATIO_MAX = 0.2
+
+#: Every doc_id divisible by EVAL_MOD plays the held-out eval set in the
+#: contamination check (deterministic stand-in for a benchmark corpus).
+EVAL_MOD = 97
+CONTAM_FLAG_FRAC = 0.1
+
+#: Split assignment: pmod(h60('doc-'||id), 10) -> 0-7 train, 8 val, 9 test.
+SPLIT_BUCKETS = 10
+VAL_BUCKET, TEST_BUCKET = 8, 9
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS wc,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
+               {_count_sql("lower(text)", STOPWORDS_RE)} AS stop_hits,
+               CAST({_count_sql("text", "[0-9]")} AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS digit_ratio
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN wc BETWEEN {WC_MIN} AND {WC_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordcount,
+           CAST(sum(CASE WHEN mwl BETWEEN {MWL_MIN} AND {MWL_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS pass_meanlen,
+           CAST(sum(CASE WHEN stop_hits >= {STOP_MIN_HITS} THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+           CAST(sum(CASE WHEN digit_ratio < {DIGIT_RATIO_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS pass_digit,
+           CAST(sum(CASE WHEN wc BETWEEN {WC_MIN} AND {WC_MAX}
+                          AND mwl BETWEEN {MWL_MIN} AND {MWL_MAX}
+                          AND stop_hits >= {STOP_MIN_HITS}
+                          AND digit_ratio < {DIGIT_RATIO_MAX}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: per-source doc counts passing each
+    Gopher/C4-style rule and all rules combined. One codegen'd scan;
+    each rule is a column expression, the agg is a map-side-combined
+    sum of flags — corpus-size independent output."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.col("text"), " "))
+    mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / wc.cast("double")
+    stop_hits = _count(F.lower(F.col("text")), STOPWORDS_RE)
+    digit_ratio = _count(F.col("text"), "[0-9]").cast("double") / F.length(
+        "text"
+    ).cast("double")
+    r_wc = wc.between(WC_MIN, WC_MAX)
+    r_mwl = mwl.between(MWL_MIN, MWL_MAX)
+    r_stop = stop_hits >= STOP_MIN_HITS
+    r_digit = digit_ratio < DIGIT_RATIO_MAX
+
+    def n(cond):  # count of docs passing a rule
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n(r_wc).alias("pass_wordcount"),
+            n(r_mwl).alias("pass_meanlen"),
+            n(r_stop).alias("pass_stopword"),
+            n(r_digit).alias("pass_digit"),
+            n(r_wc & r_mwl & r_stop & r_digit).alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Non-distinct per-doc 3-gram hashes (duplicates preserved — that is
+#: the point of the repetition measure), mirroring dedup._SHINGLE_SQL.
+_GRAMS_SQL = f"""
+    grams AS (
+        SELECT doc_id,
+               {h60_sql("array_to_string(string_split(text, ' ')[i:i+2], ' ')")} AS sh
+        FROM documents,
+             UNNEST(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)) t(i)
+    )
+"""
+
+
+@query(
+    "q_repetition",
+    oracle=f"""
+    WITH {_GRAMS_SQL},
+    per_gram AS (
+        SELECT doc_id, sh, count(*) AS c FROM grams GROUP BY doc_id, sh
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS dup_gram_frac,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS top_gram_frac,
+           (1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)) > 0.2
+               AS flagged
+    FROM per_gram
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (Gopher duplicate-n-gram filters): per doc,
+    the fraction of 3-grams that are repeats and the share of the single
+    most frequent 3-gram. Grams are hashed to 60-bit ints BEFORE the
+    shuffle (16 bytes/row exchange payload regardless of text size);
+    both aggs are partial-combinable."""
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
+    ).select("doc_id", h60(F.col("s")).alias("sh"))
+    per_gram = grams.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").cast("double")
+    dup_frac = F.lit(1.0) - F.count(F.lit(1)).cast("double") / total
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.round(dup_frac, 6).alias("dup_gram_frac"),
+            F.round(F.max("c").cast("double") / total, 6).alias("top_gram_frac"),
+            (dup_frac > 0.2).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    eval_sh AS (
+        SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    train AS (
+        SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(e.sh) AS BIGINT) AS n_contaminated,
+           round(CAST(count(e.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS contamination_frac,
+           CAST(count(e.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               > {CONTAM_FLAG_FRAC} AS flagged
+    FROM train t LEFT JOIN eval_sh e ON t.sh = e.sh
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram overlap of every training doc
+    against a held-out eval set (doc_id % 97 == 0 stands in for the
+    benchmark corpus). The eval shingle set is tiny by construction and
+    broadcast, so the corpus side streams through one scan with no
+    shuffle for the join — the exact shape of a real 100 TB
+    decontamination pass (eval suites are MBs)."""
+    sh = _shingle_hashes(spark, sf_dir)
+    eval_sh = (
+        sh.where(F.col("doc_id") % EVAL_MOD == 0).select("sh").distinct()
+    )
+    train = sh.where(F.col("doc_id") % EVAL_MOD != 0)
+    hit = F.count(F.col("e.sh")).cast("double")
+    frac = hit / F.count(F.lit(1)).cast("double")
+    return (
+        train.alias("t")
+        .join(F.broadcast(eval_sh.alias("e")), F.col("t.sh") == F.col("e.sh"), "left")
+        .groupBy(F.col("t.doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            hit.cast("bigint").alias("n_contaminated"),
+            F.round(frac, 6).alias("contamination_frac"),
+            (frac > CONTAM_FLAG_FRAC).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS wc,
+               CASE ({h60_sql("concat('doc-', doc_id)")}) % {SPLIT_BUCKETS}
+                    WHEN {VAL_BUCKET} THEN 'val'
+                    WHEN {TEST_BUCKET} THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(wc) AS BIGINT) AS ws_tokens
+    FROM assigned
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split: bucket = stable
+    60-bit hash of the doc id mod 10 (8/1/1). No RNG state, so the
+    assignment is reproducible run-over-run and join-free to recompute
+    anywhere — the property that matters when 100 TB is re-sharded.
+    Output is the (lang, split) census with whitespace-token mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        h60(F.concat(F.lit("doc-"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket == VAL_BUCKET, "val")
+        .when(bucket == TEST_BUCKET, "test")
+        .otherwise("train")
+    )
+    wc = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select("lang", split.alias("split"), wc.alias("wc"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("wc").cast("bigint").alias("ws_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    SELECT label,
+           CAST(i AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings,
+         UNNEST(range(1, len(embedding) + 1)) t(i)
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids), elementwise:
+    posexplode -> avg by (label, dim). The shuffle carries one double
+    per (vector, dim) and reduces to O(labels x dims) rows with partial
+    aggregation — the distributed way to compute centroids over 1e9
+    vectors (collecting vectors to the driver is the anti-pattern).
+    Also the building block q_sim_ivf's coarse quantizer would train
+    with (k-means assign/update is exactly this plan in a loop)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@query(
+    "q_dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_JACCARD_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION SELECT doc_b, doc_a FROM jpairs
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(src, dst) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final artifact: one keep/drop row per
+    document. Near-dup pairs (exact-Jaccard referee) -> alternating
+    large-star/small-star connected components -> keeper = min doc_id
+    per cluster; docs in no pair keep themselves. This is the table a
+    100 TB pipeline writes back and anti-joins training shards
+    against."""
+    pairs = _jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -266,6 +266,94 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood.
+
+    One groupBy-min + one join; emitted edges always point high->low
+    (``src > dst``), so the edge set shrinks toward a star per component.
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least("src", "mn").alias("m"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller-or-equal
+    neighbors (and itself) to its minimum neighbor.
+
+    Operates on high->low directed edges; together with
+    :func:`_large_star` this is the alternating algorithm of Kiveris et
+    al. (MR connected components), converging in O(log^2 n) rounds even
+    for path graphs — plain min-label propagation needs O(diameter).
+    """
+    d = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        d.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, *, max_rounds: int = 25
+) -> DataFrame:
+    """(node, label) connected-component labels for an undirected edge
+    list ``(src, dst)`` — label = min node id in the component.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round is two shuffle
+    joins + two groupBy-mins, and the round count is O(log^2 n) in the
+    WORST case (a giant path component), independent of diameter — the
+    property that makes it the 100 TB path. Fixpoint = the canonical
+    high->low edge set stops changing (count + order-insensitive
+    bit_xor-of-xxhash64 checksum — the edge set is distinct, so xor is
+    a sound set signature and cannot overflow under ANSI mode — both
+    computed in one aggregate pass); localCheckpoint cuts the per-round
+    lineage growth.
+    """
+    nodes = (
+        pairs.select(F.col("src").alias("node"))
+        .union(pairs.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    edges = pairs.where(F.col("src") != F.col("dst")).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cnt, chk = edges.agg(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64("src", "dst"))
+        ).first()
+        sig = (cnt, chk)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # At the fixpoint edges form stars (node -> component min); nodes
+    # that are roots (or isolated) label themselves.
+    return nodes.join(
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("label")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("label", "node").alias("label"))
+
+
 def _clusters_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLE_SQL},
@@ -297,46 +385,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions (keeper = min doc_id per component; transitive: A~B, B~C
     puts A,C in one cluster even if never directly compared).
 
-    Spark side is iterative min-label propagation: each round every node
-    takes the min of its own and its neighbors' labels; converges in
-    O(component diameter) rounds (near-dup clusters are shallow). Each
-    round is one shuffle join; localCheckpoint cuts the growing lineage
-    and the loop exits on a fixpoint count of 0. At 100 TB the same loop
-    runs with the large-star/small-star optimization; the DuckDB oracle
-    computes the identical fixpoint as a recursive transitive closure.
+    Spark side is the alternating large-star/small-star algorithm
+    (:func:`connected_components`): O(log^2 n) rounds worst-case,
+    independent of component diameter, so pathological giant/chain
+    components converge inside the round budget — the 100 TB posture.
+    The DuckDB oracle computes the identical labels as a recursive
+    transitive closure.
     """
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").persist()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+    pairs = _jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    for _ in range(25):  # >= any plausible component diameter; exits early
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-            )
-            .localCheckpoint()  # eager: cuts lineage, materializes the round
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(pairs)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(

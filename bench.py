@@ -38,6 +38,18 @@ HEADLINE = [
     "q_token_stats",
 ]
 
+# Slowest non-headline queries from the latest full-surface sf0.1 sweep
+# (see README "Measured hot spots"): timed and reported under "tail" so
+# regressions off the headline path stay visible round-over-round, but
+# excluded from the headline total to keep `value` comparable with
+# BENCH_r01.
+TAIL = [
+    "q_dedup_embedding",
+    "q_stream_stream_join",
+    "q_join_salted",
+    "q_dedup_keep_list",
+]
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -65,14 +77,19 @@ def main() -> None:
     # min of 2 runs: the first pays per-query codegen/JIT compilation,
     # which a long-running cluster amortizes away; the min is the
     # steady-state number the 100 TB estimate scales from.
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def time_queries(qnames: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in qnames:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, SF_DIR).count()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    timings = time_queries(names)
+    tail = time_queries([n for n in TAIL if n in queries])
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
@@ -83,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tail": tail,
+                "tail_total": round(sum(tail.values()), 3),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

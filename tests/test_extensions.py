@@ -115,3 +115,57 @@ def test_stream_sessionize_equals_batch(spark) -> None:
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_connected_components_long_chain(spark) -> None:
+    """A 512-node path (diameter 511) must converge inside the round
+    budget: the alternating large-star/small-star algorithm needs
+    O(log^2 n) rounds, not O(diameter) — plain label propagation would
+    require 511 rounds here and produce wrong labels under any sane cap."""
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 512
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = connected_components(chain, max_rounds=15)
+    got = {r.node: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_random_vs_union_find(spark) -> None:
+    """Random sparse graph vs a pure-Python union-find ground truth:
+    multiple components, rings, isolated-by-self-loop nodes."""
+    import random
+
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(20260813)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    edges += [(1000 + i, 1000 + (i + 1) % 40) for i in range(40)]  # ring
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.label for r in connected_components(df).collect()
+    }
+    assert got == expect

@@ -1,0 +1,42 @@
+"""Guards against driver-side bottlenecks leaking into the query
+surface (VERDICT r1 #8): the single-object JSON-array parity sink
+(sinks/json_compat.py) deliberately streams through the driver and must
+stay unreachable from ``queries()``."""
+
+from __future__ import annotations
+
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "aws_data_warehouse_lambda_spark"
+
+
+def _sources() -> dict[str, str]:
+    return {
+        str(p.relative_to(PKG)): p.read_text() for p in PKG.rglob("*.py")
+    }
+
+
+def test_tolocaliterator_only_in_json_compat() -> None:
+    hits = [
+        name
+        for name, src in _sources().items()
+        if "toLocalIterator" in src and name != "sinks/json_compat.py"
+    ]
+    assert hits == [], f"driver-side iteration leaked into {hits}"
+
+
+def test_no_collect_in_package() -> None:
+    hits = [
+        name for name, src in _sources().items() if ".collect(" in src
+    ]
+    assert hits == [], f".collect() in package code: {hits}"
+
+
+def test_query_surface_never_imports_json_compat() -> None:
+    hits = [
+        name
+        for name, src in _sources().items()
+        if name.startswith(("operators/", "streaming/"))
+        and "json_compat" in src
+    ]
+    assert hits == [], f"query surface imports the quarantined sink: {hits}"
