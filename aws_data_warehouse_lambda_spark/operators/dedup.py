@@ -202,6 +202,25 @@ _JACCARD_VERIFY_SQL = f"""
 """
 
 
+def _doc_shingle_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, shs: sorted array<long>, n) — each doc's distinct shingle
+    hashes packed into one row. The exact-Jaccard verify joins candidate
+    pairs against this ONCE per side on doc_id alone (no per-shingle row
+    explosion) and intersects the arrays JVM-side; per-doc set size is
+    bounded by document length, so the row stays KB-scale at any corpus
+    size."""
+    from pyspark import StorageLevel
+
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("sh")).alias("shs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)  # consumed by both join sides
+    )
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs at/above threshold — shared by the
     pair query and the cluster-resolution query.
@@ -209,10 +228,13 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation skips shingles with document frequency above
     DF_CAP (a shingle in k docs contributes k^2 join rows; ultra-common
     shingles carry no near-dup signal), which bounds the self-join at
-    DF_CAP * |shingle rows|. The verify join then counts shared shingles
-    over the FULL sets, so reported Jaccard scores are exact."""
+    DF_CAP * |shingle rows|. Scores are then verified EXACTLY via
+    array_intersect over the full per-doc shingle sets — two doc_id
+    equality joins of |cand| rows, instead of re-exploding every
+    candidate by its shingles (the round-1 shape, which cost
+    |cand| x shingles-per-doc join rows)."""
     sh = _shingle_hashes(spark, sf_dir, persist=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sets = _doc_shingle_sets(sh)
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -220,29 +242,27 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
     )
     shr = sh.join(rare, "sh")
+    # Pair proposal: equality self-join on the rare-shingle key. (A
+    # groupBy-then-nested-array-transform expansion was measured SLOWER
+    # here — the generate path falls out of whole-stage codegen — so the
+    # plain hash self-join stays.)
     a, b = shr.alias("a"), shr.alias("b")
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    pairs = (
-        cand.join(sh.alias("fa"), F.col("doc_a") == F.col("fa.doc_id"))
-        .join(
-            sh.alias("fb"),
-            (F.col("doc_b") == F.col("fb.doc_id")) & (F.col("fa.sh") == F.col("fb.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    shared = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    scored = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("shared", shared)
     )
     jac = F.col("shared").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("shared")
     ).cast("double")
-    return (
-        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    return scored.where(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", jac.alias("jaccard")
     )
 
 

@@ -6,6 +6,8 @@ columns, bounded dimensions broadcast, hot paths inside codegen."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
@@ -123,3 +125,38 @@ def test_ivf_search_join_is_equality(spark) -> None:
     idx = plan.find("cell")
     assert idx != -1
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark) -> None:
+    # The eval shingle set is MB-scale by construction; the corpus side
+    # must stream through one scan with a broadcast join, never an
+    # all-to-all exchange of the training shingles against it.
+    plan = plan_of(spark, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_filter_single_scan_partial_agg(spark) -> None:
+    # One parquet scan, rule flags as column expressions, map-side
+    # partial combine: output is O(sources) regardless of corpus size.
+    # Formatted explain prints each node twice (tree + detail section),
+    # so count the numbered detail entries.
+    plan = plan_of(spark, "q_quality_filter")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_" in plan
+
+
+def test_split_assign_partial_agg_and_pruned_scan(spark) -> None:
+    plan = plan_of(spark, "q_split_assign")
+    assert "partial_" in plan
+    schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in schema and "source" not in schema
+
+
+def test_centroids_partial_agg(spark) -> None:
+    # posexplode -> partial avg/count before the exchange: the shuffle
+    # carries O(labels x dims) partial states per task, not every
+    # (vector, dim) element.
+    plan = plan_of(spark, "q_embedding_centroids")
+    assert "partial_" in plan
+    schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "vec_id" not in schema
