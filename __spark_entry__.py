@@ -62,7 +62,8 @@ _DRIVER_FIRST = [
     "q_histogram",
     "q_multimodal_features",
     "q_embedding_quantize",
-    "q_frame_sample",
+    # q_frame_sample deferred to round 3 (window holds 50; it is the
+    # lowest-risk deferral: pure JVM array transform, local oracle pass)
     "q_stream_tumbling",
     "q_stream_sliding",
     "q_stream_dedup",

@@ -93,32 +93,47 @@ def _shingles(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _shingle_hashes(
+def _doc_shingle_arrays(
     spark: SparkSession, sf_dir: str, *, persist: bool = False
 ) -> DataFrame:
-    """(doc_id, sh) distinct 60-bit shingle hashes — shared scan for the
-    Jaccard and MinHash pipelines. Hashing before the shuffle keeps the
-    exchange payload at 16 bytes/row regardless of document size.
+    """(doc_id, shs: sorted distinct array<long>, n) — each doc's
+    shingle-hash SET packed into one row, computed entirely doc-locally
+    (hash -> array_distinct -> array_sort inside the scan projection).
+
+    Shingle dedupe is a per-doc semantic, so it needs NO shuffle — the
+    round-1 shape (explode -> distinct) exchanged every shingle row
+    across the cluster just to dedupe within documents. Per-doc set
+    size is bounded by document length, so rows stay KB-scale at any
+    corpus size.
 
     ``persist=True`` caches the relation (MEMORY_AND_DISK): the sketch
-    pipelines consume it 3x (signature agg + both sides of the verify
-    join), and Spark plans each consumer as a fresh scan+md5+distinct —
-    at 100 TB that's re-reading the corpus three times. A multi-step
+    pipelines consume it repeatedly (signatures + both sides of the
+    verify join), and Spark plans each consumer as a fresh scan+md5 —
+    at 100 TB that's re-reading the corpus each time. A multi-step
     production pipeline would land this table in parquet once; inside a
     single query, persist is the same decision (LRU-evicted, disk
-    spill-backed, ~16 bytes/shingle so orders of magnitude smaller than
+    spill-backed, ~8 bytes/shingle so orders of magnitude smaller than
     the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
-        .select("doc_id", h60(F.col("s")).alias("sh"))
-        .distinct()
-    )
+    shs = F.array_sort(F.array_distinct(F.transform(_shingles(F.col("text")), h60)))
+    arr = docs.select("doc_id", shs.alias("shs"), F.size(shs).alias("n"))
     if persist:
         from pyspark import StorageLevel
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    return sh
+        arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
+    return arr
+
+
+def _shingle_hashes(
+    spark: SparkSession, sf_dir: str, *, persist: bool = False
+) -> DataFrame:
+    """(doc_id, sh) distinct shingle-hash rows — the exploded view of
+    :func:`_doc_shingle_arrays` for consumers that need cross-doc
+    per-shingle relations (document frequency, contamination overlap).
+    ``persist`` caches the compact arrays relation; the explode itself
+    is a free narrow op on top of it."""
+    arr = _doc_shingle_arrays(spark, sf_dir, persist=persist)
+    return arr.select("doc_id", F.explode("shs").alias("sh"))
 
 
 #: DuckDB CTEs mirroring :func:`_shingle_hashes` (sh) + per-doc set sizes.
@@ -202,53 +217,58 @@ _JACCARD_VERIFY_SQL = f"""
 """
 
 
-def _doc_shingle_sets(sh: DataFrame) -> DataFrame:
-    """(doc_id, shs: sorted array<long>, n) — each doc's distinct shingle
-    hashes packed into one row. The exact-Jaccard verify joins candidate
-    pairs against this ONCE per side on doc_id alone (no per-shingle row
-    explosion) and intersects the arrays JVM-side; per-doc set size is
-    bounded by document length, so the row stays KB-scale at any corpus
-    size."""
-    from pyspark import StorageLevel
-
-    return (
-        sh.groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list("sh")).alias("shs"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)  # consumed by both join sides
-    )
-
-
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs at/above threshold — shared by the
     pair query and the cluster-resolution query.
 
-    Candidate generation skips shingles with document frequency above
-    DF_CAP (a shingle in k docs contributes k^2 join rows; ultra-common
-    shingles carry no near-dup signal), which bounds the self-join at
-    DF_CAP * |shingle rows|. Scores are then verified EXACTLY via
-    array_intersect over the full per-doc shingle sets — two doc_id
-    equality joins of |cand| rows, instead of re-exploding every
-    candidate by its shingles (the round-1 shape, which cost
-    |cand| x shingles-per-doc join rows)."""
-    sh = _shingle_hashes(spark, sf_dir, persist=True)
-    sets = _doc_shingle_sets(sh)
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= DF_CAP)
-        .select("sh")
+    Pair proposal is PREFIX-FILTERED (PPJoin / AllPairs, Bayardo et al.
+    WWW'07): in a global shingle order (ascending document frequency,
+    then hash), a pair with full-set Jaccard >= t MUST share one of the
+    first ``r - ceil(t*n - ncom) + 1`` rare shingles of each side
+    (n = full set size, r = rare shingles, ncom = n - r above DF_CAP;
+    J >= t implies overlap >= t*n per side, of which at most ncom can be
+    above-cap). So only those prefixes enter the self-join — ~25x fewer
+    rows than all rare shingles at t=0.8, and the prefixes are by
+    construction the LOWEST-df shingles, so join fan-out collapses.
+    Shingles with df > DF_CAP never propose pairs (each contributes
+    O(df^2) join rows for near-zero signal) — mirrored in the oracle.
+
+    Candidates then pass an exact size-ratio prune (J <= least(n_a,n_b)
+    / greatest(n_a,n_b)) on slim stats before the verify join computes
+    exact Jaccard via array_intersect over the full per-doc shingle
+    sets — two doc_id equality joins, no per-shingle row explosion.
+    Every step is lossless w.r.t. the capped-generate-then-verify
+    oracle, which stays in its plain form."""
+    from pyspark.sql import Window
+
+    sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
+    sh = sets.select("doc_id", F.explode("shs").alias("sh"))
+    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    shd = sh.join(sdf, "sh")
+    # One doc_id shuffle serves both the per-doc stats (window aggs) and
+    # the prefix rank (row_number over the rare rows, same partitioning).
+    w_all = Window.partitionBy("doc_id")
+    shd = shd.withColumn("n", F.count(F.lit(1)).over(w_all)).withColumn(
+        "ncom", F.sum(F.when(F.col("df") > DF_CAP, 1).otherwise(0)).over(w_all)
     )
-    shr = sh.join(rare, "sh")
-    # Pair proposal: equality self-join on the rare-shingle key. (A
-    # groupBy-then-nested-array-transform expansion was measured SLOWER
-    # here — the generate path falls out of whole-stage codegen — so the
-    # plain hash self-join stays.)
-    a, b = shr.alias("a"), shr.alias("b")
+    t = JACCARD_THRESHOLD
+    w_rare = Window.partitionBy("doc_id").orderBy("df", "sh")
+    k = F.greatest(F.ceil(F.lit(t) * F.col("n") - F.col("ncom")), F.lit(1))
+    prefix = (
+        shd.where(F.col("df") <= DF_CAP)
+        .withColumn("rk", F.row_number().over(w_rare))
+        .where(F.col("rk") <= (F.col("n") - F.col("ncom")) - k + 1)
+        .select("doc_id", "sh", "n")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(
+            # Size-ratio prune inline — n rides along on the prefix rows,
+            # so no extra stats join is needed.
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -479,13 +499,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted >=0.9 pairs, ~0.03 at s=0.25), so the verify join touches a
     vanishing fraction of the n^2 pair space. Deterministic portable
     hashing (porthash.py) => the DuckDB oracle runs the same algorithm.
+
+    Signatures are computed doc-locally (array_min over a transform of
+    the packed shingle set) — zero shuffles before the banding join;
+    the verify intersects the full shingle arrays per candidate pair,
+    so reported Jaccard scores are exact, not estimates.
     """
-    sh = _shingle_hashes(spark, sf_dir, persist=True)
-    mh = sh.groupBy("doc_id").agg(
-        *[F.min(perm(i, F.col("sh"))).alias(f"mh{i}") for i in range(N_PERMS)],
-        F.count(F.lit(1)).alias("n"),
+    arr = _doc_shingle_arrays(spark, sf_dir, persist=True)
+    mh = arr.where(F.col("n") > 0).select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("shs", lambda x: perm(i, x))).alias(f"mh{i}")
+            for i in range(N_PERMS)
+        ],
     )
-    sizes = mh.select("doc_id", "n")
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -513,23 +540,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    pairs = (
-        cand.join(sh.alias("sa_sh"), F.col("doc_a") == F.col("sa_sh.doc_id"))
-        .join(
-            sh.alias("sb_sh"),
-            (F.col("doc_b") == F.col("sb_sh.doc_id"))
-            & (F.col("sa_sh.sh") == F.col("sb_sh.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    shared = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    scored = (
+        cand.join(arr.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(arr.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("shared", shared)
     )
     jac = F.col("shared").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("shared")
     ).cast("double")
     return (
-        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= JACCARD_THRESHOLD)
+        scored.where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
