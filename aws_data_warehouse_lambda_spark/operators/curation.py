@@ -42,9 +42,8 @@ from ..sources.tables import load_table
 from .dedup import (
     _JACCARD_PAIRS_SQL,
     _SHINGLE_SQL,
-    _jaccard_pairs,
     _shingle_hashes,
-    connected_components,
+    component_labels,
 )
 from .registry import query
 from .text import STOPWORDS_RE, _count, _count_sql
@@ -349,11 +348,10 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star connected components -> keeper = min doc_id
     per cluster; docs in no pair keep themselves. This is the table a
     100 TB pipeline writes back and anti-joins training shards
-    against."""
-    pairs = _jaccard_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    labels = connected_components(pairs)
+    against. The labeled-components relation is shared with
+    q_dedup_clusters (dedup.component_labels, persisted + memoized) —
+    one pair-generation + CC fixpoint serves both consumers."""
+    labels = component_labels(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     cluster = F.coalesce(F.col("label"), F.col("doc_id"))
     return (

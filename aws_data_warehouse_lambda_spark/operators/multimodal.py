@@ -130,9 +130,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            round(mx, 6) AS max_abs,
-           list_transform(embedding,
-                          v -> CAST(round(CAST(v AS DOUBLE) / mx * 127) AS INT))
-               AS qvec
+           array_to_string(
+               list_transform(embedding,
+                              v -> CAST(round(CAST(v AS DOUBLE) / mx * 127) AS INT)),
+               ',') AS qvec
     FROM (
         SELECT vec_id, embedding,
                list_max(list_transform(embedding,
@@ -147,7 +148,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     absmax scaling, the storage-shrink step before shipping vectors to
     an ANN index): qvec = round(x / max|x| * 127). 4x smaller on disk
     and in shuffle; all JVM array transforms, no Python. Dequantize is
-    the inverse transform with the carried max_abs scale."""
+    the inverse transform with the carried max_abs scale. The int8
+    vector is emitted comma-joined (driver canonicalization hashes
+    scalars, not arrays); a downstream consumer keeps the array form."""
     emb = load_table(spark, sf_dir, "embeddings")
     v_abs = F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
     scaled = emb.select("vec_id", "embedding", F.array_max(v_abs).alias("mx"))
@@ -156,7 +159,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda v: F.round(v.cast("double") / F.col("mx") * 127).cast("int"),
     )
     return scaled.select(
-        "vec_id", F.round("mx", 6).alias("max_abs"), qvec.alias("qvec")
+        "vec_id",
+        F.round("mx", 6).alias("max_abs"),
+        F.array_join(qvec, ",").alias("qvec"),
     ).orderBy("vec_id")
 
 
@@ -167,10 +172,11 @@ FRAME_STRIDE = 8  # keep every 8th element of the 64-dim "clip"
     "q_frame_sample",
     oracle=f"""
     SELECT vec_id, label,
-           list_transform(
-               range(1, len(embedding) + 1, {FRAME_STRIDE}),
-               i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
-           ) AS sampled_q
+           array_to_string(
+               list_transform(
+                   range(1, len(embedding) + 1, {FRAME_STRIDE}),
+                   i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+               ), ',') AS sampled_q
     FROM embeddings
     ORDER BY vec_id
     """,
@@ -179,15 +185,21 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for array-typed media: keep every k-th element of
     a fixed-rate buffer (the video keyframe / audio downsample shape).
     Values are quantized to int(1e4 * x) so the comparison is exact;
-    the slice itself is a JVM transform over the array — no Python."""
+    the slice itself is a JVM transform over the array — no Python.
+    Sampled frames are emitted comma-joined (driver canonicalization
+    hashes scalars, not arrays)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = F.size("embedding")
     return emb.select(
         "vec_id",
         "label",
-        F.transform(
-            F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE)),
-            lambda i: F.round(F.element_at("embedding", i).cast("double") * 10000)
-            .cast("bigint"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE)),
+                lambda i: F.round(
+                    F.element_at("embedding", i).cast("double") * 10000
+                ).cast("bigint"),
+            ),
+            ",",
         ).alias("sampled_q"),
     ).orderBy("vec_id")

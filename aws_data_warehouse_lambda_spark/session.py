@@ -31,9 +31,12 @@ RUNTIME_CONF: dict[str, str] = {
     # Dimension tables (region/nation/customer/supplier/part at our SFs)
     # should broadcast; 64MB is generous locally and sane on a cluster.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # The events fixture stores TIMESTAMP(NANOS) parquet, which Spark
-    # rejects outright; read the raw int64 nanos and let
-    # sources.tables.load_table convert to microsecond timestamps.
+    # Defensive: if a fixture is ever (re)generated with TIMESTAMP(NANOS)
+    # parquet — which Spark rejects outright — read the raw int64 nanos
+    # and let sources.tables.load_table convert to microsecond
+    # timestamps. The CURRENT driver fixtures are all timestamp[us]
+    # (verified via parquet footers; pinned by a conftest assertion), so
+    # this conf is inert today: the loaders branch on the observed dtype.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

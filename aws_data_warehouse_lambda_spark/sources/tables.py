@@ -36,10 +36,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-#: Columns stored as TIMESTAMP(NANOS) parquet, which Spark has no native
-#: type for. With spark.sql.legacy.parquet.nanosAsLong (session.py) they
-#: arrive as int64 nanos; we truncate to microsecond TimestampType —
-#: the same ns->us truncation DuckDB applies, keeping oracle parity.
+#: Columns that WOULD arrive as int64 nanos if a fixture were ever
+#: regenerated as TIMESTAMP(NANOS) parquet (Spark has no native type for
+#: it; spark.sql.legacy.parquet.nanosAsLong in session.py surfaces the
+#: raw int64, and we truncate to microsecond timestamps — the same
+#: ns->us truncation DuckDB applies). The CURRENT fixtures store
+#: timestamp[us] at every scale factor (pinned by a conftest assertion),
+#: so the conversion below is dtype-guarded and inert today.
 _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 

@@ -29,20 +29,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.numeric import dsum
-
-#: events.parquet as stored on disk: ts is TIMESTAMP(NANOS), which the
-#: session reads as int64 nanos (spark.sql.legacy.parquet.nanosAsLong,
-#: session.py) — streaming sources need the schema declared up front.
-EVENTS_DISK_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.tables import table_path
 
 SESSION_GAP_MIN = 30
 
@@ -50,17 +37,36 @@ _sink_ids = itertools.count()
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events fixture (ns -> µs timestamp),
-    the same coercion the batch loader applies (sources/tables.py)."""
+    """File-source stream of the events fixture.
+
+    Streaming sources need the schema declared up front, so it is
+    DERIVED from the footer of the actual fixture (one batch-read of
+    metadata) rather than hardcoded — a hardcoded disk schema rotted
+    once already when the fixture's physical type changed (int64 nanos
+    -> timestamp[us]), silently collapsing 30 days of events into 43
+    minutes. If the footer ever says int64 again (a TIMESTAMP(NANOS)
+    writer under spark.sql.legacy.parquet.nanosAsLong), the same ns->µs
+    truncation the batch loader applies (sources/tables.py) kicks in;
+    with the current timestamp[us] fixtures this is a no-op branch.
+    """
     # The file source wants a directory; the fixture is a single file, so
     # stream the sf_dir with a glob pinned to the events table.
+    disk_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = (
-        spark.readStream.schema(EVENTS_DISK_SCHEMA)
+        spark.readStream.schema(disk_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = disk_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # withWatermark demands TIMESTAMP (with local tz); the session tz
+        # is pinned to UTC (session.py), so this cast is a pure
+        # reinterpretation matching the oracle's naive-UTC semantics.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,6 +7,27 @@ from aws_data_warehouse_lambda_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
+#: Physical parquet types the loaders are written to handle for the
+#: event-time column. The round-2 regression happened because a doc
+#: claimed timestamp[ns] while the fixture stored timestamp[us] and a
+#: streaming schema was hardcoded to the doc — so the expectation is now
+#: pinned here and the suite fails LOUDLY if the driver ever regenerates
+#: fixtures with a physical type outside the handled set.
+_HANDLED_TS_TYPES = {"timestamp[us]", "timestamp[ns]", "timestamp[ms]", "int64"}
+
+
+@pytest.fixture(scope="session", autouse=True)
+def pinned_fixture_dtypes():
+    import pyarrow.parquet as pq
+
+    for sf in (SF_SMOKE, SF_ORACLE):
+        t = str(pq.read_schema(f"{sf}/events.parquet").field("ts").type)
+        assert t in _HANDLED_TS_TYPES, (
+            f"{sf}/events.parquet stores ts as {t}, outside the handled set "
+            f"{sorted(_HANDLED_TS_TYPES)} — update sources/tables.py and "
+            "streaming/jobs.py dtype branches before trusting any result"
+        )
+
 
 @pytest.fixture(scope="session")
 def spark():

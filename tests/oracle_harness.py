@@ -67,8 +67,29 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
         assert a == b, f"{name}: first differing row #{i}:\n  spark ={a}\n  oracle={b}"
 
 
+def assert_driver_hashable(df, name: str) -> None:
+    """The driver canonicalizer sorts+hashes cell values with pandas,
+    which dies on numpy arrays (`TypeError: unhashable type`) — the
+    failure class that hit q_percentiles (r1) and q_dedup_clusters /
+    q_embedding_quantize (r2). No query may emit a top-level
+    array/map/struct column; emit ``array_join(col, ',')`` instead."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert bad == [], (
+        f"{name}: driver-unhashable top-level columns {bad}; "
+        "project to scalars (array_join) before returning"
+    )
+
+
 def run_parity(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
-    sdf = query_fn(spark, sf_dir).toPandas()
+    spark_result = query_fn(spark, sf_dir)
+    assert_driver_hashable(spark_result, name)
+    sdf = spark_result.toPandas()
     con = duckdb_con(sf_dir)
     try:
         odf = con.execute(oracle).df()

@@ -8,7 +8,7 @@ import pytest
 import __spark_entry__ as entrymod
 
 from .conftest import SF_ORACLE
-from .oracle_harness import run_parity
+from .oracle_harness import assert_driver_hashable, run_parity
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
@@ -26,5 +26,6 @@ def test_oracle_parity(spark, name):
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(spark, name):
     df = _QUERIES[name](spark, SF_ORACLE)
+    assert_driver_hashable(df, name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
