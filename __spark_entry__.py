@@ -21,66 +21,31 @@ from aws_data_warehouse_lambda_spark.operators.registry import ORACLES, QUERIES
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver oracle-checks a bounded prefix of the registry (~50 entries
-# in round 1), so order matters: queries that have not yet earned a
-# driver CORRECTNESS row go FIRST. Everything else follows in
+# per round), so order matters: queries that need a FRESH driver
+# CORRECTNESS row this round go FIRST. Everything else follows in
 # registration order and stays covered by the repo's local replica of
-# the same gate (tests/test_oracle_parity.py, all 90+ oracles).
+# the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # round-1 err (output shape fixed this round) — needs a fresh row
-    "q_percentiles",
-    # registry positions 51-94 in round 1: never driver-checked
-    "q_union_all_counts",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_case",
-    "q_null_semantics",
-    "q_json_extract",
-    "q_json_agg",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_pivot_event_types",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
+    # never driver-checked (deferred from the round-2 window)
+    "q_frame_sample",
+    # erred in r2 (raw array outputs; stringified this round)
     "q_dedup_clusters",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    "q_sim_topk_bruteforce",
-    "q_sim_lsh_bucketed",
-    "q_sim_ivf",
-    "q_text_langid",
-    "q_text_quality",
-    "q_token_stats",
-    "q_ngram_topk",
-    "q_tfidf",
-    "q_text_fingerprint",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_histogram",
-    "q_multimodal_features",
     "q_embedding_quantize",
-    # q_frame_sample deferred to round 3 (window holds 50; it is the
-    # lowest-risk deferral: pure JVM array transform, local oracle pass)
+    # wrong in r2 (streaming timestamp-unit bug; fixed this round)
     "q_stream_tumbling",
     "q_stream_sliding",
-    "q_stream_dedup",
     "q_stream_stream_join",
     "q_stream_sessionize",
     "q_stream_session_window",
-    "q_pandas_udf_scalar",
-    "q_pandas_udf_grouped_agg",
-    "q_pandas_udf_iterator",
-    "q_udtf_chunks",
-    # round-2 additions (operators/curation.py): new, so no row yet
-    "q_quality_filter",
-    "q_repetition",
-    "q_contamination",
-    "q_split_assign",
-    "q_embedding_centroids",
-    "q_dedup_keep_list",
+    "q_stream_dedup",  # passed r2, but the source schema path changed
+    # no_oracle in r1/r2; now emit exact values + in-band accuracy
+    # certificates, so a real hash row is possible for the first time
+    "q_approx_distinct",
+    "q_hll_mergeable",
+    "q_percentiles",
+    # implementations reworked this round -> want fresh rows
+    "q_join_salted",  # hot-key-only two-phase salting
+    "q_dedup_keep_list",  # shares the persisted CC relation now
 ]
 
 

@@ -1,4 +1,4 @@
-"""Skew-safe joins: explicit key salting.
+"""Skew-safe joins: two-phase hot-key-only salting.
 
 AQE's skew-join splitting (on in session.py) handles most skew at
 runtime by splitting oversized partitions, but it only applies to
@@ -7,11 +7,24 @@ hot key must be spread BEFORE the shuffle — streaming-static joins,
 aggregate-after-join pipelines, or a key so hot one task would still OOM
 after AQE splits (the classic null-key / default-value skew).
 
-Mechanics: the big (skewed) side gets a salt in [0, n) derived from a
-uniformly-distributing column, widening each hot key into n shuffle
-keys; the small side is replicated n times with every salt value; the
-join keys on (key, salt). Results are identical to the unsalted join;
-cost is n-fold replication of the SMALL side only.
+Mechanics (two-phase):
+
+1. **Detect.** Hot keys are found from a deterministic sample of the big
+   side: estimated rows-per-key >= ``hot_row_threshold``. The hot-key
+   relation is tiny by construction (keys hot enough to matter are few)
+   and is broadcast.
+2. **Split + salt.** Only big-side rows carrying a hot key get a salt in
+   ``[0, n_salts)`` (hashed from a within-key-varying column), and only
+   the small side's HOT rows are replicated ``n_salts`` times. Cold keys
+   take the plain join untouched. The two joins union.
+
+Results are identical to the unsalted join — detection misses (a hot key
+absent from the sample) only cost performance, never correctness,
+because missed keys ride the plain path. Replication cost is
+``n_salts x |small-side hot rows|`` instead of ``n_salts x |small
+side|``: the blanket form this replaces cost 7x a plain broadcast join
+on an UNSKEWED input, while this form prices at ~the plain join plus a
+sampled count when no key is hot.
 """
 
 from __future__ import annotations
@@ -20,34 +33,84 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+HOT_KEY_COL = "__hot_key"
+
+
+def hot_keys(
+    big: DataFrame,
+    key: Column,
+    *,
+    hot_row_threshold: int,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Single-column relation of ``big``'s join keys whose estimated row
+    count is at least ``hot_row_threshold``.
+
+    At 100 TB pass ``sample_fraction`` < 1: a 1-5% Bernoulli sample
+    bounds the detection scan while a genuinely hot key (millions of
+    rows) still surfaces with near-certainty; counts are scaled by
+    1/fraction before thresholding. The sample is seeded, so the hot
+    set — and therefore the physical plan — is deterministic run-over-
+    run."""
+    src = big
+    scale = 1.0
+    if sample_fraction < 1.0:
+        src = big.sample(fraction=sample_fraction, seed=seed)
+        scale = 1.0 / sample_fraction
+    return (
+        src.groupBy(key.alias(HOT_KEY_COL))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") * F.lit(scale) >= F.lit(float(hot_row_threshold)))
+        .select(HOT_KEY_COL)
+    )
 
 
 def salted_join(
     big: DataFrame,
     small: DataFrame,
-    on: Column,
     *,
+    big_key: Column,
+    small_key: Column,
     distribute_by: Column,
     n_salts: int = 16,
-    how: str = "inner",
+    hot_row_threshold: int = 100_000,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
-    """Join ``big`` to ``small`` on the equi-condition ``on``, salting
-    ``big`` so a hot join key spreads over ``n_salts`` shuffle partitions.
+    """Inner-join ``big`` to ``small`` on ``big_key == small_key``,
+    salting ONLY detected-hot keys (see module docstring).
 
     ``distribute_by`` must be a column of ``big`` that varies WITHIN a
     join key (a row id, an event id) — the salt is a hash of it, so rows
-    of one hot key scatter while remaining deterministic run-to-run.
+    of one hot key scatter over ``n_salts`` shuffle keys while remaining
+    deterministic run-to-run.
     """
-    salted_big = big.withColumn(
+    hot = hot_keys(
+        big,
+        big_key,
+        hot_row_threshold=hot_row_threshold,
+        sample_fraction=sample_fraction,
+    )
+    on_hot = big_key == F.col(HOT_KEY_COL)
+    big_hot = big.join(F.broadcast(hot), on_hot, "semi")
+    big_cold = big.join(F.broadcast(hot), on_hot, "anti")
+    small_hot = small.join(
+        F.broadcast(hot), small_key == F.col(HOT_KEY_COL), "semi"
+    )
+
+    salted_big = big_hot.withColumn(
         SALT_COL, F.pmod(F.xxhash64(distribute_by), F.lit(n_salts))
     )
-    salted_small = small.withColumn(
-        SALT_COL,
-        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    salted_small = small_hot.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    joined = salted_big.join(
+    hot_joined = salted_big.join(
         salted_small,
-        on & (salted_big[SALT_COL] == salted_small[SALT_COL]),
-        how,
-    )
-    return joined.drop(SALT_COL)
+        (big_key == small_key) & (salted_big[SALT_COL] == salted_small[SALT_COL]),
+        "inner",
+    ).drop(SALT_COL)
+    cold_joined = big_cold.join(small, big_key == small_key, "inner")
+    # Positional union: both legs are (big columns ++ small columns) in
+    # identical order, and a joined relation may legally carry duplicate
+    # names (e.g. the key on both sides) that unionByName would reject.
+    return hot_joined.union(cold_joined)

@@ -129,23 +129,89 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # no oracle: HLL sketches are engine-specific
+#: Relative-error budget for the sketch queries' self-check columns.
+#: Spark's HLL++ runs at rsd=0.02 and percentile_approx at accuracy
+#: 10000, both far inside 5% on these cardinalities; the flag turning
+#: false is a real estimator failure, not noise.
+SKETCH_RTOL = 0.05
+
+
+@query(
+    "q_approx_distinct",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           abs(CAST(approx_count_distinct(o_custkey) AS DOUBLE)
+               - CAST(count(DISTINCT o_custkey) AS DOUBLE))
+               <= {SKETCH_RTOL} * CAST(count(DISTINCT o_custkey) AS DOUBLE)
+               AS approx_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the scale path for distinct
-    counts — one pass, fixed memory, no distinct expansion. Rows-only
-    driver check; accuracy asserted vs exact counts in unit tests."""
+    counts — one pass, fixed memory, no distinct expansion.
+
+    Raw HLL estimates are engine-specific and can never hash-match an
+    oracle, so the driver-checkable form emits the EXACT distinct count
+    plus ``approx_ok`` — each engine asserting its own sketch lands
+    within SKETCH_RTOL of exact. The hash compare then verifies group
+    keys, exact counts, and that both estimators honored their error
+    budget (Spark HLL++ at rsd=0.02; DuckDB's HLL on its side)."""
+    exact = F.countDistinct("o_custkey").cast("bigint")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            exact.alias("exact_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+            approx.alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(
+                    F.col("_approx").cast("double")
+                    - F.col("exact_customers").cast("double")
+                )
+                <= SKETCH_RTOL * F.col("exact_customers").cast("double")
+            ).alias("approx_ok"),
         )
         .orderBy("o_orderpriority")
     )
 
 
-@query("q_hll_mergeable")  # no oracle: Datasketches HLL is engine-specific
+@query(
+    "q_hll_mergeable",
+    oracle=f"""
+    WITH per_grp AS (
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               abs(CAST(approx_count_distinct(o_custkey) AS DOUBLE)
+                   - CAST(count(DISTINCT o_custkey) AS DOUBLE))
+                   <= {SKETCH_RTOL} * CAST(count(DISTINCT o_custkey) AS DOUBLE)
+                   AS approx_ok
+        FROM orders GROUP BY o_orderpriority
+    ),
+    all_row AS (
+        SELECT 'ALL' AS o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               abs(CAST(approx_count_distinct(o_custkey) AS DOUBLE)
+                   - CAST(count(DISTINCT o_custkey) AS DOUBLE))
+                   <= {SKETCH_RTOL} * CAST(count(DISTINCT o_custkey) AS DOUBLE)
+                   AS approx_ok
+        FROM orders
+    )
+    SELECT * FROM per_grp UNION ALL SELECT * FROM all_row
+    ORDER BY o_orderpriority
+    """,
+)
 def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache Datasketches): build one sketch of
     distinct customers per order priority, then UNION the finished
@@ -153,44 +219,97 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching the raw rows again. This mergeability is the whole 100 TB
     story: per-partition/per-day sketches land in a summary table and
     any rollup (week, month, all) is a sketch union over tiny blobs.
-    Rows-only driver check; accuracy vs exact distinct is unit-tested
-    (test_extensions.py)."""
-    per_grp = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.hll_sketch_agg("o_custkey").alias("sk"),
-            F.count(F.lit(1)).alias("n_orders"),
+
+    Driver-checkable form: exact distinct counts ride along and
+    ``approx_ok`` asserts the sketch estimate (per group, and the
+    MERGED-sketch estimate for the ALL row) is within SKETCH_RTOL of
+    exact. DuckDB has no mergeable-sketch SQL surface, so its ALL row
+    checks a whole-table HLL instead — each engine certifies its own
+    estimator, the hash compares keys + exact values + both
+    certificates."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_grp = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ok = (
+        F.abs(
+            F.hll_sketch_estimate("sk").cast("double")
+            - F.col("exact_customers").cast("double")
         )
+        <= SKETCH_RTOL * F.col("exact_customers").cast("double")
     )
     per_grp_est = per_grp.select(
-        "o_orderpriority",
-        F.hll_sketch_estimate("sk").alias("approx_customers"),
-        "n_orders",
+        "o_orderpriority", "exact_customers", "n_orders", ok.alias("approx_ok")
     )
-    union_est = per_grp.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
-        F.sum("n_orders").alias("n_orders"),
-    ).select(F.lit("ALL").alias("o_orderpriority"), "approx_customers", "n_orders")
+    merged = per_grp.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )
+    exact_all = orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers")
+    )
+    union_est = merged.crossJoin(exact_all).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        "exact_customers",
+        "n_orders",
+        (
+            F.abs(
+                F.col("_approx").cast("double")
+                - F.col("exact_customers").cast("double")
+            )
+            <= SKETCH_RTOL * F.col("exact_customers").cast("double")
+        ).alias("approx_ok"),
+    )
     return per_grp_est.unionByName(union_est).orderBy("o_orderpriority")
 
 
-@query("q_percentiles")  # no oracle: approx_percentile sketch is engine-specific
+@query(
+    "q_percentiles",
+    oracle=f"""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+           abs(approx_quantile(o_totalprice, 0.5)
+               - quantile_cont(o_totalprice, 0.5))
+               <= {SKETCH_RTOL} * quantile_cont(o_totalprice, 0.5) AS approx_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile over order totals per priority (KLL-style sketch;
-    DuckDB's quantile algorithms differ, so rows-only). Projected to
-    scalar double columns (not one array column): the driver's
-    canonicalizer sorts column values and cannot hash arrays."""
+    """approx_percentile (KLL-style sketch) over order totals, checked
+    in-query against the exact interpolated percentiles.
+
+    Raw sketch outputs differ per engine (Spark GK/KLL vs DuckDB
+    t-digest), so the driver-checkable form emits the EXACT p50/p95/p99
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, both linear
+    interpolation — bit-matching is proven by q_percentiles_exact) plus
+    ``approx_ok``: each engine asserts its own median sketch is within
+    SKETCH_RTOL of exact. Scalar double columns only (the driver's
+    canonicalizer cannot hash arrays)."""
     pcts = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
+    exact = lambda p: F.percentile("o_totalprice", F.lit(p))  # noqa: E731
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(pcts.alias("pcts"))
+        .agg(
+            F.round(exact(0.5), 6).alias("p50"),
+            F.round(exact(0.95), 6).alias("p95"),
+            F.round(exact(0.99), 6).alias("p99"),
+            pcts.alias("_pcts"),
+            exact(0.5).alias("_p50_raw"),
+        )
         .select(
             "o_orderpriority",
-            F.element_at("pcts", 1).alias("p50"),
-            F.element_at("pcts", 2).alias("p95"),
-            F.element_at("pcts", 3).alias("p99"),
+            "p50",
+            "p95",
+            "p99",
+            (
+                F.abs(F.element_at("_pcts", 1) - F.col("_p50_raw"))
+                <= SKETCH_RTOL * F.col("_p50_raw")
+            ).alias("approx_ok"),
         )
         .orderBy("o_orderpriority")
     )

@@ -274,22 +274,31 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicitly salted fact join (functions/skew.py): lineitem's join
-    key is widened over 16 salts (hash of l_linenumber+l_partkey varies
-    within an order), orders replicated 16x — a hot orderkey spreads
-    over 16 shuffle partitions instead of one task. The oracle is the
-    PLAIN join: salting must not change results, which is exactly what
-    the hash-compare proves. Use when a key is so hot AQE's skew split
-    (sort-merge-only, same-stage-only) can't help — e.g. the null-key /
-    default-value skew on a streaming-static join."""
+    """Two-phase hot-key salted fact join (functions/skew.py): keys
+    whose sampled frequency clears the threshold are widened over 16
+    salts (hash of l_linenumber+l_partkey varies within an order) with
+    the orders side replicated 16x FOR THOSE KEYS ONLY; every other key
+    takes the plain join, and the two legs union. On this unskewed
+    fixture the hot set is empty, so the plan prices at ~the plain join
+    plus a sampled count — the blanket 16x replication this replaces
+    cost 7x the plain join. The oracle is the PLAIN join: salting must
+    not change results, which is exactly what the hash-compare proves.
+    Use when a key is so hot AQE's skew split (sort-merge-only,
+    same-stage-only) can't help — e.g. the null-key / default-value
+    skew on a streaming-static join."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     joined = salted_join(
         li,
         o,
-        on=li.l_orderkey == o.o_orderkey,
+        big_key=li.l_orderkey,
+        small_key=o.o_orderkey,
         distribute_by=F.concat_ws("-", li.l_linenumber, li.l_partkey),
         n_salts=16,
+        # ~7 lineitems/order is normal; 64+ estimated rows on one key
+        # marks real skew at any sf. Detection runs on a 10% sample.
+        hot_row_threshold=64,
+        sample_fraction=0.1,
     )
     return (
         joined.groupBy("o_orderpriority")

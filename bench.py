@@ -74,22 +74,29 @@ def main() -> None:
     # Warm-up: run the flagship once to pay JVM/codegen/parquet-footer costs.
     queries[names[0]](spark, SF_DIR).count()
 
-    # min of 2 runs: the first pays per-query codegen/JIT compilation,
-    # which a long-running cluster amortizes away; the min is the
-    # steady-state number the 100 TB estimate scales from.
-    def time_queries(qnames: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
+    N_RUNS = 3
+
+    # Median of 3 runs (VERDICT r2 #8: n>=3 so "no regression >1.5x" is
+    # actually checkable): the first run pays per-query codegen/JIT that
+    # a long-running cluster amortizes away, the median is robust to
+    # both that and one-off GC stalls. Spread (max-min) rides along so
+    # round-over-round deltas can be judged against run noise.
+    def time_queries(qnames: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        med: dict[str, float] = {}
+        spread: dict[str, float] = {}
         for name in qnames:
-            best = float("inf")
-            for _ in range(2):
+            runs = []
+            for _ in range(N_RUNS):
                 t0 = time.perf_counter()
                 queries[name](spark, SF_DIR).count()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
-        return out
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            med[name] = round(runs[len(runs) // 2], 3)
+            spread[name] = round(runs[-1] - runs[0], 3)
+        return med, spread
 
-    timings = time_queries(names)
-    tail = time_queries([n for n in TAIL if n in queries])
+    timings, spreads = time_queries(names)
+    tail, tail_spreads = time_queries([n for n in TAIL if n in queries])
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
@@ -99,8 +106,12 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "runs_per_query": N_RUNS,
+                "stat": "median",
                 "queries": timings,
+                "spread": spreads,
                 "tail": tail,
+                "tail_spread": tail_spreads,
                 "tail_total": round(sum(tail.values()), 3),
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

@@ -1,11 +1,17 @@
-"""salted_join must be result-identical to the plain join while turning
-one hot key into n_salts shuffle keys."""
+"""Two-phase salted_join must be result-identical to the plain join,
+salt ONLY detected-hot keys, and leave unskewed inputs on the plain
+path."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from aws_data_warehouse_lambda_spark.functions.skew import SALT_COL, salted_join
+from aws_data_warehouse_lambda_spark.functions.skew import (
+    HOT_KEY_COL,
+    SALT_COL,
+    hot_keys,
+    salted_join,
+)
 from aws_data_warehouse_lambda_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -27,18 +33,46 @@ def test_salted_join_matches_plain_join(spark) -> None:
         .withColumn("segment", F.pmod("user_id", F.lit(3)))
     )
     plain = events.join(users, "user_id").groupBy("segment").count()
+    e, u = events.alias("e"), users.alias("u")
     salted = (
         salted_join(
-            events.alias("e"),
-            users.alias("u"),
-            F.col("e.user_id") == F.col("u.user_id"),
+            e,
+            u,
+            big_key=F.col("e.user_id"),
+            small_key=F.col("u.user_id"),
             distribute_by=F.col("e.event_id"),
             n_salts=8,
+            hot_row_threshold=100,
         )
         .groupBy("segment")
         .count()
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_hot_key_detection(spark) -> None:
+    """Only the folded hot key clears the threshold; an unskewed input
+    yields an empty hot set (=> the join degenerates to the plain path)."""
+    events = _skewed_events(spark)
+    hot = hot_keys(events, F.col("user_id"), hot_row_threshold=100)
+    assert [r[HOT_KEY_COL] for r in hot.collect()] == [1]
+
+    unskewed = load_table(spark, SF, "events").select("event_id", "user_id")
+    none_hot = hot_keys(unskewed, F.col("user_id"), hot_row_threshold=100)
+    assert none_hot.count() == 0
+
+
+def test_sampled_detection_finds_hot_key(spark) -> None:
+    """A genuinely hot key surfaces even from a Bernoulli sample (the
+    100 TB detection mode), with counts scaled back by 1/fraction."""
+    events = _skewed_events(spark)
+    hot = hot_keys(
+        events,
+        F.col("user_id"),
+        hot_row_threshold=100,
+        sample_fraction=0.25,
+    )
+    assert 1 in {r[HOT_KEY_COL] for r in hot.collect()}
 
 
 def test_salt_spreads_hot_key(spark) -> None:

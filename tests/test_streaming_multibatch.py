@@ -1,0 +1,213 @@
+"""Multi-micro-batch streaming evidence: watermark-driven late-data
+dropping and stream-stream join state expiry exercised ACROSS micro-
+batches within one run (VERDICT r2 #7).
+
+The single-file fixture drains in one AvailableNow batch, which never
+lets the watermark act between batches; here the source directory holds
+several files with strictly increasing mtimes and ``maxFilesPerTrigger
+= 1``, so one AvailableNow run processes them as separate micro-batches
+in order — the watermark set by batch N gates what batch N+1 may admit,
+exactly the steady-state behavior of a 24/7 deployment.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_MTIME_BASE = 1_700_000_000
+
+
+def _write_batch(spark, src_dir: str, seq: int, rows) -> None:
+    """Append one parquet file whose mtime is strictly increasing in
+    ``seq`` — the file source orders files by mtime, so each call
+    becomes its own micro-batch under maxFilesPerTrigger=1."""
+    before = set(pathlib.Path(src_dir).glob("part-*")) if os.path.isdir(src_dir) else set()
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    for f in set(pathlib.Path(src_dir).glob("part-*")) - before:
+        os.utime(f, (_MTIME_BASE + seq, _MTIME_BASE + seq))
+
+
+def _drain(stream_df, out_dir: str, ckpt_dir: str, mode: str):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_late_row_dropped_between_micro_batches(spark, tmp_path) -> None:
+    """Batch 1 advances the watermark past the hour-10 window; batch 2
+    emits+evicts that window; batch 3 carries a late hour-10 row that
+    the watermark must drop — all inside ONE AvailableNow run.
+
+    (The late-input filter runs with the watermark finalized by the
+    PREVIOUS batch — Spark's documented one-batch lag — so the drop is
+    observable from the batch after the window's emission onward;
+    verified empirically: without the intervening batch the late row
+    merges into still-live state and inflates the count to 3.)"""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_batch(
+        spark,
+        src,
+        1,
+        [
+            ("2024-03-01 10:05:00", 1, "click", 1.0),
+            ("2024-03-01 10:20:00", 2, "click", 1.0),
+            # Pushes watermark to 11:50 once batch 1 completes.
+            ("2024-03-01 12:00:00", 3, "view", 1.0),
+        ],
+    )
+    # Batch 2 runs under wm=11:50: hour-10 emits+evicts here.
+    _write_batch(spark, src, 2, [("2024-03-01 12:30:00", 6, "view", 1.0)])
+    _write_batch(
+        spark,
+        src,
+        3,
+        [
+            ("2024-03-01 10:40:00", 4, "click", 1.0),  # late: below watermark
+            ("2024-03-01 13:30:00", 5, "view", 1.0),  # fresh
+        ],
+    )
+    agg = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n")
+    )
+    q = _drain(agg, out, ckpt, "append")
+
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3, "maxFilesPerTrigger=1 must yield one batch per file"
+
+    rows = spark.read.parquet(out).collect()
+    hour10 = [r for r in rows if str(r.w_start) == "2024-03-01 10:00:00"]
+    # Exactly ONE finalized hour-10 click row, with the late row
+    # excluded — no duplicate emission, no resurrected window.
+    assert [(r.event_type, r.n) for r in hour10] == [("click", 2)]
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_stream_stream_join_state_expires_across_batches(spark, tmp_path) -> None:
+    """Interval-join state must be evicted once the watermark passes a
+    click's match horizon, and a late purchase must not resurrect it.
+
+    Batch 1: click+purchase pair inside the 30-min bound -> one match.
+    Batch 2: traffic 10 hours later -> watermark advances to ~19:00.
+    Batch 3: more fresh traffic -> the advanced watermark takes effect
+    (the late-input filter lags the advancing data by a batch — same
+    empirically-verified lag as the aggregation test above) and the old
+    click's state is swept.
+    Batch 4: a purchase timestamped inside the OLD click's interval but
+    arriving after eviction -> no match (and no unbounded state).
+    """
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_batch(
+        spark,
+        src,
+        1,
+        [
+            ("2024-03-01 10:00:00", 1, "click", 0.0),
+            ("2024-03-01 10:10:00", 1, "purchase", 9.99),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        2,
+        [
+            ("2024-03-01 20:00:00", 2, "click", 0.0),
+            ("2024-03-01 20:05:00", 2, "purchase", 5.0),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        3,
+        [
+            ("2024-03-01 20:30:00", 3, "click", 0.0),
+            ("2024-03-01 20:40:00", 3, "purchase", 7.0),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        4,
+        [
+            # In-interval for the 10:00 click, but the watermark is at
+            # ~19:00 by now: dropped at ingestion, state long evicted.
+            ("2024-03-01 10:15:00", 1, "purchase", 1.23),
+        ],
+    )
+    raw = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clicks = (
+        raw.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        raw.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    q = _drain(joined, out, ckpt, "append")
+
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 4, "expected one micro-batch per source file"
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted((r.c_user, float(r.purchase_value)) for r in rows) == [
+        (1, 9.99),
+        (2, 5.0),
+        (3, 7.0),
+    ]
+
+    # Bounded state: after the final batch the store holds only rows
+    # inside the watermark horizon (the hour-20 traffic), not every
+    # event ever seen — the 10:00 click and its pair are gone.
+    state_rows = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert state_rows <= 6, f"join state not bounded: {state_rows} rows"
