@@ -26,6 +26,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
+    # round-3 additions: no driver row yet
+    "q_pii_redact",
+    "q_boilerplate_spans",
+    "q_dedup_containment",
     # never driver-checked (deferred from the round-2 window)
     "q_frame_sample",
     # erred in r2 (raw array outputs; stringified this round)

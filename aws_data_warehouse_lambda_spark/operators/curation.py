@@ -3,7 +3,7 @@ pre-training corpus pipeline runs between raw extraction and training
 (SURVEY.md §2.C extension surface; the reference stops at extraction,
 /root/reference/src/db_extractor_full.py, so all of this is new).
 
-Six operators, all pure DataFrame plans:
+All pure DataFrame plans:
 
 ====================  =====================================================
 q_quality_filter      Gopher/C4-style rule battery (word count, mean word
@@ -26,6 +26,12 @@ q_embedding_centroids per-label mean embedding via posexplode -> avg by
 q_dedup_keep_list     end-to-end dedup decision: near-dup pairs -> (large-
                       star/small-star) connected components -> per-doc
                       keep/drop with cluster id, singletons kept.
+q_pii_redact          email/phone redaction with per-doc hit counts and a
+                      redacted-text md5 (byte-identical rewrite proven by
+                      the oracle); PII synthesized deterministically, the
+                      fixture corpus has none.
+q_boilerplate_spans   per-doc fraction of shingles that are corpus-common
+                      (df >= BOILER_DF) — the C4-style boilerplate stat.
 ====================  =====================================================
 
 Engine parity: hashing is the md5-derived h60 (functions/porthash.py),
@@ -62,6 +68,16 @@ CONTAM_FLAG_FRAC = 0.1
 #: Split assignment: pmod(h60('doc-'||id), 10) -> 0-7 train, 8 val, 9 test.
 SPLIT_BUCKETS = 10
 VAL_BUCKET, TEST_BUCKET = 8, 9
+
+#: PII patterns, limited to syntax Java regex and DuckDB's RE2 read
+#: identically (character classes, bounded repetition, literal +).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+#: Corpus-common shingle threshold for the boilerplate stat: a word
+#: 3-gram present in >= this many docs counts as boilerplate.
+BOILER_DF = 5
+BOILER_FLAG_FRAC = 0.5
 
 
 @query(
@@ -316,6 +332,106 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
         )
         .orderBy("label", "dim")
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM enriched
+    ORDER BY doc_id
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training corpus runs before
+    anything else: find and replace email addresses and phone numbers,
+    reporting per-doc hit counts and an md5 of the redacted text (so the
+    oracle proves the rewrite is byte-identical, not just counted).
+
+    The fixture corpus contains no organic PII, so PII-like fields are
+    SYNTHESIZED deterministically from doc_id (same technique as the
+    multimodal payloads) and the redaction regexes then do real work on
+    them. Single codegen'd scan, regexp_replace + regexp_extract_all all
+    JVM-side — at 100 TB this runs at scan throughput with zero shuffle
+    (output is row-local)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), 0))
+            .cast("int")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), 0))
+            .cast("int")
+            .alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_boilerplate_spans",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN sdf.df >= {BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common,
+           round(CAST(sum(CASE WHEN sdf.df >= {BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS common_frac,
+           CAST(sum(CASE WHEN sdf.df >= {BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) > {BOILER_FLAG_FRAC} AS flagged
+    FROM sh s JOIN sdf USING (sh)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (C4/CCNet-style): per doc, the fraction of
+    its distinct word-3-gram shingles that are corpus-common (document
+    frequency >= BOILER_DF) — headers, footers, and templated spans show
+    up as high common_frac. Shingle hashing is doc-local (shared compact
+    relation, functions/dedup); the df table is one groupBy on 60-bit
+    int keys and the join is hash-partitionable — no payload bytes ever
+    shuffle, so the plan survives a 100x corpus scale-up."""
+    sh = _shingle_hashes(spark, sf_dir)
+    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    common = F.sum(F.when(F.col("df") >= BOILER_DF, 1).otherwise(0))
+    frac = common.cast("double") / F.count(F.lit(1)).cast("double")
+    return (
+        sh.join(sdf, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            common.cast("bigint").alias("n_common"),
+            F.round(frac, 6).alias("common_frac"),
+            (frac > BOILER_FLAG_FRAC).alias("flagged"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -306,6 +306,84 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    shr AS (
+        SELECT s.doc_id, s.sh FROM sh s JOIN sdf USING (sh)
+        WHERE sdf.df <= {DF_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(p.shared AS DOUBLE)
+                 / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: shared / min(|A|, |B|) >= 0.9 over the
+    word-3-gram shingle sets — the asymmetric measure that catches a
+    document COPIED INTO a larger one, which symmetric Jaccard misses
+    (a 100-shingle doc embedded in a 1000-shingle doc has J ~= 0.1 but
+    containment 1.0). The quote/excerpt/aggregator-page case in a
+    training corpus.
+
+    Candidate generation shares the df-capped rare-shingle join with the
+    Jaccard referee but deliberately SKIPS the size-ratio prune and the
+    PPJoin prefix filter — both are Jaccard-specific bounds that would
+    drop exactly the asymmetric pairs this query exists to find. Cost
+    stays bounded at DF_CAP * |shingle rows|; the verify is the same
+    two-equality-join array_intersect over packed per-doc sets."""
+    sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
+    sh = sets.select("doc_id", F.explode("shs").alias("sh"))
+    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    shr = sh.join(sdf.where(F.col("df") <= DF_CAP), "sh").select("doc_id", "sh")
+    a, b = shr.alias("a"), shr.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shared = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    scored = (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("shared", shared)
+    )
+    cont = F.col("shared").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    ).cast("double")
+    return (
+        scored.where(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round: every node connects its strictly-larger
     neighbors to the minimum of its closed neighborhood.
