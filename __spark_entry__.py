@@ -30,6 +30,7 @@ _DRIVER_FIRST = [
     "q_pii_redact",
     "q_boilerplate_spans",
     "q_dedup_containment",
+    "q_kmeans_iter",
     # never driver-checked (deferred from the round-2 window)
     "q_frame_sample",
     # erred in r2 (raw array outputs; stringified this round)

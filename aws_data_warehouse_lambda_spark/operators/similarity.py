@@ -270,3 +270,158 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= IVF_TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means (Lloyd's) — the coarse-quantizer trainer for q_sim_ivf.
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+#: Squared L2 distance between a float embedding and a double centroid,
+#: as the same left fold both engines evaluate bit-identically
+#: (functions/vectors.py conventions: upcast before arithmetic, 0.0
+#: seed == DuckDB's seedless list_reduce because +0.0 is exact).
+_DIST2_SQL = (
+    "list_reduce(list_transform(range(1, len({e}) + 1), "
+    "i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) * (CAST({e}[i] AS DOUBLE) - {c}[i])), "
+    "(x, y) -> x + y)"
+)
+
+
+def _dist2(e, c):
+    return F.aggregate(
+        F.zip_with(
+            e, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_oracle() -> str:
+    from ..functions.numeric import dsum_expr
+    from ..functions.porthash import h60_sql
+
+    d = _DIST2_SQL.format(e="e.embedding", c="c.cent")
+
+    def assign(name: str, cent: str, src: str = "emb") -> str:
+        return f"""
+    {name} AS (
+        SELECT vec_id, embedding, cid, dist2 FROM (
+            SELECT e.vec_id, e.embedding, c.cid, {d} AS dist2,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d}, c.cid) AS rk
+            FROM {src} e CROSS JOIN {cent} c
+        ) WHERE rk = 1
+    )"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""
+    {name} AS (
+        SELECT cid, list(comp ORDER BY dim) AS cent FROM (
+            SELECT cid, i AS dim,
+                   {dsum_expr('CAST(embedding[i] AS DOUBLE)')} / count(*) AS comp
+            FROM {assigned}, UNNEST(range(1, len(embedding) + 1)) t(i)
+            GROUP BY cid, i
+        ) GROUP BY cid
+    )"""
+
+    ctes = [
+        "emb AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""seeds AS (
+        SELECT vec_id, embedding,
+               {h60_sql("'km-' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM emb ORDER BY h LIMIT {KMEANS_K}
+    )""",
+        f"""cent0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS cid,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cent
+        FROM seeds
+    )""",
+        assign("assign0", "cent0"),
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        ctes.append(update(f"cent{it}", f"assign{it - 1}"))
+        ctes.append(assign(f"assign{it}", f"cent{it}"))
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round({dsum_expr('dist2')}, 4) AS inertia
+    FROM assign{KMEANS_ITERS}
+    GROUP BY cid
+    ORDER BY cluster_id
+    """
+
+
+@query("q_kmeans_iter", oracle=_kmeans_oracle())
+def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (2 full Lloyd rounds) over the embedding corpus
+    — the training loop for q_sim_ivf's coarse quantizer, and the
+    template for any iterative assign/update algorithm on Spark:
+    centroids stay a tiny broadcast relation, assignment is one
+    broadcast-join pass over the corpus per round, and the update is a
+    posexplode + partial-combinable aggregate with shuffle O(K x dims),
+    never O(rows). Nothing is ever collected to the driver.
+
+    Iterative algorithms are usually written off as un-oracle-able; this
+    one is fully hash-checked because every nondeterminism source is
+    pinned: seeding is the KMEANS_K smallest md5-derived hashes of
+    vec_id (no RNG), centroid means go through the exact-decimal
+    accumulator (order-insensitive, functions/numeric.py), distances
+    are bit-identical left folds (functions/vectors.py), and argmin
+    ties break on centroid id. The DuckDB oracle replays the identical
+    two rounds as a CTE chain.
+
+    Output is the final-assignment census: per cluster, member count
+    and exact-decimal-summed inertia.
+    """
+    from ..functions.numeric import dsum
+    from ..functions.porthash import h60
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    h = h60(F.concat(F.lit("km-"), F.col("vec_id").cast("string")))
+    seeds = emb.withColumn("h", h).orderBy("h").limit(KMEANS_K)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("h")) - 1).cast("int").alias("cid"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("cent"),
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("dist2", _dist2(F.col("embedding"), F.col("cent")))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "embedding", "cid", "dist2")
+        )
+
+    def _update(assigned: DataFrame) -> DataFrame:
+        comp = (
+            assigned.select("cid", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(
+                (dsum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("comp")
+            )
+        )
+        return comp.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                lambda s: s["comp"],
+            ).alias("cent")
+        )
+
+    assigned = _assign(cents)
+    for _ in range(KMEANS_ITERS):
+        cents = _update(assigned)
+        assigned = _assign(cents)
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(dsum("dist2"), 4).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
