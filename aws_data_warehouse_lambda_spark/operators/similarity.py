@@ -415,7 +415,14 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = _assign(cents)
     for _ in range(KMEANS_ITERS):
-        cents = _update(assigned)
+        # Materialize the K-row centroid relation each round
+        # (localCheckpoint, same pattern as the CC fixpoint): without
+        # the cut, round N's plan re-embeds and re-executes every
+        # previous round's assign+update — lineage (and wall-clock)
+        # grows superlinearly in rounds. With it each round is one
+        # bounded job and the checkpointed 8 rows are all that carries
+        # forward.
+        cents = _update(assigned).localCheckpoint()
         assigned = _assign(cents)
     return (
         assigned.groupBy(F.col("cid").alias("cluster_id"))

@@ -48,6 +48,7 @@ TAIL = [
     "q_stream_stream_join",
     "q_join_salted",
     "q_dedup_keep_list",
+    "q_kmeans_iter",
 ]
 
 

@@ -160,3 +160,48 @@ def test_centroids_partial_agg(spark) -> None:
     assert "partial_" in plan
     schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "vec_id" not in schema
+
+
+def test_pii_redact_zero_shuffle_single_scan(spark) -> None:
+    # Redaction is row-local: one pruned scan, no join, no aggregate —
+    # at 100 TB it must run at parquet scan throughput.
+    plan = plan_of(spark, "q_pii_redact")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "source" not in schema and "lang" not in schema
+
+
+def test_boilerplate_joins_on_int_keys_with_partial_agg(spark) -> None:
+    # The df join keys on the 60-bit shingle hash (hash-partitionable
+    # int), and both aggregates partial-combine before their exchanges.
+    plan = plan_of(spark, "q_boilerplate_spans")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_salted_join_broadcasts_hot_set_and_cold_leg(spark) -> None:
+    # Two-phase skew plan: the detected-hot-key relation must reach both
+    # split anti/semi joins as a broadcast (it is tiny by construction),
+    # and the plan must still contain the plain cold-leg join — never a
+    # blanket replication of the small side.
+    plan = plan_of(spark, "q_join_salted")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_broadcasts_centroids(spark) -> None:
+    # Every assign round must broadcast the K-row centroid relation and
+    # stream the corpus: a shuffle of the embedding table per iteration
+    # would dominate at scale. BroadcastNestedLoopJoin appears because
+    # the centroid cross join is the broadcast form of "each row sees
+    # all K centroids".
+    plan = plan_of(spark, "q_kmeans_iter")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_no_cartesian(spark) -> None:
+    plan = plan_of(spark, "q_dedup_containment")
+    assert "CartesianProduct" not in plan
