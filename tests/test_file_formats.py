@@ -72,3 +72,73 @@ def test_jsonl_schema_projection_pushes_down(spark, tmp_path) -> None:
     assert read_schema, explained
     assert "source" not in read_schema[0], read_schema[0]
     assert "doc_id" in read_schema[0] and "text" in read_schema[0]
+
+
+def test_json_permissive_captures_corrupt_records(spark, tmp_path) -> None:
+    """A 100 TB feed always contains a few broken records; the read must
+    quarantine them into _corrupt_record (PERMISSIVE) rather than fail
+    the job — and FAILFAST must be the loud option when corruption is a
+    contract violation."""
+    from pyspark.sql import types as T
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "feed.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        '{"doc_id": oops not json\n'
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(src))
+        .cache()  # SPARK-21610: corrupt-record column needs materialization
+    )
+    try:
+        rows = df.collect()
+        good = sorted(r.doc_id for r in rows if r._corrupt_record is None)
+        bad = [r for r in rows if r._corrupt_record is not None]
+        assert good == [1, 2]
+        assert len(bad) == 1 and "oops" in bad[0]._corrupt_record
+    finally:
+        df.unpersist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Malformed|FAILFAST|corrupt"):
+        (
+            spark.read.schema(
+                T.StructType(schema.fields[:2])
+            )
+            .option("mode", "FAILFAST")
+            .json(str(src))
+            .collect()
+        )
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path) -> None:
+    """Schema drift across run serials (the reference tracks it by MD5,
+    /root/reference/src/db_schema_dump.py:61-67): newer files add a
+    column, and a mergeSchema read must surface the union schema with
+    NULLs for the old files — the read-side half of schema evolution."""
+    from pyspark.sql import functions as F2
+
+    docs = _docs(spark).select("doc_id", "text")
+    v1 = str(tmp_path / "t" / "run_serial=000001")
+    v2 = str(tmp_path / "t" / "run_serial=000002")
+    docs.write.parquet(v1)
+    docs.withColumn("quality", F2.length("text").cast("double")).write.parquet(v2)
+
+    merged = spark.read.option("mergeSchema", True).parquet(str(tmp_path / "t"))
+    assert {"doc_id", "text", "quality", "run_serial"} <= set(merged.columns)
+    n = docs.count()
+    assert merged.count() == 2 * n
+    assert merged.where(F2.col("quality").isNull()).count() == n
