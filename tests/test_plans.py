@@ -205,3 +205,32 @@ def test_kmeans_broadcasts_centroids(spark) -> None:
 def test_containment_no_cartesian(spark) -> None:
     plan = plan_of(spark, "q_dedup_containment")
     assert "CartesianProduct" not in plan
+
+
+def test_run_serial_layout_gets_partition_pruning(spark, tmp_path) -> None:
+    # The Hive-style run_serial=NNNNNN layout exists precisely so a
+    # reader touching one run never lists or scans the others; the
+    # filter must land in PartitionFilters (metadata-only pruning),
+    # not PushedFilters (which still opens every file).
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.sinks.parquet_sink import (
+        write_table_parquet,
+    )
+    from aws_data_warehouse_lambda_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    for serial in (1, 2):
+        write_table_parquet(docs, str(tmp_path), "documents", serial)
+
+    table_root = str(tmp_path / "documents")
+    one_run = spark.read.parquet(table_root).where(F.col("run_serial") == 1)
+    plan = one_run._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "run_serial" in pf, plan
+    # Pruning semantics: exactly one run's rows, not both.
+    assert one_run.count() == docs.count()
