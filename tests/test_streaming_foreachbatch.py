@@ -1,0 +1,69 @@
+"""foreachBatch sink pattern: per-batch idempotent writes keyed by
+batchId — the exactly-once recipe for sinks without native streaming
+support (JDBC, keyed object stores). A retried micro-batch (same
+batchId after a failure) must overwrite, not duplicate: the streaming
+analog of the reference's abort-on-error multipart upload
+(/root/reference/src/db_extractor_full.py:111-119), with the committer
+doing the bookkeeping."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .test_streaming_multibatch import SCHEMA, _write_batch
+
+
+def _make_upsert(target: str):
+    def upsert(batch_df, batch_id: int) -> None:
+        # Idempotency key = batchId: overwrite THIS batch's partition
+        # only, so a replay of the same batch converges instead of
+        # appending twice.
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{target}/batch_id={batch_id}")
+        )
+
+    return upsert
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_foreachbatch_partition_overwrite_is_idempotent(spark, tmp_path) -> None:
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, 1, [("2024-03-01 10:00:00", 1, "click", 1.0)])
+    _write_batch(spark, src, 2, [("2024-03-01 11:00:00", 2, "view", 2.0)])
+    _write_batch(spark, src, 3, [("2024-03-01 12:00:00", 3, "click", 3.0)])
+
+    upsert = _make_upsert(target)
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(target)
+    assert out.count() == 3
+    n_batches = len(list(pathlib.Path(target).glob("batch_id=*")))
+    assert n_batches == 3, "one partition per micro-batch"
+
+    # Simulate the failure-retry path: the engine re-invokes the SAME
+    # batch (same batchId, same data) after a crash between sink write
+    # and checkpoint commit. The overwrite must converge to identical
+    # state — no duplicates, no partial leftovers. (Materialize the
+    # replayed rows first — a lazy read would race its own overwrite.)
+    rows = spark.read.parquet(f"{target}/batch_id=2").drop("batch_id").collect()
+    upsert(spark.createDataFrame(rows, schema=SCHEMA), 2)
+    again = spark.read.parquet(target)
+    assert again.count() == 3
+    assert sorted(r.user_id for r in again.collect()) == [1, 2, 3]
