@@ -234,3 +234,43 @@ def test_run_serial_layout_gets_partition_pruning(spark, tmp_path) -> None:
     assert "run_serial" in pf, plan
     # Pruning semantics: exactly one run's rows, not both.
     assert one_run.count() == docs.count()
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark) -> None:
+    # Spark's runtime bloom-filter injection (InjectRuntimeFilter) builds
+    # a bloom filter from the selective dim side and applies it as
+    # might_contain() on the fact scan — a semi-join pushdown that cuts
+    # shuffle volume before the join. The application-side threshold
+    # defaults to 10GB, so it fires on REAL fact tables by itself; the
+    # fixture is far below that, so the test drops the threshold to
+    # demonstrate the injection the 100 TB deployment gets for free.
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.sources.tables import load_table
+
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_thr = spark.conf.get(thr_key)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(thr_key, "0")
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan.lower(), plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set(thr_key, prev_thr)
