@@ -450,12 +450,18 @@ def connected_components(
     large-star/small-star rounds run per materialization barrier
     instead of one, at the cost of at most one extra (converged) round.
     """
+    # Materialize the input ONCE and derive both the node set and the
+    # iteration's edge set from the checkpoint: `pairs` is typically an
+    # expensive upstream pipeline (the PPJoin referee), and building
+    # nodes/edges from the raw relation would re-execute it per consumer
+    # (measured 2x the whole CC cost at sf0.1).
+    base = pairs.localCheckpoint()
     nodes = (
-        pairs.select(F.col("src").alias("node"))
-        .union(pairs.select(F.col("dst").alias("node")))
+        base.select(F.col("src").alias("node"))
+        .union(base.select(F.col("dst").alias("node")))
         .distinct()
     )
-    edges = pairs.where(F.col("src") != F.col("dst")).localCheckpoint()
+    edges = base.where(F.col("src") != F.col("dst"))
     prev_sig = None
     for r in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
