@@ -31,6 +31,8 @@ _DRIVER_FIRST = [
     "q_boilerplate_spans",
     "q_dedup_containment",
     "q_kmeans_iter",
+    "q_graph_degree",
+    "q_graph_pagerank",
     # never driver-checked (deferred from the round-2 window)
     "q_frame_sample",
     # erred in r2 (raw array outputs; stringified this round)

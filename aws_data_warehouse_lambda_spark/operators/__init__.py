@@ -12,6 +12,7 @@ from . import setops  # noqa: F401
 from . import scalars  # noqa: F401
 from . import events_batch  # noqa: F401
 from . import dedup  # noqa: F401
+from . import graph  # noqa: F401
 from . import similarity  # noqa: F401
 from . import text  # noqa: F401
 from . import profiling  # noqa: F401

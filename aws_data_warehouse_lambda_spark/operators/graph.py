@@ -1,0 +1,164 @@
+"""Graph analytics over the near-dup pair graph (SURVEY.md §2.C
+adjacent): connected components live in :mod:`.dedup`; this module adds
+degree statistics and PageRank centrality — the "which document is the
+canonical center of its duplication cluster" signal a curation pipeline
+uses to pick keepers by importance instead of min-id.
+
+Both queries run on the exact-Jaccard referee pairs (dedup._jaccard_pairs)
+so they are deterministic and fully DuckDB-oracle-checked. PageRank is
+the second ITERATIVE operator with an exact-hash oracle (after
+q_kmeans_iter): the update rule is rational arithmetic only — no
+transcendentals — so with per-node contributions summed through the
+exact-decimal accumulator (functions/numeric.py) every iteration
+produces bit-identical doubles in both engines.
+
+Scale posture: edges carry two longs; each PageRank round is one join
+(ranks x edges, both hash-partitioned on node id) + one groupBy with
+map-side partial combine, shuffle O(edges) — the standard Pregel-on-
+DataFrames shape. localCheckpoint per round bounds lineage exactly as
+in connected_components / q_kmeans_iter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, dsum_expr
+from .dedup import _JACCARD_PAIRS_SQL, _SHINGLE_SQL, _jaccard_pairs
+from .registry import query
+
+#: Binary-exact damping: 0.75 and 0.25 are exact in IEEE double, so the
+#: damped base and d*mass are the same bit pattern whether the literal
+#: arrives through Python floats (Spark) or DECIMAL arithmetic (DuckDB).
+#: The conventional 0.85 is NOT binary-exact — Python's 1.0-0.85 and
+#: DuckDB's decimal 0.15 differ by one ulp, a latent hash-straddle risk.
+DAMPING = 0.75
+PR_ITERS = 3
+
+#: Shared DuckDB CTEs: symmetric edge list + per-node out-degree over
+#: the referee pair graph.
+_GRAPH_SQL = f"""
+    {_SHINGLE_SQL},
+    {_JACCARD_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM jpairs
+        UNION ALL SELECT doc_b, doc_a FROM jpairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _jaccard_pairs(spark, sf_dir)
+    return p.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+
+@query(
+    "q_graph_degree",
+    oracle=f"""
+    WITH {_GRAPH_SQL}
+    SELECT CAST(deg AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY deg
+    ORDER BY degree
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph — the first thing to
+    look at before running anything iterative on 100 TB of pairs: a
+    heavy tail means hot nodes (template pages duplicated everywhere)
+    that dominate join fan-out and deserve the salting/cap treatment."""
+    deg = _edges(spark, sf_dir).groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.groupBy(F.col("deg").cast("bigint").alias("degree"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+def _pagerank_oracle() -> str:
+    n = "(SELECT count(*) FROM deg)"
+    base = f"(1.0 - {DAMPING}) / {n}"
+    ctes = [
+        f"pr0 AS (SELECT node, 1.0 / {n} AS pr FROM deg)",
+    ]
+    for it in range(1, PR_ITERS + 1):
+        # Every node in this graph has deg >= 1 (it exists because it is
+        # in a pair), so there is no dangling-mass term.
+        ctes.append(f"""pr{it} AS (
+        SELECT d.node,
+               {base} + {DAMPING} * coalesce(m.mass, 0.0) AS pr
+        FROM deg d LEFT JOIN (
+            SELECT e.dst AS node,
+                   {dsum_expr('p.pr / dg.deg')} AS mass
+            FROM edges e
+            JOIN pr{it - 1} p ON p.node = e.src
+            JOIN deg dg ON dg.node = e.src
+            GROUP BY e.dst
+        ) m ON m.node = d.node
+    )""")
+    return f"""
+    WITH {_GRAPH_SQL},
+    {",".join(ctes)}
+    SELECT node AS doc_id, round(pr, 8) AS pagerank
+    FROM pr{PR_ITERS}
+    ORDER BY doc_id
+    """
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (3 rounds, binary-exact damping 0.75) over
+    the near-dup graph: rank mass flows along duplicate edges, so the
+    highest-ranked member of each cluster is its most-connected (most
+    canonical) copy.
+
+    Hash-exact across engines because the update is rational arithmetic
+    only: pr/deg and the damped base are IEEE double ops identical
+    everywhere, and the per-target accumulation goes through the
+    exact-decimal sum so partial-aggregation order cannot perturb a
+    bit. Each round is one edge join + one partial-combined groupBy;
+    localCheckpoint bounds lineage exactly as the CC fixpoint does.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n_nodes = deg.select(F.count(F.lit(1)).alias("n"))
+    # N rides along as a broadcast literal relation (never collected).
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select("node", "deg", "pr"),
+                edges.src == F.col("node"),
+            )
+            .select(F.col("dst"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(dsum("c").alias("mass"))
+        )
+        ranks = (
+            ranks.select("node", "deg", "n")
+            .join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                (
+                    (1.0 - DAMPING) / F.col("n")
+                    + DAMPING * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("pr", 8).alias("pagerank")
+    ).orderBy("doc_id")
