@@ -217,7 +217,28 @@ _JACCARD_VERIFY_SQL = f"""
 """
 
 
+#: Referee-pair memo, keyed on (spark appId, sf_dir): the scored pair
+#: relation feeds q_dedup_ngram_jaccard, cluster resolution, the
+#: keep-list, and the graph-analytics queries — five consumers, one
+#: PPJoin pipeline. Persisted (tiny: pairs above threshold), exactly
+#: the "land the pair table once" shape of a production dedup run.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is None:
+        from pyspark import StorageLevel
+
+        cached = _jaccard_pairs_plan(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _PAIRS_CACHE[key] = cached
+    return cached
+
+
+def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard) pairs at/above threshold — shared by the
     pair query and the cluster-resolution query.
 
