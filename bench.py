@@ -49,6 +49,7 @@ TAIL = [
     "q_join_salted",
     "q_dedup_keep_list",
     "q_kmeans_iter",
+    "q_graph_pagerank",
 ]
 
 
