@@ -33,6 +33,8 @@ _DRIVER_FIRST = [
     "q_kmeans_iter",
     "q_graph_degree",
     "q_graph_pagerank",
+    "q_time_spine_gapfill",
+    "q_variant_extract",
     # never driver-checked (deferred from the round-2 window)
     "q_frame_sample",
     # erred in r2 (raw array outputs; stringified this round)

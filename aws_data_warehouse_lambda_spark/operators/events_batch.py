@@ -151,3 +151,61 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
     ).orderBy("day")
+
+
+@query(
+    "q_time_spine_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT s.hour,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           h.n IS NULL AS gap
+    FROM spine s LEFT JOIN hourly h ON h.hour = s.hour
+    ORDER BY s.hour
+    """,
+)
+def q_time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time spine with zero-filled gaps: every hour between the
+    first and last event exists in the output, with n_events = 0 (and a
+    gap flag) for hours nothing happened — the densification step every
+    time-series dashboard/forecast needs, which a plain GROUP BY cannot
+    produce (it only emits observed buckets).
+
+    The spine is generated declaratively with ``sequence()`` from a
+    single-row min/max aggregate and exploded — no driver round-trip, no
+    recursion. (Spark 4 does have recursive CTEs, but UNION-ALL-only,
+    and a sequence is the idiomatic Spark spelling anyway.) At 100 TB
+    the spine side is O(hours) — trivially broadcast — and the hourly
+    aggregate is the usual partial-combined groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(F.broadcast(hourly), "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("gap"),
+        )
+        .orderBy("hour")
+    )

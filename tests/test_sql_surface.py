@@ -1,0 +1,63 @@
+"""Spark 4 SQL-surface capabilities the query registry leans on (or
+deliberately avoids), pinned so an engine upgrade that changes them
+fails loudly rather than silently changing plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors.exceptions.captured import AnalysisException
+
+
+def test_recursive_cte_bounded_union_all(spark) -> None:
+    """Bounded UNION ALL recursion works (sequence generation, org-chart
+    walks over acyclic data)."""
+    rows = spark.sql(
+        """
+        WITH RECURSIVE t(n) AS (
+            SELECT 1
+            UNION ALL
+            SELECT n + 1 FROM t WHERE n < 5
+        )
+        SELECT n FROM t ORDER BY n
+        """
+    ).collect()
+    assert [r.n for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_recursive_cte_union_dedup_unsupported(spark) -> None:
+    """Recursive UNION (dedup) is NOT supported in Spark 4.1, which is
+    why transitive closure over the (cyclic) near-dup graph is done with
+    the large-star/small-star algorithm (operators/dedup.py) instead of
+    recursive SQL — UNION ALL recursion would never terminate on a
+    cycle. If this starts passing after an upgrade, a declarative
+    closure becomes expressible and this pin should be revisited."""
+    spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int").createOrReplaceTempView(
+        "_cyc_edges"
+    )
+    with pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            """
+            WITH RECURSIVE reach(src, dst) AS (
+                SELECT src, src FROM (SELECT DISTINCT src FROM _cyc_edges)
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN _cyc_edges e ON r.dst = e.src
+            )
+            SELECT * FROM reach
+            """
+        ).collect()
+
+
+def test_variant_roundtrip_and_typed_access(spark) -> None:
+    """VARIANT parse -> typed path extraction, including the try_
+    variants' NULL-on-malformed behavior (the quarantine-friendly mode
+    for dirty feeds)."""
+    row = spark.sql(
+        """
+        SELECT variant_get(parse_json('{"a": {"b": [1, 2, 3]}}'), '$.a.b[2]', 'int') AS x,
+               try_variant_get(parse_json('{"a": 1}'), '$.missing', 'int') AS missing,
+               try_parse_json('not json at all') AS bad
+        """
+    ).collect()[0]
+    assert row.x == 3
+    assert row.missing is None
+    assert row.bad is None
