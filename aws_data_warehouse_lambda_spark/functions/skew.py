@@ -5,7 +5,12 @@ runtime by splitting oversized partitions, but it only applies to
 sort-merge joins inside one stage. Explicit salting is the tool when a
 hot key must be spread BEFORE the shuffle — streaming-static joins,
 aggregate-after-join pipelines, or a key so hot one task would still OOM
-after AQE splits (the classic null-key / default-value skew).
+after AQE splits (the classic default-value skew, e.g. a sentinel id
+most rows carry). NULL join keys are not this function's problem: the
+join is inner on an equality, so null-key rows can never match and are
+pruned before they could skew anything — a left join that must KEEP
+null-key big-side rows should pre-split them off (they need no join at
+all) rather than salt them.
 
 Mechanics (two-phase):
 

@@ -272,9 +272,16 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
            round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
            round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
-           abs(approx_quantile(o_totalprice, 0.5)
-               - quantile_cont(o_totalprice, 0.5))
-               <= {SKETCH_RTOL} * quantile_cont(o_totalprice, 0.5) AS approx_ok
+           (abs(approx_quantile(o_totalprice, 0.5)
+                - quantile_cont(o_totalprice, 0.5))
+                <= {SKETCH_RTOL} * quantile_cont(o_totalprice, 0.5)
+            AND abs(approx_quantile(o_totalprice, 0.95)
+                    - quantile_cont(o_totalprice, 0.95))
+                <= {SKETCH_RTOL} * quantile_cont(o_totalprice, 0.95)
+            AND abs(approx_quantile(o_totalprice, 0.99)
+                    - quantile_cont(o_totalprice, 0.99))
+                <= {SKETCH_RTOL} * quantile_cont(o_totalprice, 0.99)
+           ) AS approx_ok
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -286,11 +293,18 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-digest), so the driver-checkable form emits the EXACT p50/p95/p99
     (Spark ``percentile`` == DuckDB ``quantile_cont``, both linear
     interpolation — bit-matching is proven by q_percentiles_exact) plus
-    ``approx_ok``: each engine asserts its own median sketch is within
-    SKETCH_RTOL of exact. Scalar double columns only (the driver's
-    canonicalizer cannot hash arrays)."""
+    ``approx_ok``: each engine asserts its own sketch is within
+    SKETCH_RTOL of exact at ALL THREE quantiles (a tail-only estimator
+    regression must fail the gate too). Scalar double columns only
+    (the driver's canonicalizer cannot hash arrays)."""
     pcts = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
     exact = lambda p: F.percentile("o_totalprice", F.lit(p))  # noqa: E731
+
+    def ok(i: int, raw: str):
+        return F.abs(F.element_at("_pcts", i) - F.col(raw)) <= (
+            SKETCH_RTOL * F.col(raw)
+        )
+
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -300,16 +314,17 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact(0.99), 6).alias("p99"),
             pcts.alias("_pcts"),
             exact(0.5).alias("_p50_raw"),
+            exact(0.95).alias("_p95_raw"),
+            exact(0.99).alias("_p99_raw"),
         )
         .select(
             "o_orderpriority",
             "p50",
             "p95",
             "p99",
-            (
-                F.abs(F.element_at("_pcts", 1) - F.col("_p50_raw"))
-                <= SKETCH_RTOL * F.col("_p50_raw")
-            ).alias("approx_ok"),
+            (ok(1, "_p50_raw") & ok(2, "_p95_raw") & ok(3, "_p99_raw")).alias(
+                "approx_ok"
+            ),
         )
         .orderBy("o_orderpriority")
     )

@@ -48,6 +48,7 @@ from ..sources.tables import load_table
 from .dedup import (
     _JACCARD_PAIRS_SQL,
     _SHINGLE_SQL,
+    _shingle_df,
     _shingle_hashes,
     component_labels,
 )
@@ -417,15 +418,14 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     up as high common_frac. Shingle hashing is doc-local (shared compact
     relation, functions/dedup); the df table is one groupBy on 60-bit
     int keys and the join is hash-partitionable — no payload bytes ever
-    shuffle, so the plan survives a 100x corpus scale-up. The shingle
-    relation feeds BOTH join sides, so it is persisted (otherwise each
-    side re-scans and re-hashes the corpus)."""
-    sh = _shingle_hashes(spark, sf_dir, persist=True)
-    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    shuffle, so the plan survives a 100x corpus scale-up. The
+    df-annotated shingle relation (dedup._shingle_df) is persisted and
+    shared with the Jaccard referee and containment queries."""
+    shdf = _shingle_df(spark, sf_dir)
     common = F.sum(F.when(F.col("df") >= BOILER_DF, 1).otherwise(0))
     frac = common.cast("double") / F.count(F.lit(1)).cast("double")
     return (
-        sh.join(sdf, "sh")
+        shdf
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),

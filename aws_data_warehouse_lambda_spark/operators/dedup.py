@@ -136,6 +136,30 @@ def _shingle_hashes(
     return arr.select("doc_id", F.explode("shs").alias("sh"))
 
 
+#: (doc_id, sh, df) memo — see :func:`_shingle_df`.
+_SHDF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh, df) — exploded distinct shingle rows annotated with
+    corpus document frequency, persisted and memoized per (session,
+    fixture dir). The df aggregation is the largest shuffle in the
+    dedup family and feeds three consumers (the Jaccard referee's
+    prefix filter, containment's candidate generation, boilerplate's
+    common-shingle stat); one computation serves them all — the same
+    land-it-once decision as _PAIRS_CACHE/_LABELS_CACHE."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHDF_CACHE.get(key)
+    if cached is None:
+        from pyspark import StorageLevel
+
+        sh = _shingle_hashes(spark, sf_dir, persist=True)
+        sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        cached = sh.join(sdf, "sh").persist(StorageLevel.MEMORY_AND_DISK)
+        _SHDF_CACHE[key] = cached
+    return cached
+
+
 #: DuckDB CTEs mirroring :func:`_shingle_hashes` (sh) + per-doc set sizes.
 _SHINGLE_SQL = f"""
     sh AS (
@@ -263,9 +287,7 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
-    sh = sets.select("doc_id", F.explode("shs").alias("sh"))
-    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    shd = sh.join(sdf, "sh")
+    shd = _shingle_df(spark, sf_dir)
     # One doc_id shuffle serves both the per-doc stats (window aggs) and
     # the prefix rank (row_number over the rare rows, same partitioning).
     w_all = Window.partitionBy("doc_id")
@@ -376,9 +398,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays bounded at DF_CAP * |shingle rows|; the verify is the same
     two-equality-join array_intersect over packed per-doc sets."""
     sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
-    sh = sets.select("doc_id", F.explode("shs").alias("sh"))
-    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    shr = sh.join(sdf.where(F.col("df") <= DF_CAP), "sh").select("doc_id", "sh")
+    shr = (
+        _shingle_df(spark, sf_dir)
+        .where(F.col("df") <= DF_CAP)
+        .select("doc_id", "sh")
+    )
     a, b = shr.alias("a"), shr.alias("b")
     cand = (
         a.join(

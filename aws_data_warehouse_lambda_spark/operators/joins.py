@@ -284,8 +284,9 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost 7x the plain join. The oracle is the PLAIN join: salting must
     not change results, which is exactly what the hash-compare proves.
     Use when a key is so hot AQE's skew split (sort-merge-only,
-    same-stage-only) can't help — e.g. the null-key / default-value
-    skew on a streaming-static join."""
+    same-stage-only) can't help — e.g. a sentinel/default-value key on
+    a streaming-static join (null keys need no salting: an inner
+    equality join prunes them outright, see functions/skew.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     joined = salted_join(

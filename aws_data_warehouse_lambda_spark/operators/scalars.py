@@ -255,9 +255,12 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of once per extracted field. DuckDB's native JSON type
     plays the oracle twin."""
     e = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json (not parse_json) end-to-end: a malformed or NULL
+    # props row must surface as k_variant NULL + is_valid false — the
+    # same quarantine semantics as the oracle — never crash the job.
+    v = F.try_parse_json("props")
     return e.select(
         "event_id",
         F.try_variant_get(v, "$.k", "int").alias("k_variant"),
-        F.try_parse_json("props").isNotNull().alias("is_valid"),
+        v.isNotNull().alias("is_valid"),
     ).orderBy("event_id")

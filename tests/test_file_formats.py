@@ -31,8 +31,15 @@ def test_csv_round_trip(spark, tmp_path) -> None:
     path = str(tmp_path / "docs_csv")
     # Text contains no quotes/newlines in the fixture, but write with
     # explicit quoting/escaping options anyway — the settings a real
-    # corpus needs.
-    docs.write.option("header", True).option("quoteAll", True).csv(path)
+    # corpus needs. Writer and reader must agree on the escape char
+    # (Spark's write default is backslash; RFC-4180 doubled quotes is
+    # the portable convention both sides pin here).
+    (
+        docs.write.option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
     back = (
         spark.read.schema(docs.schema)
         .option("header", True)
