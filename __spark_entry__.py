@@ -34,6 +34,7 @@ _DRIVER_FIRST = [
     "q_graph_degree",
     "q_graph_pagerank",
     "q_time_spine_gapfill",
+    "q_spine_forward_fill",
     "q_variant_extract",
     # never driver-checked (deferred from the round-2 window)
     "q_frame_sample",

@@ -209,3 +209,74 @@ def q_time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "q_spine_forward_fill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               {dsum_expr('value')} AS total
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.hour,
+           round(coalesce(
+               last_value(h.total IGNORE NULLS) OVER (
+                   ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0.0), 6) AS filled_total,
+           h.total IS NULL AS imputed
+    FROM spine s LEFT JOIN hourly h ON h.hour = s.hour
+    ORDER BY s.hour
+    """,
+)
+def q_spine_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) imputation over the dense hour spine: hours
+    with no purchases carry the last observed hourly total forward —
+    the standard missing-value treatment before feeding a time series
+    to a model. ``last_value(..., ignorenulls=True)`` over a growing
+    frame is the declarative spelling in both engines; the fill value
+    itself is a copied exact-decimal sum, so parity is exact.
+
+    The single global ORDER BY window is fine for ONE series (the frame
+    is O(hours)); a 100 TB deployment fills thousands of series with
+    the identical expression under ``partitionBy(series_id)`` — fully
+    parallel, one shuffle on the series key."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    hourly = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(dsum("value").alias("total"))
+    )
+    w = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(F.broadcast(hourly), "hour", "left")
+        .select(
+            "hour",
+            F.round(
+                F.coalesce(
+                    F.last("total", ignorenulls=True).over(w), F.lit(0.0)
+                ),
+                6,
+            ).alias("filled_total"),
+            F.col("total").isNull().alias("imputed"),
+        )
+        .orderBy("hour")
+    )
