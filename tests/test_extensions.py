@@ -166,3 +166,21 @@ def test_connected_components_random_vs_union_find(spark) -> None:
         r.node: r.label for r in connected_components(df).collect()
     }
     assert got == expect
+
+
+def test_dedup_relation_memos_return_same_instance(spark) -> None:
+    """The expensive dedup relations are memoized per (session, sf_dir)
+    with persist — five queries share them. A second call must return
+    the SAME DataFrame object (one cache entry, one computation), and a
+    different sf_dir must miss."""
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        _jaccard_pairs,
+        _shingle_df,
+        component_labels,
+    )
+
+    for fn in (_jaccard_pairs, _shingle_df, component_labels):
+        assert fn(spark, SF) is fn(spark, SF), fn.__name__
+    assert _shingle_df(spark, SF) is not _shingle_df(
+        spark, "/root/testdata/sf0.01"
+    )
