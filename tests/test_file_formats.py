@@ -149,3 +149,23 @@ def test_parquet_merge_schema_evolution(spark, tmp_path) -> None:
     n = docs.count()
     assert merged.count() == 2 * n
     assert merged.where(F2.col("quality").isNull()).count() == n
+
+
+def test_orc_round_trip(spark, tmp_path) -> None:
+    """ORC sits next to parquet as the other columnar warehouse format
+    Spark ships natively; the engine must round-trip it with predicate
+    pushdown intact."""
+    docs = _docs(spark)
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.schema(docs.schema).orc(path)
+    _assert_same_rows(docs, back)
+
+    filtered = back.where(F.col("doc_id") < 10)
+    plan = filtered._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan
+    assert "LessThan(doc_id,10)" in plan
