@@ -364,9 +364,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture corpus contains no organic PII, so PII-like fields are
     SYNTHESIZED deterministically from doc_id (same technique as the
     multimodal payloads) and the redaction regexes then do real work on
-    them. Single codegen'd scan, regexp_replace + regexp_extract_all all
-    JVM-side — at 100 TB this runs at scan throughput with zero shuffle
-    (output is row-local)."""
+    them. The redaction itself is row-local — single codegen'd scan,
+    regexp_replace + regexp_extract_all all JVM-side, scan-throughput at
+    100 TB; the only exchange in this query's plan is the presentation
+    ORDER BY, which a production writer simply drops."""
     docs = load_table(spark, sf_dir, "documents")
     raw = F.concat(
         F.col("text"),

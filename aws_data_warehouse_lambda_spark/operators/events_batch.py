@@ -153,16 +153,33 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
-@query(
-    "q_time_spine_gapfill",
-    oracle="""
-    WITH bounds AS (
+#: Dense hour spine over the events table — shared by the gap-fill and
+#: forward-fill queries on BOTH sides, so spine semantics (granularity,
+#: inclusive end) can only ever change in one place per engine.
+_SPINE_SQL = """bounds AS (
         SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi FROM events
     ),
     spine AS (
         SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
         FROM bounds
-    ),
+    )"""
+
+
+def _hour_spine(e: DataFrame) -> DataFrame:
+    """One row per hour from ``date_trunc('hour', min(ts))`` through
+    ``max(ts)`` — the Spark twin of :data:`_SPINE_SQL`."""
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+
+
+@query(
+    "q_time_spine_gapfill",
+    oracle=f"""
+    WITH {_SPINE_SQL},
     hourly AS (
         SELECT date_trunc('hour', ts) AS hour, count(*) AS n
         FROM events GROUP BY 1
@@ -188,14 +205,7 @@ def q_time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the spine side is O(hours) — trivially broadcast — and the hourly
     aggregate is the usual partial-combined groupBy."""
     e = load_table(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
-    )
-    spine = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour")
-    )
+    spine = _hour_spine(e)
     hourly = (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -214,13 +224,7 @@ def q_time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_spine_forward_fill",
     oracle=f"""
-    WITH bounds AS (
-        SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi FROM events
-    ),
-    spine AS (
-        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
-        FROM bounds
-    ),
+    WITH {_SPINE_SQL},
     hourly AS (
         SELECT date_trunc('hour', ts) AS hour,
                {dsum_expr('value')} AS total
@@ -252,12 +256,7 @@ def q_spine_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
-    )
+    spine = _hour_spine(e)
     hourly = (
         e.where(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))

@@ -240,8 +240,10 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variant_extract",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_variant,
-           json_valid(props) AS is_valid
+           CASE WHEN props IS NOT NULL AND json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+           END AS k_variant,
+           coalesce(json_valid(props), false) AS is_valid
     FROM events ORDER BY event_id
     """,
 )
@@ -256,8 +258,10 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     plays the oracle twin."""
     e = load_table(spark, sf_dir, "events")
     # try_parse_json (not parse_json) end-to-end: a malformed or NULL
-    # props row must surface as k_variant NULL + is_valid false — the
-    # same quarantine semantics as the oracle — never crash the job.
+    # props row must surface as k_variant NULL + is_valid false — never
+    # crash the job. The oracle is written with the same defensive
+    # semantics (json_valid guard + TRY_CAST + coalesce on NULL props),
+    # so parity holds for dirty rows too, not just the clean fixture.
     v = F.try_parse_json("props")
     return e.select(
         "event_id",

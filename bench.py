@@ -83,12 +83,24 @@ def main() -> None:
     # a long-running cluster amortizes away, the median is robust to
     # both that and one-off GC stalls. Spread (max-min) rides along so
     # round-over-round deltas can be judged against run noise.
+    #
+    # The memoized dedup relations (operators/dedup._ALL_CACHES) are
+    # RESET before every timed run — otherwise runs 2-3 of the pipeline
+    # queries would measure cached reads and the median would hide a
+    # real regression in the pipeline itself. (Plan-level persists
+    # inside a single query execution, e.g. the shingle arrays, are
+    # part of the operator and stay.)
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        reset_shared_relations,
+    )
+
     def time_queries(qnames: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         med: dict[str, float] = {}
         spread: dict[str, float] = {}
         for name in qnames:
             runs = []
             for _ in range(N_RUNS):
+                reset_shared_relations()
                 t0 = time.perf_counter()
                 queries[name](spark, SF_DIR).count()
                 runs.append(time.perf_counter() - t0)
