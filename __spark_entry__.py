@@ -36,6 +36,7 @@ _DRIVER_FIRST = [
     "q_time_spine_gapfill",
     "q_spine_forward_fill",
     "q_variant_extract",
+    "q_funnel_steps",
     # never driver-checked (deferred from the round-2 window)
     "q_frame_sample",
     # erred in r2 (raw array outputs; stringified this round)

@@ -279,3 +279,78 @@ def q_spine_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_click_view_purchase,
+           round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS conversion
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who clicked, then VIEWED after the
+    first click, then PURCHASED after that view — the sequential-pattern
+    query every event warehouse runs. Spark has no MATCH_RECOGNIZE, so
+    the idiomatic spelling is step-wise earliest-qualifying-timestamp
+    semi-joins: each step is one groupBy-min + one join keyed on
+    user_id, shuffle O(users) per step, fully partial-combinable —
+    linear in steps, never a per-user event-array blowup. (For long
+    patterns the alternative is sort-groupBy + an array subsequence
+    check; for streaming, applyInPandasWithState as in sessionize.)"""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame, prev_t: str, alias: str):
+        return (
+            e.where(F.col("event_type") == event_type)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(alias))
+        )
+
+    s1 = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after("view", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_view"))
+    n3 = s3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_click_view_purchase")
+    )
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_click",
+            "n_click_view",
+            "n_click_view_purchase",
+            F.round(
+                F.col("n_click_view_purchase").cast("double")
+                / F.col("n_click").cast("double"),
+                6,
+            ).alias("conversion"),
+        )
+    )
