@@ -45,12 +45,25 @@ def sanitize_identifier(name: str) -> str:
 def discover_tables(source_dir: str, exclusions: frozenset[str] = frozenset()) -> list[str]:
     """Enumerate tables of a parquet dataset directory (one ``<name>.parquet``
     file/dir per table — the harness's stand-in for
-    ``information_schema.tables``), sanitized, excluded, sorted."""
+    ``information_schema.tables``), excluded and sorted.
+
+    RAW entry names are returned: the name is the file-path identity,
+    and rebuilding paths from a sanitized form would make any table
+    whose filename contains uppercase/stripped characters unloadable
+    (and would silently collapse two names that sanitize alike).
+    Sanitization belongs at the SQL-identifier boundary — the JDBC
+    source applies :func:`sanitize_identifier` when interpolating the
+    name into a query (sources/jdbc.py), mirroring the reference's
+    injection guard (src/db_extractor_full.py:462-474). Exclusion
+    matching uses the sanitized form so the verbatim reference lists
+    keep working against any filename spelling."""
     names = []
     for entry in sorted(os.listdir(source_dir)):
         if entry.endswith(".parquet"):
-            names.append(sanitize_identifier(entry[: -len(".parquet")]))
-    return [n for n in names if n and n not in exclusions]
+            raw = entry[: -len(".parquet")]
+            if raw and sanitize_identifier(raw) not in exclusions:
+                names.append(raw)
+    return names
 
 
 def detect_timestamp_columns(columns: list[str]) -> tuple[bool, bool]:

@@ -39,7 +39,9 @@ def schema_md5(doc: dict) -> str:
     return hashlib.md5(schema_json(doc).encode()).hexdigest()
 
 
-def has_drifted(doc: dict, last_md5: str | None) -> bool:
+def has_drifted(doc: dict, last_md5: str | None, digest: str | None = None) -> bool:
     """True when the schema changed since the stored hash (first run
-    always counts as drift — reference seeds lastMD5Hash='None')."""
-    return schema_md5(doc) != last_md5
+    always counts as drift — reference seeds lastMD5Hash='None').
+    Callers that already computed :func:`schema_md5` pass it as
+    ``digest`` so the logged and the compared hash can never diverge."""
+    return (digest or schema_md5(doc)) != last_md5

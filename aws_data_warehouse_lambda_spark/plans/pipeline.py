@@ -80,7 +80,7 @@ def schema_dump_run(
     doc = schema_document({t: _load(spark, source_dir, t) for t in names})
     digest = schema_md5(doc)
 
-    if not has_drifted(doc, state.schema_last_md5):
+    if not has_drifted(doc, state.schema_last_md5, digest=digest):
         log.info("schema unchanged (md5=%s); skipping dump", digest)
         return {"changed": False, "md5": digest, "serial": serial_key(state.schema_serial)}
 

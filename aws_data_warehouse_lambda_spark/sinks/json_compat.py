@@ -47,20 +47,32 @@ def write_json_array(
     uuid_columns: frozenset[str] = frozenset(),
 ) -> str:
     """Single JSON-array object, reference byte-layout parity
-    (``[]`` for empty deltas). Streams through the driver — compat only."""
+    (``[]`` for empty deltas). Streams through the driver — compat only.
+
+    The row cap is checked BEFORE any byte is written (a cheap
+    ``limit(cap+1).count()`` — Spark stops the scan at cap+1 rows), and
+    the object is written to a temp file renamed into place on success,
+    so an oversized or failed write can neither cost a full streamed
+    pass nor leave a truncated, unparseable array at ``path``
+    (clobbering a previous good extract)."""
     out = coerce_for_json(df, uuid_columns) if coerce else df
+    if out.limit(MAX_COMPAT_ROWS + 1).count() > MAX_COMPAT_ROWS:
+        raise ValueError(
+            f"write_json_array is a compat sink capped at {MAX_COMPAT_ROWS} rows; "
+            "use write_json_lines for large extracts"
+        )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    n = 0
-    with open(path, "w") as f:
-        f.write("[")
-        for n, fragment in enumerate(out.toJSON().toLocalIterator(), start=1):
-            if n > MAX_COMPAT_ROWS:
-                raise ValueError(
-                    f"write_json_array is a compat sink capped at {MAX_COMPAT_ROWS} rows; "
-                    "use write_json_lines for large extracts"
-                )
-            if n > 1:
-                f.write(",")
-            f.write(fragment)
-        f.write("]")
+    tmp = f"{path}.{os.getpid()}.tmp"
+    try:
+        with open(tmp, "w") as f:
+            f.write("[")
+            for n, fragment in enumerate(out.toJSON().toLocalIterator(), start=1):
+                if n > 1:
+                    f.write(",")
+                f.write(fragment)
+            f.write("]")
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return path

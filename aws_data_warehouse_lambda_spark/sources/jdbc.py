@@ -72,11 +72,14 @@ def rds_iam_token(hostname: str, username: str, region: str, port: int = 5432) -
 class JdbcSource:
     url: str  # jdbc:postgresql://host:5432/db
     user: str
-    password: str  # in production: rds_iam_token() (src/db_conn.py:16-18)
+    # repr=False: the dataclass repr lands in logs/tracebacks, and this
+    # field carries a live credential (rds_iam_token() in production,
+    # src/db_conn.py:16-18); extra_options may carry secrets too.
+    password: str = field(repr=False, default="")
     schema: str = "public"
     fetchsize: int = FETCH_SIZE
     driver: str = "org.postgresql.Driver"
-    extra_options: dict = field(default_factory=dict)
+    extra_options: dict = field(default_factory=dict, repr=False)
 
     def _options(self) -> dict:
         return {
@@ -122,6 +125,14 @@ class JdbcSource:
     ) -> dict:
         opts = {**self._options(), "dbtable": self.table_query(table, plan, watermark)}
         if partition_column and num_partitions > 1:
+            if lower_bound is None or upper_bound is None:
+                # Fail at options-build time with a clear message —
+                # str(None) would reach Spark as the literal 'None' and
+                # die deep inside JDBCRelation bound parsing at job time.
+                raise ValueError(
+                    "partitioned JDBC read requires lower_bound and "
+                    "upper_bound alongside partition_column"
+                )
             opts.update(
                 partitionColumn=partition_column,
                 numPartitions=str(num_partitions),

@@ -71,7 +71,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling count+sum per event_type under a 1-hour watermark
-    — the streaming twin of q_tumbling_window (operators/events_batch)."""
+    — the streaming twin of q_tumbling_window (operators/events_batch).
+
+    NOTE on output mode: the run helper drains this in COMPLETE mode so
+    a one-shot AvailableNow pass emits every window for the oracle
+    comparison — and complete mode retains all window state by
+    definition. The watermark-bounded-state story holds in APPEND mode,
+    which is what a 24/7 file-sink deployment uses and what
+    tests/test_streaming_multibatch.py and
+    tests/test_streaming_watermark.py actually exercise (late-row drop,
+    state eviction, run-level watermark carry)."""
     e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -90,7 +99,9 @@ def sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-minute window sliding every 30 minutes under a 1-hour watermark
     — the streaming twin of q_sliding_window (operators/events_batch).
     Each event expands into exactly two window groups before the shuffle;
-    state is one row per (window, ) pair, expired by the watermark."""
+    state is one row per window pair — expired by the watermark in
+    append-mode deployments (the complete-mode drain here retains it for
+    the oracle comparison; see tumbling_stream's note)."""
     e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     return (
         e.groupBy(F.window("ts", "60 minutes", "30 minutes"))
@@ -148,9 +159,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unboundedly; with it, state is O(events in the watermark horizon),
     the canonical funnel/attribution join at scale.
     """
+    # ONE streaming source feeds both join sides (Spark supports
+    # self-joins on a single streaming relation): two events_stream()
+    # calls would scan the source twice per micro-batch — doubled I/O
+    # for identical results.
+    raw = events_stream(spark, sf_dir)
     clicks = (
-        events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
+        raw.where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
@@ -159,8 +174,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
+        raw.where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
@@ -194,7 +208,9 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (30-min gap) under a watermark — Spark's
     built-in stateful session assembly (merging-session state store),
     vs. the custom applyInPandasWithState version below. Complete mode
-    emits every assembled session when AvailableNow drains the source."""
+    emits every assembled session when AvailableNow drains the source
+    (and, per tumbling_stream's note, retains all of them — append mode
+    is where the watermark actually finalizes + evicts sessions)."""
     e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     return (
         e.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
@@ -279,7 +295,16 @@ def _sessionize_bucket(
     """Stateful sessionizer for one bucket of users: merge this batch's
     events into each user's open session carried in state; emit every
     session touched this batch (closed ones final, trailing ones
-    refinable by later batches — update-mode semantics)."""
+    refinable by later batches — update-mode semantics).
+
+    Late-data policy (cross-batch out-of-order arrivals; within a batch
+    events are sorted first): an event OLDER than the open session's
+    start is DROPPED — the same decision a watermark makes — never
+    merged. Merging would otherwise move ``end`` backwards and let the
+    next on-time event falsely split the session. With this policy
+    ``session_start`` is immutable and ``n_events`` monotone per open
+    session, which is what lets run_sessionize keep exactly the latest
+    refinement per (user_id, session_start)."""
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
 
     frames = [pdf for pdf in pdfs if len(pdf)]
@@ -305,12 +330,14 @@ def _sessionize_bucket(
             for t in grp["_us"].tolist():
                 if start is None:
                     start, end, n = t, t, 1
+                elif t < start:
+                    continue  # late beyond the open session: drop
                 elif t - end > gap_us:
                     out_u.append(user)
                     out_sessions.append((start, end, n))
                     start, end, n = t, t, 1
                 else:
-                    end, n = t, n + 1
+                    end, n = max(end, t), n + 1
             open_sessions[user] = (int(start), int(end), int(n))
             out_u.append(user)
             out_sessions.append((start, end, n))
@@ -360,6 +387,21 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _drain_to_memory(sessionize_stream(spark, sf_dir), spark, "update").orderBy(
-        "user_id", "session_start"
+    """Drain the stateful sessionizer and keep only the LATEST
+    refinement per session: the memory sink appends every update-mode
+    emission, so a session touched by several micro-batches leaves
+    superseded rows behind. session_start is immutable and n_events
+    monotone (see _sessionize_bucket's late-data policy), so "latest"
+    is exactly the max-n_events row per (user_id, session_start)."""
+    from pyspark.sql import Window
+
+    raw = _drain_to_memory(sessionize_stream(spark, sf_dir), spark, "update")
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.desc("n_events"), F.desc("session_end")
+    )
+    return (
+        raw.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .orderBy("user_id", "session_start")
     )

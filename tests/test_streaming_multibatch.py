@@ -211,3 +211,76 @@ def test_stream_stream_join_state_expires_across_batches(spark, tmp_path) -> Non
     # event ever seen — the 10:00 click and its pair are gone.
     state_rows = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
     assert state_rows <= 6, f"join state not bounded: {state_rows} rows"
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_sessionizer_drops_cross_batch_late_events(spark, tmp_path) -> None:
+    """A late event arriving in a later micro-batch, older than the open
+    session's start, must be DROPPED — merging it would drag the session
+    end backwards and make the next on-time event falsely split the
+    session (emitting a session whose end precedes its start)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from aws_data_warehouse_lambda_spark.streaming.jobs import (
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        _sessionize_bucket,
+    )
+
+    src, ckpt = (str(tmp_path / d) for d in ("src", "ckpt"))
+    _write_batch(
+        spark,
+        src,
+        1,
+        [
+            ("2024-03-01 10:00:00", 1, "click", 1.0),
+            ("2024-03-01 10:10:00", 1, "view", 1.0),
+        ],
+    )
+    _write_batch(
+        spark,
+        src,
+        2,
+        [
+            ("2024-03-01 08:00:00", 1, "click", 1.0),  # late: drop
+            ("2024-03-01 10:20:00", 1, "purchase", 1.0),  # merges
+        ],
+    )
+    sessions = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("bucket", F.lit(0))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _sessionize_bucket,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    # Parquet sinks reject update mode; drain to a memory sink (the same
+    # shape streaming/jobs._drain_to_memory uses).
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("late_sess_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+    rows = spark.table("late_sess_test").collect()
+    # No emission may ever have end < start (the pre-fix corruption).
+    assert all(r.session_end >= r.session_start for r in rows), rows
+    # Latest refinement of the one true session: 10:00-10:20, 3 events
+    # (the 08:00 straggler excluded), and no phantom split session.
+    latest = max(
+        (r for r in rows if str(r.session_start) == "2024-03-01 10:00:00"),
+        key=lambda r: r.n_events,
+    )
+    assert latest.n_events == 3 and str(latest.session_end) == "2024-03-01 10:20:00"
+    assert not [r for r in rows if str(r.session_start) < "2024-03-01 10:00:00"]
