@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum, dsum_expr
 from ..functions.porthash import h60, h60_sql
 from ..sources.tables import load_table
 from .dedup import (
@@ -233,8 +234,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark corpus). The eval shingle set is tiny by construction and
     broadcast, so the corpus side streams through one scan with no
     shuffle for the join — the exact shape of a real 100 TB
-    decontamination pass (eval suites are MBs)."""
-    sh = _shingle_hashes(spark, sf_dir)
+    decontamination pass (eval suites are MBs). Both branches (eval
+    set and train side) consume the shingle relation, so it is
+    persisted — otherwise each branch re-scans and re-hashes the
+    corpus."""
+    sh = _shingle_hashes(spark, sf_dir, persist=True)
     eval_sh = (
         sh.where(F.col("doc_id") % EVAL_MOD == 0).select("sh").distinct()
     )
@@ -305,11 +309,12 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_centroids",
-    oracle="""
+    oracle=f"""
     SELECT label,
            CAST(i AS INTEGER) AS dim,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+           round({dsum_expr('CAST(embedding[i] AS DOUBLE)')} / count(*), 6)
+               AS centroid
     FROM embeddings,
          UNNEST(range(1, len(embedding) + 1)) t(i)
     GROUP BY label, i
@@ -330,7 +335,13 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            # Exact-decimal mean (NOT F.avg): double summation order
+            # differs between engines/partitionings, and a mean within
+            # an ulp of a rounding boundary would flake the hash — the
+            # same dsum/count convention as q_kmeans_iter's updates.
+            F.round(
+                dsum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("centroid"),
         )
         .orderBy("label", "dim")
     )

@@ -18,9 +18,9 @@ q_dedup_minhash     MinHash (16 portable universal-hash permutations) +
                     LSH banding (8 bands x 2 rows) -> candidate pairs ->
                     exact-Jaccard verify. The banding join is the scale
                     path: cost is O(colliding candidates), not O(n^2).
-q_dedup_simhash     32-bit SimHash over the shingle-hash set + 4-bit band
-                    join + Hamming<=3 verify (pigeonhole: <=3 differing
-                    bits guarantee one of the 4 nibbles collides).
+q_dedup_simhash     32-bit SimHash over the shingle-hash set + 4x8-bit
+                    band join + Hamming<=3 verify (pigeonhole: <=3
+                    differing bits guarantee one of the 4 bands collides).
 q_dedup_embedding   cosine near-dup over 64-dim embeddings, pair join +
                     left-fold dot product (bit-exact vs the oracle).
 ==================  =========================================================
@@ -113,15 +113,18 @@ def _doc_shingle_arrays(
     production pipeline would land this table in parquet once; inside a
     single query, persist is the same decision (LRU-evicted, disk
     spill-backed, ~8 bytes/shingle so orders of magnitude smaller than
-    the corpus)."""
+    the corpus). The persisted form goes through the shared memo so
+    :func:`reset_shared_relations` can actually release it."""
+    if persist:
+        return _memo(
+            _ARRAYS_CACHE,
+            spark,
+            sf_dir,
+            lambda: _doc_shingle_arrays(spark, sf_dir, persist=False),
+        )
     docs = load_table(spark, sf_dir, "documents")
     shs = F.array_sort(F.array_distinct(F.transform(_shingles(F.col("text")), h60)))
-    arr = docs.select("doc_id", shs.alias("shs"), F.size(shs).alias("n"))
-    if persist:
-        from pyspark import StorageLevel
-
-        arr = arr.persist(StorageLevel.MEMORY_AND_DISK)
-    return arr
+    return docs.select("doc_id", shs.alias("shs"), F.size(shs).alias("n"))
 
 
 def _shingle_hashes(
@@ -144,10 +147,11 @@ def _shingle_hashes(
 #: :func:`reset_shared_relations` unpersists + clears everything (the
 #: bench calls it before every timed run so medians measure real
 #: executions, not cache reads).
+_ARRAYS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SHDF_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_ALL_CACHES = (_SHDF_CACHE, _PAIRS_CACHE, _LABELS_CACHE)
+_ALL_CACHES = (_ARRAYS_CACHE, _SHDF_CACHE, _PAIRS_CACHE, _LABELS_CACHE)
 
 
 def _memo(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
@@ -541,6 +545,17 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        # A non-converged edge set is NOT a star forest: the final join
+        # would silently emit multiple labels per node (docs in several
+        # clusters, duplicate keep/drop rows). Fail loudly instead —
+        # O(log^2 n) rounds means hitting this cap signals a bug or an
+        # adversarial graph, not a tuning issue.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "alternating rounds; refusing to emit possibly multi-labeled "
+            "components"
+        )
     # At the fixpoint edges form stars (node -> component min); nodes
     # that are roots (or isolated) label themselves.
     return nodes.join(

@@ -101,14 +101,31 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+#: First UTF-8 byte of a string, from its first code point — the oracle
+#: must mirror fake_decode's payload[0] (a BYTE), not the code point:
+#: they agree only on ASCII, and the fixture being all-ASCII must not
+#: hide the divergence. Standard UTF-8 lead-byte arithmetic.
+_FIRST_UTF8_BYTE = """
+    CASE WHEN text IS NULL OR text = '' THEN 0
+         WHEN unicode(substring(text, 1, 1)) < 128
+              THEN unicode(substring(text, 1, 1))
+         WHEN unicode(substring(text, 1, 1)) < 2048
+              THEN 192 + unicode(substring(text, 1, 1)) // 64
+         WHEN unicode(substring(text, 1, 1)) < 65536
+              THEN 224 + unicode(substring(text, 1, 1)) // 4096
+         ELSE 240 + unicode(substring(text, 1, 1)) // 262144
+    END
+"""
+
+
 @query(
     "q_multimodal_features",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            'text' AS modality,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            md5(text) AS payload_md5,
-           CAST(1 + unicode(substring(text, 1, 1)) % 64 AS INT) AS fake_width,
+           CAST(1 + ({_FIRST_UTF8_BYTE}) % 64 AS INT) AS fake_width,
            CAST(1 + octet_length(encode(text)) % 64 AS INT) AS fake_height
     FROM documents
     ORDER BY doc_id

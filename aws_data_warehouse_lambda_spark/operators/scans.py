@@ -72,7 +72,10 @@ def q_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            md5(CAST(o_orderkey AS VARCHAR)) AS uuid_hex,
-           CAST(o_orderdate AS VARCHAR) AS ts_str,
+           CASE WHEN strftime(o_orderdate, '%f') = '000000'
+                THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')
+           END AS ts_str,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
     FROM orders ORDER BY o_orderkey
     """,
@@ -83,9 +86,12 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     UUID-format string (synthesized from md5 since the fixtures carry no
     uuid column) through uuid_to_hex must yield back the undashed
     lowercase hex; timestamps through timestamp_to_str must match
-    Postgres text format (str(datetime) semantics); decimals stringify
-    exactly. All plan-time column expressions — no per-row Python hook
-    like the reference's encoder ``default``."""
+    Postgres text format (str(datetime) semantics — the oracle spells
+    that with strftime + a %f guard, NOT CAST(ts AS VARCHAR), because
+    DuckDB's cast trims trailing fractional zeros where str(datetime)
+    zero-pads to six digits); decimals stringify exactly. All plan-time
+    column expressions — no per-row Python hook like the reference's
+    encoder ``default``."""
     from ..functions.coerce import decimal_to_str, timestamp_to_str, uuid_to_hex
 
     o = load_table(spark, sf_dir, "orders")
