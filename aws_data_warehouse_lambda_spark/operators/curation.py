@@ -49,7 +49,7 @@ from ..sources.tables import load_table
 from .dedup import (
     _JACCARD_PAIRS_SQL,
     _SHINGLE_SQL,
-    _shingle_df,
+    _doc_annotated_arrays,
     _shingle_hashes,
     component_labels,
 )
@@ -431,16 +431,18 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, functions/dedup); the df table is one groupBy on 60-bit
     int keys and the join is hash-partitionable — no payload bytes ever
     shuffle, so the plan survives a 100x corpus scale-up. The
-    df-annotated shingle relation (dedup._shingle_df) is persisted and
-    shared with the Jaccard referee and containment queries."""
-    shdf = _shingle_df(spark, sf_dir)
-    common = F.sum(F.when(F.col("df") >= BOILER_DF, 1).otherwise(0))
-    frac = common.cast("double") / F.count(F.lit(1)).cast("double")
+    df-annotated packed relation (dedup._doc_annotated_arrays) is
+    persisted and shared with the Jaccard referee and containment
+    queries, and the per-doc stats are array expressions on its one
+    row per doc — no further shuffle after the shared relation."""
+    zdf = _doc_annotated_arrays(spark, sf_dir)
+    n_sh = F.size("z")
+    common = F.size(F.filter("z", lambda x: x["df"] >= BOILER_DF))
+    frac = common.cast("double") / n_sh.cast("double")
     return (
-        shdf
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        zdf.select(
+            "doc_id",
+            n_sh.cast("bigint").alias("n_shingles"),
             common.cast("bigint").alias("n_common"),
             F.round(frac, 6).alias("common_frac"),
             (frac > BOILER_FLAG_FRAC).alias("flagged"),

@@ -123,6 +123,19 @@ def _doc_shingle_arrays(
             lambda: _doc_shingle_arrays(spark, sf_dir, persist=False),
         )
     docs = load_table(spark, sf_dir, "documents")
+    # The shingle-hash projection is the CPU-heavy step of every sketch
+    # pipeline (~6us per shingle: higher-order transform + md5 + conv
+    # run interpreted, outside whole-stage codegen). A small corpus
+    # arrives as ONE parquet row group = one input split, so the whole
+    # projection would run on a single core while the rest idle —
+    # measured 5x the end-to-end arrays cost at sf0.1. When the scan
+    # has fewer splits than cores, redistribute the raw rows first
+    # (plan-time check, no job); at corpus scale the scan already has
+    # >= cores splits and this branch never fires — no shuffle of text
+    # bytes is ever added at 100 TB.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     shs = F.array_sort(F.array_distinct(F.transform(_shingles(F.col("text")), h60)))
     return docs.select("doc_id", shs.alias("shs"), F.size(shs).alias("n"))
 
@@ -148,17 +161,21 @@ def _shingle_hashes(
 #: bench calls it before every timed run so medians measure real
 #: executions, not cache reads).
 _ARRAYS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SHDF_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ZDF_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_ALL_CACHES = (_ARRAYS_CACHE, _SHDF_CACHE, _PAIRS_CACHE, _LABELS_CACHE)
+_ALL_CACHES = (_ARRAYS_CACHE, _ZDF_CACHE, _PAIRS_CACHE, _LABELS_CACHE)
 
 
 def _memo(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    import os
+
     app_id = spark.sparkContext.applicationId
     for key in [k for k in cache if k[0] != app_id]:
         cache.pop(key)  # plans bound to a dead context — drop
-    key = (app_id, sf_dir)
+    # normpath: 'dir' and 'dir/' must hit the same entry, or each path
+    # spelling pins its own persisted copy of the relation.
+    key = (app_id, os.path.normpath(sf_dir))
     cached = cache.get(key)
     if cached is None:
         from pyspark import StorageLevel
@@ -181,20 +198,37 @@ def reset_shared_relations() -> None:
         cache.clear()
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh, df) — exploded distinct shingle rows annotated with
-    corpus document frequency, persisted and memoized per (session,
-    fixture dir). The df aggregation is the largest shuffle in the
-    dedup family and feeds three consumers (the Jaccard referee's
-    prefix filter, containment's candidate generation, boilerplate's
-    common-shingle stat)."""
+def _doc_annotated_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, z) — each doc's shingle set packed as an array of
+    ``struct(df, sh)`` sorted ascending by (corpus document frequency,
+    shingle hash); persisted and memoized per (session, fixture dir).
+
+    This is the df-annotated successor of the exploded
+    ``sh JOIN sdf`` relation: the df aggregation (the dedup family's
+    largest shuffle, on 60-bit int keys) and the join happen once, then
+    the rows collapse back to one per document — so the persisted form
+    is packed (8+8 bytes per shingle, no repeated doc_id), and every
+    downstream per-doc statistic (PPJoin prefix bound, rare-shingle
+    candidate rows, boilerplate common fraction) becomes a DOC-LOCAL
+    array expression instead of a window/groupBy over exploded rows.
+    Replacing the two window passes of the round-3 prefix plan with
+    ``sort_array``+``slice`` on this relation cut the cold pairs
+    pipeline ~3x at sf0.1. Feeds three consumers (Jaccard referee,
+    containment, boilerplate); per-doc array size is bounded by
+    document length, so rows stay KB-scale at any corpus size."""
 
     def build() -> DataFrame:
         sh = _shingle_hashes(spark, sf_dir, persist=True)
         sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        return sh.join(sdf, "sh")
+        z = F.sort_array(F.collect_list(F.struct("df", "sh")))
+        return sh.join(sdf, "sh").groupBy("doc_id").agg(z.alias("z"))
 
-    return _memo(_SHDF_CACHE, spark, sf_dir, build)
+    return _memo(_ZDF_CACHE, spark, sf_dir, build)
+
+
+def _rare(z: Column) -> Column:
+    """Sub-array of ``z`` with document frequency <= DF_CAP (order kept)."""
+    return F.filter(z, lambda x: x["df"] <= DF_CAP)
 
 
 #: DuckDB CTEs mirroring :func:`_shingle_hashes` (sh) + per-doc set sizes.
@@ -309,26 +343,26 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard via array_intersect over the full per-doc shingle
     sets — two doc_id equality joins, no per-shingle row explosion.
     Every step is lossless w.r.t. the capped-generate-then-verify
-    oracle, which stays in its plain form."""
-    from pyspark.sql import Window
+    oracle, which stays in its plain form.
 
+    The prefix itself is DOC-LOCAL: the df-annotated arrays relation
+    already carries each doc's (df, sh) list sorted in the global
+    shingle order, so n / ncom / the positional bound are array
+    expressions (size / filter / slice) on one row — no window
+    functions, no exploded-row shuffle before the candidate join."""
     sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
-    shd = _shingle_df(spark, sf_dir)
-    # One doc_id shuffle serves both the per-doc stats (window aggs) and
-    # the prefix rank (row_number over the rare rows, same partitioning).
-    w_all = Window.partitionBy("doc_id")
-    shd = shd.withColumn("n", F.count(F.lit(1)).over(w_all)).withColumn(
-        "ncom", F.sum(F.when(F.col("df") > DF_CAP, 1).otherwise(0)).over(w_all)
-    )
+    zdf = _doc_annotated_arrays(spark, sf_dir)
     t = JACCARD_THRESHOLD
-    w_rare = Window.partitionBy("doc_id").orderBy("df", "sh")
-    k = F.greatest(F.ceil(F.lit(t) * F.col("n") - F.col("ncom")), F.lit(1))
-    prefix = (
-        shd.where(F.col("df") <= DF_CAP)
-        .withColumn("rk", F.row_number().over(w_rare))
-        .where(F.col("rk") <= (F.col("n") - F.col("ncom")) - k + 1)
-        .select("doc_id", "sh", "n")
-    )
+    n = F.size("z")
+    rare = _rare(F.col("z"))
+    ncom = n - F.size(rare)
+    k = F.greatest(F.ceil(F.lit(t) * n - ncom), F.lit(1))
+    keep_cnt = F.greatest((n - ncom) - k + F.lit(1), F.lit(0))
+    prefix = zdf.select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.slice(rare, F.lit(1), keep_cnt)).alias("s"),
+    ).select("doc_id", F.col("s.sh").alias("sh"), "n")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -425,9 +459,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-equality-join array_intersect over packed per-doc sets."""
     sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
     shr = (
-        _shingle_df(spark, sf_dir)
-        .where(F.col("df") <= DF_CAP)
-        .select("doc_id", "sh")
+        _doc_annotated_arrays(spark, sf_dir)
+        .select("doc_id", F.explode(_rare(F.col("z"))).alias("s"))
+        .select("doc_id", F.col("s.sh").alias("sh"))
     )
     a, b = shr.alias("a"), shr.alias("b")
     cand = (
@@ -475,7 +509,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, *, canonical: bool = False) -> DataFrame:
     """Small-star round: every node connects its smaller-or-equal
     neighbors (and itself) to its minimum neighbor.
 
@@ -483,15 +517,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
     :func:`_large_star` this is the alternating algorithm of Kiveris et
     al. (MR connected components), converging in O(log^2 n) rounds even
     for path graphs — plain min-label propagation needs O(diameter).
+
+    ``canonical=True`` asserts the input is already distinct high->low
+    directed edges (exactly what :func:`_large_star` emits) and skips
+    the normalization pass — one shuffle less per alternating round.
     """
-    d = (
-        edges.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
+    if canonical:
+        d = edges
+    else:
+        d = (
+            edges.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
         )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
     mins = d.groupBy("src").agg(F.min("dst").alias("m"))
     out = (
         d.join(mins, "src")
@@ -515,11 +556,12 @@ def connected_components(
     high->low edge set stops changing (count + order-insensitive
     bit_xor-of-xxhash64 checksum — the edge set is distinct, so xor is
     a sound set signature and cannot overflow under ANSI mode — both
-    computed in one aggregate pass). The fixpoint is checked every
-    SECOND round, and the per-round lineage cut is a LAZY localCheckpoint
-    that materializes with the signature action — so two full
-    large-star/small-star rounds run per materialization barrier
-    instead of one, at the cost of at most one extra (converged) round.
+    computed in one aggregate pass). The fixpoint is checked EVERY
+    round: near-dup graphs are star-like and converge in 1-2 rounds, so
+    checking per round halves the star-round work for the common case;
+    on a pathological graph the extra cost is one tiny aggregate job
+    per round for O(log^2 n) rounds. The per-round lineage cut is a
+    LAZY localCheckpoint materialized by the signature action.
     """
     # Materialize the input ONCE and derive both the node set and the
     # iteration's edge set from the checkpoint: `pairs` is typically an
@@ -535,9 +577,9 @@ def connected_components(
     edges = base.where(F.col("src") != F.col("dst"))
     prev_sig = None
     for r in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        if r % 2 == 0 and r < max_rounds - 1:
-            continue
+        edges = _small_star(
+            _large_star(edges), canonical=True
+        ).localCheckpoint(eager=False)
         cnt, chk = edges.agg(
             F.count(F.lit(1)), F.bit_xor(F.xxhash64("src", "dst"))
         ).first()

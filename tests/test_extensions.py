@@ -174,13 +174,17 @@ def test_dedup_relation_memos_return_same_instance(spark) -> None:
     the SAME DataFrame object (one cache entry, one computation), and a
     different sf_dir must miss."""
     from aws_data_warehouse_lambda_spark.operators.dedup import (
+        _doc_annotated_arrays,
         _jaccard_pairs,
-        _shingle_df,
         component_labels,
     )
 
-    for fn in (_jaccard_pairs, _shingle_df, component_labels):
+    for fn in (_jaccard_pairs, _doc_annotated_arrays, component_labels):
         assert fn(spark, SF) is fn(spark, SF), fn.__name__
-    assert _shingle_df(spark, SF) is not _shingle_df(
+    assert _doc_annotated_arrays(spark, SF) is not _doc_annotated_arrays(
         spark, "/root/testdata/sf0.01"
+    )
+    # Path-spelling normalization: 'dir' and 'dir/' share one entry.
+    assert _doc_annotated_arrays(spark, SF) is _doc_annotated_arrays(
+        spark, SF + "/"
     )
