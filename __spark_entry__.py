@@ -26,37 +26,65 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # round-3 additions: no driver row yet
-    "q_pii_redact",
-    "q_boilerplate_spans",
+    # Reworked THIS round (packed df-annotated shingle relation,
+    # doc-local PPJoin prefix, per-round CC fixpoint check) — the code
+    # under these changed, so they need the freshest hard signal:
+    "q_dedup_keep_list",
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard",
     "q_dedup_containment",
-    "q_kmeans_iter",
+    "q_boilerplate_spans",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_contamination",
     "q_graph_degree",
     "q_graph_pagerank",
-    "q_time_spine_gapfill",
-    "q_spine_forward_fill",
-    "q_variant_extract",
-    "q_funnel_steps",
-    # never driver-checked (deferred from the round-2 window)
-    "q_frame_sample",
-    # erred in r2 (raw array outputs; stringified this round)
-    "q_dedup_clusters",
-    "q_embedding_quantize",
-    # wrong in r2 (streaming timestamp-unit bug; fixed this round)
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_stream_join",
-    "q_stream_sessionize",
-    "q_stream_session_window",
-    "q_stream_dedup",  # passed r2, but the source schema path changed
-    # no_oracle in r1/r2; now emit exact values + in-band accuracy
-    # certificates, so a real hash row is possible for the first time
-    "q_approx_distinct",
-    "q_hll_mergeable",
-    "q_percentiles",
-    # implementations reworked this round -> want fresh rows
-    "q_join_salted",  # hot-key-only two-phase salting
-    "q_dedup_keep_list",  # shares the persisted CC relation now
+    # Stalest driver rows: last checked in ROUND 1, while three rounds
+    # of refactors churned the modules underneath (VERDICT r3 task #1):
+    "q_cube",
+    "q_grouping_sets",
+    "q_count_distinct",
+    "q_percentiles_exact",
+    "q_min_max_exact",
+    "q_multi_distinct",
+    "q_conditional_agg",
+    "q_stats_moments",
+    "q_topk_per_group",
+    "q_window_running",
+    "q_window_lag_lead",
+    "q_window_ranks",
+    "q_window_frames",
+    "q_window_range_frame",
+    "q_sessionize",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_intersect_all",
+    "q_except_all",
+    # Round-2-vintage rows under modules that churned in r3/r4, most
+    # affected first (dedup/sim/curation/text share relations with the
+    # reworked code; the scalar/event/UDF families were untouched and
+    # keep their r2 rows one more round):
+    "q_dedup_exact",
+    "q_dedup_embedding",
+    "q_sim_topk_bruteforce",
+    "q_sim_lsh_bucketed",
+    "q_sim_ivf",
+    "q_quality_filter",
+    "q_repetition",
+    "q_split_assign",
+    "q_embedding_centroids",
+    "q_text_langid",
+    "q_text_quality",
+    "q_token_stats",
+    "q_ngram_topk",
+    "q_tfidf",
+    "q_text_fingerprint",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_histogram",
+    "q_multimodal_features",
+    "q_pandas_udf_scalar",
 ]
 
 

@@ -90,12 +90,16 @@ def salted_join(
     of one hot key scatter over ``n_salts`` shuffle keys while remaining
     deterministic run-to-run.
     """
+    # Materialize the hot set ONCE (localCheckpoint: eager, lineage
+    # cut): three joins consume it below, and without the barrier each
+    # broadcast would re-run the detection scan+aggregate over the big
+    # side — 3x the detection cost the module docstring prices.
     hot = hot_keys(
         big,
         big_key,
         hot_row_threshold=hot_row_threshold,
         sample_fraction=sample_fraction,
-    )
+    ).localCheckpoint()
     on_hot = big_key == F.col(HOT_KEY_COL)
     big_hot = big.join(F.broadcast(hot), on_hot, "semi")
     big_cold = big.join(F.broadcast(hot), on_hot, "anti")

@@ -61,7 +61,11 @@ def discover_tables(source_dir: str, exclusions: frozenset[str] = frozenset()) -
     for entry in sorted(os.listdir(source_dir)):
         if entry.endswith(".parquet"):
             raw = entry[: -len(".parquet")]
-            if raw and sanitize_identifier(raw) not in exclusions:
+            s = sanitize_identifier(raw)
+            # An empty sanitized form (e.g. '--.parquet') would
+            # interpolate as an empty SQL identifier at the JDBC
+            # boundary — skip it like the pre-raw-names guard did.
+            if s and s not in exclusions:
                 names.append(raw)
     return names
 

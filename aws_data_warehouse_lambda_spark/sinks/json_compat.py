@@ -49,24 +49,26 @@ def write_json_array(
     """Single JSON-array object, reference byte-layout parity
     (``[]`` for empty deltas). Streams through the driver — compat only.
 
-    The row cap is checked BEFORE any byte is written (a cheap
-    ``limit(cap+1).count()`` — Spark stops the scan at cap+1 rows), and
-    the object is written to a temp file renamed into place on success,
-    so an oversized or failed write can neither cost a full streamed
-    pass nor leave a truncated, unparseable array at ``path``
-    (clobbering a previous good extract)."""
+    The row cap is enforced IN the streaming loop, on the rows actually
+    written: a separate pre-count would execute the plan twice and — for
+    a non-deterministic upstream — could pass while the streamed pass
+    emits more rows than the cap. The object is written to a temp file
+    renamed into place only on success, so an oversized input aborts
+    before ``path`` is touched and a failed write never leaves a
+    truncated, unparseable array clobbering a previous good extract."""
     out = coerce_for_json(df, uuid_columns) if coerce else df
-    if out.limit(MAX_COMPAT_ROWS + 1).count() > MAX_COMPAT_ROWS:
-        raise ValueError(
-            f"write_json_array is a compat sink capped at {MAX_COMPAT_ROWS} rows; "
-            "use write_json_lines for large extracts"
-        )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.{os.getpid()}.tmp"
     try:
         with open(tmp, "w") as f:
             f.write("[")
             for n, fragment in enumerate(out.toJSON().toLocalIterator(), start=1):
+                if n > MAX_COMPAT_ROWS:
+                    raise ValueError(
+                        f"write_json_array is a compat sink capped at "
+                        f"{MAX_COMPAT_ROWS} rows; use write_json_lines for "
+                        "large extracts"
+                    )
                 if n > 1:
                     f.write(",")
                 f.write(fragment)

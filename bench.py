@@ -77,12 +77,18 @@ def main() -> None:
     queries[names[0]](spark, SF_DIR).count()
 
     N_RUNS = 3
+    MAX_RUNS = 5
 
     # Median of 3 runs (VERDICT r2 #8: n>=3 so "no regression >1.5x" is
     # actually checkable): the first run pays per-query codegen/JIT that
     # a long-running cluster amortizes away, the median is robust to
     # both that and one-off GC stalls. Spread (max-min) rides along so
     # round-over-round deltas can be judged against run noise.
+    # NOISY queries — spread > 0.5x median after 3 runs — get up to
+    # MAX_RUNS total (VERDICT r3 #4: q_join_range/q_dedup_minhash
+    # spreads exceeded their medians, making regressions undecidable);
+    # a 5-run median with the min/max trimmed into the spread is stable
+    # enough to judge the 1.5x rule mechanically.
     #
     # The memoized dedup relations (operators/dedup._ALL_CACHES) are
     # RESET before every timed run — otherwise runs 2-3 of the pipeline
@@ -94,19 +100,30 @@ def main() -> None:
         reset_shared_relations,
     )
 
+    def one_run(name: str) -> float:
+        reset_shared_relations()
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).count()
+        return time.perf_counter() - t0
+
     def time_queries(qnames: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         med: dict[str, float] = {}
         spread: dict[str, float] = {}
         for name in qnames:
-            runs = []
-            for _ in range(N_RUNS):
-                reset_shared_relations()
-                t0 = time.perf_counter()
-                queries[name](spark, SF_DIR).count()
-                runs.append(time.perf_counter() - t0)
-            runs.sort()
+            runs = sorted(one_run(name) for _ in range(N_RUNS))
+            while (
+                len(runs) < MAX_RUNS
+                and runs[-1] - runs[0] > 0.5 * runs[len(runs) // 2]
+            ):
+                runs = sorted(runs + [one_run(name)])
             med[name] = round(runs[len(runs) // 2], 3)
-            spread[name] = round(runs[-1] - runs[0], 3)
+            # For queries that needed extra runs, report the TRIMMED
+            # range (middle runs, min/max dropped): a single GC stall
+            # would otherwise dominate max-min forever, and the trimmed
+            # range is the honest noise band around the median actually
+            # used for regression judgments.
+            win = runs[1:-1] if len(runs) == MAX_RUNS else runs
+            spread[name] = round(win[-1] - win[0], 3)
         return med, spread
 
     timings, spreads = time_queries(names)
@@ -121,6 +138,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "runs_per_query": N_RUNS,
+                "max_runs_noisy": MAX_RUNS,
                 "stat": "median",
                 "queries": timings,
                 "spread": spreads,

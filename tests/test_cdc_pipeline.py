@@ -202,6 +202,17 @@ def test_discovery_exclusions(spark, tmp_path):
     assert discover_tables(src, frozenset({"cdc_full"})) == ["cdc_insert_only", "cdc_upsert"]
 
 
+def test_discovery_skips_empty_sanitized_names(tmp_path):
+    """A filename whose sanitized form is empty ('--.parquet') would
+    interpolate as an empty SQL identifier at the JDBC boundary — it
+    must be skipped, like raw-empty names always were."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "--.parquet").write_bytes(b"")
+    (src / "ok_table.parquet").write_bytes(b"")
+    assert discover_tables(str(src)) == ["ok_table"]
+
+
 def test_default_exclusions_match_reference():
     """Parity-by-default: the data path ships the reference's 8-entry
     table_dump_ignore list (src/db_extractor_full.py:476-485), the

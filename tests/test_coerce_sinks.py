@@ -71,6 +71,25 @@ def test_json_array_sink(spark, tmp_path):
     assert open(p).read() == "[]"
 
 
+def test_json_array_cap_enforced_on_written_rows(spark, tmp_path, monkeypatch):
+    """The row cap is enforced in the streaming loop (on rows actually
+    written, robust to non-deterministic upstreams) and an oversized
+    input must abort WITHOUT clobbering a previous good extract."""
+    import pytest
+
+    from aws_data_warehouse_lambda_spark.sinks import json_compat
+
+    p = str(tmp_path / "t.json")
+    write_json_array(_df(spark), p, uuid_columns=frozenset({"id"}))
+    good = open(p).read()
+
+    monkeypatch.setattr(json_compat, "MAX_COMPAT_ROWS", 1)
+    with pytest.raises(ValueError, match="capped at 1 rows"):
+        write_json_array(_df(spark), p)  # 2 rows > cap
+    assert open(p).read() == good  # previous object intact
+    assert not [f for f in tmp_path.iterdir() if f.name.endswith(".tmp")]
+
+
 def test_jdbc_reader_options():
     src = JdbcSource(url="jdbc:postgresql://h:5432/db", user="u", password="p")
     opts = src.reader_options(
