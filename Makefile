@@ -1,0 +1,18 @@
+# One-command verify gate: the local oracle/unit suite PLUS the
+# fresh-process driver simulation (hostile non-UTC session, the closest
+# local replica of the external verify driver). A red driver-sim must
+# block a commit the way the round-2 streaming regression should have
+# been blocked — run `make verify` before committing operator changes.
+
+.PHONY: test driver-sim verify bench
+
+test:
+	python -m pytest tests/ -q
+
+driver-sim:
+	cd /tmp && python $(CURDIR)/tests/driver_sim.py
+
+verify: test driver-sim
+
+bench:
+	python bench.py

@@ -107,6 +107,72 @@ def test_seed_watermark_without_fraction_is_accepted():
     assert validate_watermark("1900-01-01 00:00:00") == "1900-01-01 00:00:00"
 
 
+@pytest.fixture(scope="module")
+def derby_typed_source(spark):
+    """Second Derby table exercising the reference's hard coercion
+    cases (src/db_extractor_full.py:74-78): a textual UUID column (what
+    a Postgres uuid yields over JDBC) and a max-precision DECIMAL.
+    Derby caps DECIMAL precision at 31 (Postgres numeric goes higher);
+    31 digits with 18 fractional is already far past double's 2^53,
+    so it proves the exact-string path end-to-end."""
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(DB_URL)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE app.typed_cdc ("
+        "id INT PRIMARY KEY, entity_uuid CHAR(36), "
+        "amount DECIMAL(31,18), created_at TIMESTAMP, "
+        "updated_at TIMESTAMP)"
+    )
+    st.executeUpdate(
+        "INSERT INTO app.typed_cdc VALUES (1, "
+        "'550E8400-E29B-41D4-A716-446655440000', "
+        "1234567890123.123456789012345678, "
+        "TIMESTAMP('2024-01-01 08:00:00'), "
+        "TIMESTAMP('2024-01-01 08:00:00'))"
+    )
+    st.executeUpdate(
+        "INSERT INTO app.typed_cdc VALUES (2, "
+        "'not-a-uuid-literal-payload-36-chars-', "
+        "0.000000000000000001, "
+        "TIMESTAMP('2024-01-15 10:00:00'), "
+        "TIMESTAMP('2024-01-15 10:00:00'))"
+    )
+    st.close()
+    yield JdbcSource(
+        url=DB_URL, user="app", password="", schema="app",
+        driver=DERBY_DRIVER,
+        extra_options={"sessionInitStatement": "VALUES 1"},
+    )
+    conn.close()
+
+
+def test_uuid_and_decimal_roundtrip_through_coercion(spark, derby_typed_source):
+    """T1 (UUID -> .hex) and T3 (Decimal -> exact string) through a REAL
+    JDBC ResultSet: Derby DECIMAL(31,18) arrives as DecimalType(31,18)
+    and must stringify losslessly (a double would corrupt both values);
+    the CHAR(36) UUID hex-normalizes, non-UUID strings pass through."""
+    from pyspark.sql import types as T
+
+    from aws_data_warehouse_lambda_spark.functions.coerce import coerce_for_json
+
+    df = derby_typed_source.read_table(spark, "typed_cdc", ScanPlan.FULL, WATERMARK)
+    amt = df.schema["AMOUNT"].dataType
+    assert isinstance(amt, T.DecimalType) and (amt.precision, amt.scale) == (31, 18)
+
+    rows = {
+        r["ID"]: r
+        for r in coerce_for_json(df, uuid_columns=frozenset({"ENTITY_UUID"})).collect()
+    }
+    assert rows[1]["ENTITY_UUID"] == "550e8400e29b41d4a716446655440000"
+    assert rows[2]["ENTITY_UUID"] == "not-a-uuid-literal-payload-36-chars-"
+    assert rows[1]["AMOUNT"] == "1234567890123.123456789012345678"
+    assert rows[2]["AMOUNT"] == "1E-18" or rows[2]["AMOUNT"] == "0.000000000000000001"
+    # timestamps took the T2 str() path, not epoch numbers
+    assert rows[1]["CREATED_AT"] == "2024-01-01 08:00:00"
+
+
 def test_rds_iam_token_presigns_offline(monkeypatch):
     """generate_db_auth_token presigns locally (no network) — assert the
     token shape the reference feeds to pg8000 as the password
