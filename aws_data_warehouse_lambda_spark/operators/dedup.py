@@ -217,13 +217,22 @@ def _doc_annotated_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment, boilerplate); per-doc array size is bounded by
     document length, so rows stay KB-scale at any corpus size."""
 
-    def build() -> DataFrame:
-        sh = _shingle_hashes(spark, sf_dir, persist=True)
-        sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        z = F.sort_array(F.collect_list(F.struct("df", "sh")))
-        return sh.join(sdf, "sh").groupBy("doc_id").agg(z.alias("z"))
+    return _memo(
+        _ZDF_CACHE,
+        spark,
+        sf_dir,
+        lambda: _annotate_sets(_doc_shingle_arrays(spark, sf_dir, persist=True)),
+    )
 
-    return _memo(_ZDF_CACHE, spark, sf_dir, build)
+
+def _annotate_sets(sets: DataFrame) -> DataFrame:
+    """Build the (doc_id, z) df-annotated relation from a packed
+    (doc_id, shs, ...) shingle-set relation — separated from the memo so
+    property tests can drive it with synthetic sets."""
+    sh = sets.select("doc_id", F.explode("shs").alias("sh"))
+    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    z = F.sort_array(F.collect_list(F.struct("df", "sh")))
+    return sh.join(sdf, "sh").groupBy("doc_id").agg(z.alias("z"))
 
 
 def _rare(z: Column) -> Column:
@@ -352,6 +361,15 @@ def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, no exploded-row shuffle before the candidate join."""
     sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
     zdf = _doc_annotated_arrays(spark, sf_dir)
+    return _pairs_from_relations(sets, zdf)
+
+
+def _pairs_from_relations(sets: DataFrame, zdf: DataFrame) -> DataFrame:
+    """The PPJoin prefix-filter -> size-ratio prune -> exact-verify
+    chain over explicit (doc_id, shs, n) and (doc_id, z) relations —
+    separated so the losslessness property (output == capped brute
+    force on arbitrary set families) is testable with synthetic
+    inputs, not just the fixture corpus."""
     t = JACCARD_THRESHOLD
     n = F.size("z")
     rare = _rare(F.col("z"))

@@ -106,6 +106,59 @@ def test_uuid_coercion_matches_python_hex(spark, uuids) -> None:
     assert got == [u.hex for u in uuids]
 
 
+#: Small shingle-hash vocabulary so drawn set families collide heavily
+#: (shared shingles, ties in df order, subset/superset shapes).
+_shingle_sets = st.lists(
+    st.sets(st.integers(min_value=0, max_value=14), max_size=8),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_shingle_sets)
+def test_ppjoin_prefix_filter_is_lossless(spark, families) -> None:
+    """The PPJoin prefix filter + size-ratio prune + exact verify must
+    emit EXACTLY the pairs of the capped brute force: every a<b pair
+    sharing >=1 below-cap shingle with full-set Jaccard >= t, nothing
+    more, nothing less — on arbitrary set families, with DF_CAP small
+    enough that the cap path is actually exercised."""
+    from aws_data_warehouse_lambda_spark.operators import dedup
+
+    orig_cap = dedup.DF_CAP
+    dedup.DF_CAP = 3
+    try:
+        t = dedup.JACCARD_THRESHOLD
+        docs = {i: s for i, s in enumerate(families)}
+
+        # Brute force, mirroring the oracle's capped-generate-then-verify.
+        from collections import Counter
+
+        dfc = Counter(x for s in docs.values() for x in s)
+        rare = {x for x, c in dfc.items() if c <= dedup.DF_CAP}
+        expect = set()
+        for a in docs:
+            for b in docs:
+                if a < b and (docs[a] & docs[b] & rare):
+                    j = len(docs[a] & docs[b]) / len(docs[a] | docs[b])
+                    if j >= t:
+                        expect.add((a, b, round(j, 9)))
+
+        sets = spark.createDataFrame(
+            [(i, sorted(s), len(s)) for i, s in docs.items()],
+            "doc_id long, shs array<long>, n int",
+        )
+        got = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in dedup._pairs_from_relations(
+                sets, dedup._annotate_sets(sets)
+            ).collect()
+        }
+        assert got == expect
+    finally:
+        dedup.DF_CAP = orig_cap
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(_timestamps, min_size=1, max_size=20))
 def test_timestamp_coercion_matches_python_str(spark, stamps) -> None:
