@@ -100,8 +100,15 @@ def main() -> None:
         reset_shared_relations,
     )
 
+    import gc
+
     def one_run(name: str) -> float:
         reset_shared_relations()
+        # Drop lingering localCheckpoint RDD blocks from prior runs:
+        # Spark's ContextCleaner frees them only when Python GC collects
+        # the DataFrame wrappers, and lazy GC timing otherwise lets
+        # block-manager pressure from run N-1 pollute run N's timing.
+        gc.collect()
         t0 = time.perf_counter()
         queries[name](spark, SF_DIR).count()
         return time.perf_counter() - t0
