@@ -585,8 +585,15 @@ def connected_components(
     # iteration's edge set from the checkpoint: `pairs` is typically an
     # expensive upstream pipeline (the PPJoin referee), and building
     # nodes/edges from the raw relation would re-execute it per consumer
-    # (measured 2x the whole CC cost at sf0.1).
-    base = pairs.localCheckpoint()
+    # (measured 2x the whole CC cost at sf0.1). When the caller already
+    # persisted the relation (the memoized referee pairs), the cache
+    # serves the same purpose — skip the redundant checkpoint job.
+    from pyspark import StorageLevel
+
+    if pairs.storageLevel == StorageLevel.NONE:
+        base = pairs.localCheckpoint()
+    else:
+        base = pairs
     nodes = (
         base.select(F.col("src").alias("node"))
         .union(base.select(F.col("dst").alias("node")))

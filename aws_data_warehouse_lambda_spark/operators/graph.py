@@ -126,6 +126,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit. Each round is one edge join + one partial-combined groupBy;
     localCheckpoint bounds lineage exactly as the CC fixpoint does.
     """
+    # EAGER checkpoint: edges feeds four consumers (deg + one join per
+    # round); lazy materialization lets concurrent partition computes
+    # duplicate the upstream work before blocks land (measured slower
+    # AND noisier than paying one small blocking job here).
     edges = _edges(spark, sf_dir).localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -157,6 +161,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + DAMPING * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("pr"),
             )
+            # EAGER checkpoint per round: `ranks` is consumed twice in
+            # the next round (contrib join + rank rebuild), so a lazy
+            # checkpoint can double-compute the whole chain before its
+            # blocks land (measured: lazy was ~1.2s slower with an 8s
+            # outlier). One blocking job per round is the cheaper
+            # barrier.
             .localCheckpoint()
         )
     return ranks.select(
