@@ -188,3 +188,18 @@ def test_dedup_relation_memos_return_same_instance(spark) -> None:
     assert _doc_annotated_arrays(spark, SF) is _doc_annotated_arrays(
         spark, SF + "/"
     )
+
+
+def test_shingle_arrays_parallelize_single_split_scans(spark) -> None:
+    """A small corpus arrives as one parquet row group = one input
+    split; the CPU-heavy shingle-hash projection must NOT run on a
+    single core — the builder redistributes when scan splits < cores
+    (and must leave naturally-split corpora alone at scale)."""
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        _doc_shingle_arrays,
+    )
+
+    df = _doc_shingle_arrays(spark, SF, persist=False)
+    assert df.rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 4
+    )

@@ -94,6 +94,35 @@ _timestamps = st.datetimes(
 ).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
 
 
+@given(
+    st.integers(min_value=0, max_value=(1 << 32) - 1),
+    st.sets(st.integers(min_value=0, max_value=31), max_size=3),
+)
+def test_simhash_band_pigeonhole_guarantees_recall(sig, flip_bits) -> None:
+    """The 4x8-bit band join has recall 1 for Hamming <= HAMMING_MAX:
+    at most 3 differing bits cannot touch all 4 bands, so every pair the
+    verify step would accept MUST collide on at least one band — the
+    combinatorial guarantee q_dedup_simhash's candidate generation
+    relies on (operators/dedup.py)."""
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        HAMMING_MAX,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BAND_MASK,
+        SIMHASH_BITS,
+    )
+
+    assert len(flip_bits) <= HAMMING_MAX
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    assert any(
+        (sig >> (SIMHASH_BAND_BITS * b)) & SIMHASH_BAND_MASK
+        == (other >> (SIMHASH_BAND_BITS * b)) & SIMHASH_BAND_MASK
+        for b in range(n_bands)
+    )
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(st.uuids(), min_size=1, max_size=20))
 def test_uuid_coercion_matches_python_hex(spark, uuids) -> None:
