@@ -90,16 +90,21 @@ def salted_join(
     of one hot key scatter over ``n_salts`` shuffle keys while remaining
     deterministic run-to-run.
     """
-    # Materialize the hot set ONCE (localCheckpoint: eager, lineage
-    # cut): three joins consume it below, and without the barrier each
-    # broadcast would re-run the detection scan+aggregate over the big
-    # side — 3x the detection cost the module docstring prices.
+    # Compute the hot set ONCE: three joins consume it below, and
+    # without a materialization point each broadcast would re-run the
+    # detection scan+aggregate over the big side — 3x the detection
+    # cost the module docstring prices. persist() (not localCheckpoint)
+    # keeps it lazy — no Spark job at plan-construction time — and
+    # recomputable on executor loss, which matters for the function
+    # billed as the production skew path. The relation is tiny by
+    # construction; it stays pinned for the session (LRU-evictable)
+    # like the dedup memo relations.
     hot = hot_keys(
         big,
         big_key,
         hot_row_threshold=hot_row_threshold,
         sample_fraction=sample_fraction,
-    ).localCheckpoint()
+    ).persist()
     on_hot = big_key == F.col(HOT_KEY_COL)
     big_hot = big.join(F.broadcast(hot), on_hot, "semi")
     big_cold = big.join(F.broadcast(hot), on_hot, "anti")

@@ -561,7 +561,7 @@ def _small_star(edges: DataFrame, *, canonical: bool = False) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, *, max_rounds: int = 25
+    pairs: DataFrame, *, max_rounds: int = 25, pre_materialized: bool = False
 ) -> DataFrame:
     """(node, label) connected-component labels for an undirected edge
     list ``(src, dst)`` — label = min node id in the component.
@@ -585,15 +585,13 @@ def connected_components(
     # iteration's edge set from the checkpoint: `pairs` is typically an
     # expensive upstream pipeline (the PPJoin referee), and building
     # nodes/edges from the raw relation would re-execute it per consumer
-    # (measured 2x the whole CC cost at sf0.1). When the caller already
-    # persisted the relation (the memoized referee pairs), the cache
-    # serves the same purpose — skip the redundant checkpoint job.
-    from pyspark import StorageLevel
-
-    if pairs.storageLevel == StorageLevel.NONE:
-        base = pairs.localCheckpoint()
-    else:
-        base = pairs
+    # (measured 2x the whole CC cost at sf0.1). ``pre_materialized=True``
+    # is the caller's assertion that the input already sits on a
+    # persisted relation (e.g. a thin projection of the memoized referee
+    # pairs — Dataset.storageLevel can NOT detect that case: it reports
+    # a level only for an exact plan match, so a .select() of a cached
+    # plan reads as NONE) and the checkpoint job would be redundant.
+    base = pairs if pre_materialized else pairs.localCheckpoint()
     nodes = (
         base.select(F.col("src").alias("node"))
         .union(base.select(F.col("dst").alias("node")))
@@ -643,7 +641,9 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = _jaccard_pairs(spark, sf_dir).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        return connected_components(pairs)
+        # The projection sits directly on the memo-persisted referee
+        # pairs, so CC's input-materialization checkpoint is redundant.
+        return connected_components(pairs, pre_materialized=True)
 
     return _memo(_LABELS_CACHE, spark, sf_dir, build)
 

@@ -52,10 +52,15 @@ def write_json_array(
     The row cap is enforced IN the streaming loop, on the rows actually
     written: a separate pre-count would execute the plan twice and — for
     a non-deterministic upstream — could pass while the streamed pass
-    emits more rows than the cap. The object is written to a temp file
-    renamed into place only on success, so an oversized input aborts
-    before ``path`` is touched and a failed write never leaves a
-    truncated, unparseable array clobbering a previous good extract."""
+    emits more rows than the cap. The trade: an oversized input now
+    streams (and writes to the temp file) MAX_COMPAT_ROWS rows before
+    the abort fires, where the old pre-count refused after a bounded
+    distributed scan — acceptable for a quarantined compat sink whose
+    callers are expected to know their extract is small. The object is
+    written to a temp file renamed into place only on success, so an
+    oversized input aborts before ``path`` is touched and a failed
+    write never leaves a truncated, unparseable array clobbering a
+    previous good extract."""
     out = coerce_for_json(df, uuid_columns) if coerce else df
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.{os.getpid()}.tmp"

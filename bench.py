@@ -118,11 +118,11 @@ def main() -> None:
         spread: dict[str, float] = {}
         for name in qnames:
             runs = sorted(one_run(name) for _ in range(N_RUNS))
-            while (
-                len(runs) < MAX_RUNS
-                and runs[-1] - runs[0] > 0.5 * runs[len(runs) // 2]
-            ):
-                runs = sorted(runs + [one_run(name)])
+            if runs[-1] - runs[0] > 0.5 * runs[len(runs) // 2]:
+                # Noisy: jump straight to MAX_RUNS (always an ODD count,
+                # so the reported median is a true observed median — a
+                # 4-run exit would report the 62.5th percentile).
+                runs = sorted(runs + [one_run(name) for _ in range(MAX_RUNS - N_RUNS)])
             med[name] = round(runs[len(runs) // 2], 3)
             # For queries that needed extra runs, report the TRIMMED
             # range (middle runs, min/max dropped): a single GC stall
