@@ -586,11 +586,13 @@ def connected_components(
     # expensive upstream pipeline (the PPJoin referee), and building
     # nodes/edges from the raw relation would re-execute it per consumer
     # (measured 2x the whole CC cost at sf0.1). ``pre_materialized=True``
-    # is the caller's assertion that the input already sits on a
-    # persisted relation (e.g. a thin projection of the memoized referee
-    # pairs — Dataset.storageLevel can NOT detect that case: it reports
-    # a level only for an exact plan match, so a .select() of a cached
-    # plan reads as NONE) and the checkpoint job would be redundant.
+    # is the caller's assertion that the input's blocks are ALREADY
+    # computed (an eagerly-built checkpoint/cache). persist() alone is
+    # NOT enough: a lazily-persisted relation has no blocks yet, so this
+    # function's fan-out (nodes-from-src, nodes-from-dst, round-0 edges)
+    # races three concurrent first-computations of the whole upstream
+    # pipeline before any block lands — measured 2-3x slower than paying
+    # the one checkpoint job (the r4 keep-list regression).
     base = pairs if pre_materialized else pairs.localCheckpoint()
     nodes = (
         base.select(F.col("src").alias("node"))
@@ -641,9 +643,14 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = _jaccard_pairs(spark, sf_dir).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        # The projection sits directly on the memo-persisted referee
-        # pairs, so CC's input-materialization checkpoint is redundant.
-        return connected_components(pairs, pre_materialized=True)
+        # The projection sits on the memo-PERSISTED referee pairs, but
+        # persist is lazy: at this point no block exists, so skipping
+        # CC's input checkpoint (tried in r4) let CC's three first
+        # consumers race concurrent computations of the whole PPJoin
+        # pipeline — 2-3x slower. Keep the checkpoint: it is the one
+        # materialization pass either way, and it doubles as the block
+        # landing for the memo.
+        return connected_components(pairs)
 
     return _memo(_LABELS_CACHE, spark, sf_dir, build)
 

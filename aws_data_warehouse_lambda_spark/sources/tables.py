@@ -9,6 +9,8 @@ JDBC scale path lives in sources/jdbc.py. Reads are plain
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -46,8 +48,34 @@ def table_path(sf_dir: str, name: str) -> str:
 _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+#: Schema cache, keyed on (spark appId, normalized path). A metastore
+#: caches table schemas for exactly this reason: re-inferring the schema
+#: from parquet footers is a small Spark JOB per ``spark.read.parquet``
+#: call, and a query surface that loads 1-3 tables per query pays it on
+#: every invocation. Fixture dirs are immutable for the life of a
+#: session (TESTDATA.md), so the cache never goes stale here; callers
+#: that mutate a path (none in-repo — verified: all writers target fresh
+#: tmp dirs) can clear it via :func:`invalidate_schema_cache`. Only the
+#: SCHEMA is cached — each call still builds a fresh DataFrame, so
+#: self-joins keep distinct expression IDs.
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
+def invalidate_schema_cache() -> None:
+    _SCHEMA_CACHE.clear()
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, os.path.normpath(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(table_path(sf_dir, name))
+    df = _read_parquet(spark, table_path(sf_dir, name))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(
@@ -69,7 +97,7 @@ def load_table_with_watermark(
     point of watermark CDC at 100 TB). For regular timestamp columns the
     predicate pushes down as-is.
     """
-    df = spark.read.parquet(table_path(sf_dir, name))
+    df = _read_parquet(spark, table_path(sf_dir, name))
     nanos_cols = [
         c
         for c in _NANOS_TS_COLUMNS.get(name, ())

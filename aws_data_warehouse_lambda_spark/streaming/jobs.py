@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.numeric import dsum
-from ..sources.tables import table_path
+from ..sources.tables import _read_parquet, table_path
 
 SESSION_GAP_MIN = 30
 
@@ -51,7 +51,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # The file source wants a directory; the fixture is a single file, so
     # stream the sf_dir with a glob pinned to the events table.
-    disk_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    disk_schema = _read_parquet(spark, table_path(sf_dir, "events")).schema
     raw = (
         spark.readStream.schema(disk_schema)
         .format("parquet")
