@@ -114,22 +114,43 @@ def main() -> None:
         return time.perf_counter() - t0
 
     def time_queries(qnames: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        # INTERLEAVED sweeps, not back-to-back runs: this host shows
+        # minutes-long CPU-steal windows (observed up to ~30% st in
+        # vmstat) that would poison ALL back-to-back runs of whichever
+        # query they land on, making its median pure noise. A sweep
+        # over every query takes about as long as a steal window, so
+        # interleaving spaces one query's runs across different noise
+        # regimes and the per-query median recovers the quiet-machine
+        # cost. Queries still noisy after N_RUNS sweeps (spread >
+        # 0.5x median) get MAX_RUNS - N_RUNS extra sweeps — odd total,
+        # so the reported median is a true observed median.
+        allruns: dict[str, list[float]] = {n: [] for n in qnames}
+        for _ in range(N_RUNS):
+            for name in qnames:
+                allruns[name].append(one_run(name))
+
+        def noisy(runs: list[float]) -> bool:
+            s = sorted(runs)
+            return s[-1] - s[0] > 0.5 * s[len(s) // 2]
+
+        # The noisy set is decided ONCE so every query ends on an odd
+        # run count (N_RUNS or MAX_RUNS) and the median is a true
+        # observed median — a 4-run exit would report the 62.5th pct.
+        still = [n for n in qnames if noisy(allruns[n])]
+        for _ in range(MAX_RUNS - N_RUNS):
+            for name in still:
+                allruns[name].append(one_run(name))
         med: dict[str, float] = {}
         spread: dict[str, float] = {}
         for name in qnames:
-            runs = sorted(one_run(name) for _ in range(N_RUNS))
-            if runs[-1] - runs[0] > 0.5 * runs[len(runs) // 2]:
-                # Noisy: jump straight to MAX_RUNS (always an ODD count,
-                # so the reported median is a true observed median — a
-                # 4-run exit would report the 62.5th percentile).
-                runs = sorted(runs + [one_run(name) for _ in range(MAX_RUNS - N_RUNS)])
+            runs = sorted(allruns[name])
             med[name] = round(runs[len(runs) // 2], 3)
             # For queries that needed extra runs, report the TRIMMED
             # range (middle runs, min/max dropped): a single GC stall
             # would otherwise dominate max-min forever, and the trimmed
             # range is the honest noise band around the median actually
             # used for regression judgments.
-            win = runs[1:-1] if len(runs) == MAX_RUNS else runs
+            win = runs[1:-1] if len(runs) > N_RUNS else runs
             spread[name] = round(win[-1] - win[0], 3)
         return med, spread
 
