@@ -789,6 +789,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.k1", "bk.k2")
+    # EAGER checkpoint before the self-join: both sides (and any AQE
+    # broadcast of one of them) descend from the UN-persisted signature
+    # transform `mh` — 16 per-shingle hashes over the whole corpus —
+    # so without a materialization barrier that transform runs twice,
+    # and when AQE picks a broadcast it runs once more single-streamed
+    # inside the broadcast build (observed as a bimodal 4s/19s cold
+    # cost). The checkpoint is tiny (|docs| x N_BANDS rows of 3 ints)
+    # and computing it also lands the persisted shingle-array blocks
+    # that the verify joins below re-read.
+    bands = bands.localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -901,6 +911,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bn"),
     ).select("doc_id", "sig", "bn.band", "bn.nib")
+    # EAGER checkpoint before the self-join, same reason as the minhash
+    # banding join: both sides descend from the un-persisted 32-column
+    # bit-sum aggregate, so without a barrier it runs once per side (and
+    # once more single-streamed if AQE broadcasts a side). 4 rows/doc.
+    nib = nib.localCheckpoint()
     a, b = nib.alias("a"), nib.alias("b")
     cand = (
         a.join(
