@@ -154,8 +154,16 @@ def main() -> None:
             spread[name] = round(win[-1] - win[0], 3)
         return med, spread
 
-    timings, spreads = time_queries(names)
-    tail, tail_spreads = time_queries([n for n in TAIL if n in queries])
+    # Headline and tail share ONE sweep schedule: when they were timed
+    # as two sequential groups, a noise window landing late poisoned
+    # every tail median at once (observed 4x on an otherwise unchanged
+    # tree). One schedule spreads any window across both groups.
+    tail_names = [n for n in TAIL if n in queries]
+    med_all, spread_all = time_queries(names + tail_names)
+    timings = {n: med_all[n] for n in names}
+    spreads = {n: spread_all[n] for n in names}
+    tail = {n: med_all[n] for n in tail_names}
+    tail_spreads = {n: spread_all[n] for n in tail_names}
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
