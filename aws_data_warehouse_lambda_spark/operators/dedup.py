@@ -381,6 +381,14 @@ def _pairs_from_relations(sets: DataFrame, zdf: DataFrame) -> DataFrame:
         n.alias("n"),
         F.explode(F.slice(rare, F.lit(1), keep_cnt)).alias("s"),
     ).select("doc_id", F.col("s.sh").alias("sh"), "n")
+    # EAGER checkpoint before the self-join (same reason as the
+    # minhash/simhash band joins): both sides AND the broadcast build
+    # of one side descend from the lazily-persisted zdf relation, so
+    # without a barrier the annotate/sort pipeline runs per consumer on
+    # a cold cache. The prefix is tiny (a few rows per doc), and
+    # computing it also lands the zdf and shingle-array blocks the
+    # verify joins below re-read.
+    prefix = prefix.localCheckpoint()
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -481,6 +489,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_rare(F.col("z"))).alias("s"))
         .select("doc_id", F.col("s.sh").alias("sh"))
     )
+    # EAGER checkpoint before the self-join — same fan-out-over-lazy-
+    # cache hazard as the PPJoin prefix and the band joins.
+    shr = shr.localCheckpoint()
     a, b = shr.alias("a"), shr.alias("b")
     cand = (
         a.join(

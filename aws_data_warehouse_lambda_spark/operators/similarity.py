@@ -246,6 +246,10 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cr") == 1)
         .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
     )
+    # EAGER checkpoint: the cell assignment (broadcast crossJoin + a
+    # row_number shuffle) feeds both sides of the cell self-join below;
+    # without a barrier it is computed once per side.
+    assigned = assigned.localCheckpoint()
     q = assigned.where(F.col("vec_id") < IVF_CELLS + N_QUERIES).alias("q")
     c = assigned.alias("c")
     cos = dot(F.col("q.embedding"), F.col("c.embedding")) / (
