@@ -276,3 +276,34 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark) -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         spark.conf.set(thr_key, prev_thr)
+
+
+def test_sketch_self_joins_read_materialized_bands(spark) -> None:
+    """The band/prefix self-joins must consume an eagerly-materialized
+    relation (Scan ExistingRDD from localCheckpoint), NOT re-derive the
+    signature pipeline per join side: a lazily-cached upstream is
+    recomputed once per consumer (and once more inside a broadcast
+    build), which measured 2-4x on the cold path (r4). The expensive
+    pre-checkpoint expressions must therefore be absent from the final
+    plan."""
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        reset_shared_relations,
+    )
+
+    cases = {
+        # query -> expression that must be behind the checkpoint
+        "q_dedup_minhash": "array_min",       # 16-perm signature transform
+        "q_dedup_simhash": "shiftright",      # 32-column bit-sum aggregate
+        "q_dedup_ngram_jaccard": "sort_array",  # df-annotate + pack pipeline
+        "q_dedup_containment": "sort_array",
+        "q_sim_ivf": "percent_rank|row_number().*cent",  # cell assignment rank
+    }
+    for name, banned in cases.items():
+        reset_shared_relations()
+        plan = plan_of(spark, name)
+        assert "Scan ExistingRDD" in plan, f"{name}: no checkpoint scan"
+        assert not re.search(banned, plan), (
+            f"{name}: pre-checkpoint expression '{banned}' leaked into the "
+            "final plan — a self-join side is recomputing the pipeline"
+        )
+    reset_shared_relations()
