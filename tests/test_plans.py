@@ -307,3 +307,26 @@ def test_sketch_self_joins_read_materialized_bands(spark) -> None:
             "final plan — a self-join side is recomputing the pipeline"
         )
     reset_shared_relations()
+
+
+def test_schema_cache_keeps_self_joins_unambiguous(spark) -> None:
+    """load_table caches only the SCHEMA, never the DataFrame: two calls
+    must return plans with distinct expression IDs so self-joins keep
+    working (a shared DataFrame object would make the join condition
+    trivially ambiguous), and the cache must be invalidatable."""
+    from aws_data_warehouse_lambda_spark.sources import tables as tb
+
+    a = tb.load_table(spark, SF, "nation")
+    b = tb.load_table(spark, SF, "nation")
+    assert a is not b
+    j = a.join(b, a.n_regionkey == b.n_regionkey)
+    assert j.count() > 0  # would raise on ambiguous/trivial condition
+    key = (
+        spark.sparkContext.applicationId,
+        __import__("os").path.normpath(tb.table_path(SF, "nation")),
+    )
+    assert key in tb._SCHEMA_CACHE
+    tb.invalidate_schema_cache()
+    assert not tb._SCHEMA_CACHE
+    # Repopulates transparently on next load.
+    assert tb.load_table(spark, SF, "nation").count() == a.count()
