@@ -1010,7 +1010,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver check still exercises the full pair set. Norms are
     precomputed once per row (O(n) not O(n^2) norm work).
     """
-    norms = _norms(spark, sf_dir, cap=REFEREE_CAP)
+    # EAGER checkpoint before the self-join (same posture as the band
+    # relations above): both aliases descend from the un-materialized
+    # top-k-over-the-corpus `_norms` scan, so without a barrier the
+    # O(n) embeddings scan + norm projection runs once per side — at
+    # corpus scale that doubles the dominant cost of this referee. The
+    # checkpoint is tiny (REFEREE_CAP=512 rows).
+    norms = _norms(spark, sf_dir, cap=REFEREE_CAP).localCheckpoint()
     a, b = norms.alias("a"), norms.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")

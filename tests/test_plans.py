@@ -297,6 +297,8 @@ def test_sketch_self_joins_read_materialized_bands(spark) -> None:
         "q_dedup_ngram_jaccard": "sort_array",  # df-annotate + pack pipeline
         "q_dedup_containment": "sort_array",
         "q_sim_ivf": "percent_rank|row_number().*cent",  # cell assignment rank
+        # referee cap top-k (hash-ordered O(n) corpus scan) must run once
+        "q_dedup_embedding": "TakeOrderedAndProject",
     }
     for name, banned in cases.items():
         reset_shared_relations()
