@@ -86,9 +86,63 @@ def assert_driver_hashable(df, name: str) -> None:
     )
 
 
+#: Queries whose physical plan legitimately contains a
+#: BroadcastNestedLoopJoin — every entry broadcasts a BOUNDED relation
+#: (a literal band table, a 1-row aggregate, a capped sample, K
+#: centroids, the query-vector set, or a distinct low-cardinality
+#: label column), so the nested loop is O(rows x constant) at any
+#: corpus size. Anything NOT listed here that plans a nested-loop (or
+#: any cartesian product, anywhere) is a scale bug: at 100 TB an
+#: unbounded theta join is quadratic.
+BNLJ_BOUNDED = {
+    "q_join_range",          # 3-row literal band table, broadcast
+    "q_fuzzy_join",          # distinct p_brand labels (~25), blocked at scale
+    "q_dedup_embedding",     # REFEREE_CAP=512 checkpointed sample
+    "q_sim_topk_bruteforce", # broadcast query-vector set (N_QUERIES)
+    "q_kmeans_iter",         # K broadcast centroids per Lloyd round
+    "q_funnel_steps",        # 1-row step-count aggregates
+    "q_hll_mergeable",       # 1-row exact-count certificate join
+    "q_tfidf",               # 1-row corpus doc-count
+}
+
+#: Queries allowed to evaluate row-at-a-time Python (BatchEvalPython):
+#: only the deliberate UDTF demonstration — everything else must stay
+#: JVM-side or go through Arrow (ArrowEvalPython / MapInPandas).
+ROW_PYTHON_OK = {"q_udtf_chunks"}
+
+
+def assert_scale_posture(df, name: str) -> None:
+    """Global anti-pattern sweep over the query's physical plan: no
+    cartesian products, no unbounded nested-loop joins, no row-at-a-time
+    Python in the hot path. Runs on every registered query via the
+    parity/rows-only gates, so a regression in ANY query's join strategy
+    or UDF path fails the suite even if its values still match."""
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in physical plan — quadratic at scale"
+    )
+    if name not in BNLJ_BOUNDED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin — if the "
+            "broadcast side is provably bounded, add the query to "
+            "BNLJ_BOUNDED with a justification"
+        )
+    if name not in ROW_PYTHON_OK:
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: row-at-a-time Python UDF in plan — use built-in "
+            "functions or Arrow (pandas_udf / mapInPandas)"
+        )
+
+
 def run_parity(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
     spark_result = query_fn(spark, sf_dir)
     assert_driver_hashable(spark_result, name)
+    assert_scale_posture(spark_result, name)
     sdf = spark_result.toPandas()
     con = duckdb_con(sf_dir)
     try:

@@ -8,7 +8,11 @@ import pytest
 import __spark_entry__ as entrymod
 
 from .conftest import SF_ORACLE
-from .oracle_harness import assert_driver_hashable, run_parity
+from .oracle_harness import (
+    assert_driver_hashable,
+    assert_scale_posture,
+    run_parity,
+)
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
@@ -27,5 +31,6 @@ def test_oracle_parity(spark, name):
 def test_rows_only_queries_run(spark, name):
     df = _QUERIES[name](spark, SF_ORACLE)
     assert_driver_hashable(df, name)
+    assert_scale_posture(df, name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
