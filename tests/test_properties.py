@@ -188,6 +188,98 @@ def test_ppjoin_prefix_filter_is_lossless(spark, families) -> None:
         dedup.DF_CAP = orig_cap
 
 
+#: Small node-id space so drawn edge lists merge into multi-edge
+#: components (chains, stars, cycles, self-loops, duplicates).
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_edge_lists)
+def test_connected_components_match_union_find(spark, edges) -> None:
+    """Alternating large-star/small-star labels must equal a sequential
+    union-find's (label = min node id per component) on arbitrary edge
+    lists — chains force multi-round convergence, self-loops and
+    duplicate edges must not break the fixpoint signature."""
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert got == expect
+
+
+_skewed_rows = st.lists(
+    # ~2/3 of drawn rows land on key 0 — the hot key the salted path
+    # must split; the rest scatter so the cold leg is non-empty.
+    st.tuples(
+        st.integers(min_value=0, max_value=3).map(lambda k: 0 if k < 2 else k),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_skewed_rows)
+def test_salted_join_equals_plain_join(spark, rows) -> None:
+    """The two-phase hot-key-only salted join must return exactly the
+    rows of a plain inner join on arbitrary skewed inputs, for every
+    detection regime (threshold low enough that key 0 is hot, high
+    enough that nothing is)."""
+    import pyspark.sql.functions as F
+
+    from aws_data_warehouse_lambda_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)], "k long, rid long, v long"
+    )
+    small = spark.createDataFrame(
+        [(k, k * 10) for k in range(4)], "sk long, label long"
+    )
+    expect = sorted(
+        (r.k, r.rid, r.v, r.label)
+        for r in big.join(small, big.k == small.sk).collect()
+    )
+    for threshold in (2, 10_000):
+        got = sorted(
+            (r.k, r.rid, r.v, r.label)
+            for r in salted_join(
+                big,
+                small,
+                big_key=F.col("k"),
+                small_key=F.col("sk"),
+                distribute_by=F.col("rid"),
+                n_salts=4,
+                hot_row_threshold=threshold,
+            ).collect()
+        )
+        assert got == expect, f"threshold={threshold}"
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(_timestamps, min_size=1, max_size=20))
 def test_timestamp_coercion_matches_python_str(spark, stamps) -> None:
