@@ -93,18 +93,20 @@ def salted_join(
     # Compute the hot set ONCE: three joins consume it below, and
     # without a materialization point each broadcast would re-run the
     # detection scan+aggregate over the big side — 3x the detection
-    # cost the module docstring prices. persist() (not localCheckpoint)
-    # keeps it lazy — no Spark job at plan-construction time — and
-    # recomputable on executor loss, which matters for the function
-    # billed as the production skew path. The relation is tiny by
-    # construction; it stays pinned for the session (LRU-evictable)
-    # like the dedup memo relations.
+    # cost the module docstring prices. An EAGER localCheckpoint, not a
+    # lazy persist: the three F.broadcast(hot) exchanges build on
+    # concurrent threads, and a block-less lazily-persisted relation
+    # races them into concurrent first-computations of the detection
+    # scan (the same fan-out-over-lazy failure measured 2-3x on the
+    # dedup pipelines). The relation is tiny by construction, so the
+    # one up-front job costs a detection scan and nothing lingers
+    # pinned in the block manager across calls.
     hot = hot_keys(
         big,
         big_key,
         hot_row_threshold=hot_row_threshold,
         sample_fraction=sample_fraction,
-    ).persist()
+    ).localCheckpoint()
     on_hot = big_key == F.col(HOT_KEY_COL)
     big_hot = big.join(F.broadcast(hot), on_hot, "semi")
     big_cold = big.join(F.broadcast(hot), on_hot, "anti")

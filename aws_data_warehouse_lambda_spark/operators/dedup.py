@@ -571,9 +571,7 @@ def _small_star(edges: DataFrame, *, canonical: bool = False) -> DataFrame:
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 
-def connected_components(
-    pairs: DataFrame, *, max_rounds: int = 25, pre_materialized: bool = False
-) -> DataFrame:
+def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame:
     """(node, label) connected-component labels for an undirected edge
     list ``(src, dst)`` — label = min node id in the component.
 
@@ -596,15 +594,15 @@ def connected_components(
     # iteration's edge set from the checkpoint: `pairs` is typically an
     # expensive upstream pipeline (the PPJoin referee), and building
     # nodes/edges from the raw relation would re-execute it per consumer
-    # (measured 2x the whole CC cost at sf0.1). ``pre_materialized=True``
-    # is the caller's assertion that the input's blocks are ALREADY
-    # computed (an eagerly-built checkpoint/cache). persist() alone is
-    # NOT enough: a lazily-persisted relation has no blocks yet, so this
-    # function's fan-out (nodes-from-src, nodes-from-dst, round-0 edges)
-    # races three concurrent first-computations of the whole upstream
-    # pipeline before any block lands — measured 2-3x slower than paying
-    # the one checkpoint job (the r4 keep-list regression).
-    base = pairs if pre_materialized else pairs.localCheckpoint()
+    # (measured 2x the whole CC cost at sf0.1). The checkpoint is
+    # unconditional: persist() alone would NOT be enough — a lazily-
+    # persisted relation has no blocks yet, so this function's fan-out
+    # (nodes-from-src, nodes-from-dst, round-0 edges) races three
+    # concurrent first-computations of the whole upstream pipeline
+    # before any block lands — measured 2-3x slower than paying the one
+    # checkpoint job (the r4 keep-list regression). For an already-
+    # checkpointed input the extra checkpoint is a cheap block copy.
+    base = pairs.localCheckpoint()
     nodes = (
         base.select(F.col("src").alias("node"))
         .union(base.select(F.col("dst").alias("node")))

@@ -66,7 +66,10 @@ def invalidate_schema_cache() -> None:
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, os.path.normpath(path))
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _SCHEMA_CACHE if k[0] != app_id]:
+        _SCHEMA_CACHE.pop(k)  # entries from dead contexts — prune
+    key = (app_id, os.path.normpath(path))
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema

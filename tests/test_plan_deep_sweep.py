@@ -1,0 +1,83 @@
+"""Deep plan sweep: the scale-anti-pattern scan over FULL pipelines.
+
+``assert_scale_posture`` (oracle_harness.py) scans each query's final
+physical plan, but a ``localCheckpoint`` truncates the visible plan to
+``Scan ExistingRDD`` — everything upstream of the six eager
+materialization points (band relations, IVF assignment, referee norms,
+CC input) is invisible to it. This sweep re-plans every batch query
+with ``localCheckpoint``/``persist`` patched to identity so the WHOLE
+pipeline is one visible plan, then applies the same banned-marker scan.
+
+The patch must target ``pyspark.sql.classic.dataframe.DataFrame``: the
+classic subclass overrides both methods, so patching the public
+``pyspark.sql.DataFrame`` base is silently shadowed (verified — an
+earlier probe patched the base class and the checkpoints still fired).
+
+Runs in minutes, not seconds: iterative fixpoints (CC, PageRank,
+Lloyd's) execute their per-round signature jobs over unmaterialized
+lineage during query CONSTRUCTION. That cost is the price of the only
+gate that can see a quadratic join buried inside a memoized relation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_data_warehouse_lambda_spark.operators import dedup
+from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
+
+from .oracle_harness import BNLJ_BOUNDED, ROW_PYTHON_OK
+
+SF = "/root/testdata/sf0.001"
+
+#: Bounded-broadcast nested loops visible ONLY in the unmaterialized
+#: plan (hidden behind an eager checkpoint in the production plan):
+_DEEP_BNLJ_BOUNDED = BNLJ_BOUNDED | {
+    "q_sim_ivf",         # broadcast of IVF_CELLS=8 centroids (crossJoin assign)
+    "q_graph_pagerank",  # broadcast 1-row node-count singleton per round
+}
+
+_BATCH_QUERIES = sorted(n for n in QUERIES if not n.startswith("q_stream_"))
+
+
+def test_full_pipelines_have_no_scale_antipatterns(spark, monkeypatch) -> None:
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    monkeypatch.setattr(
+        ClassicDF, "localCheckpoint", lambda self, eager=True: self
+    )
+    monkeypatch.setattr(ClassicDF, "persist", lambda self, *a, **k: self)
+    # Memoized relations built under the identity patch would carry no
+    # real persistence into later tests — keep the caches clean on both
+    # sides of the sweep.
+    dedup.reset_shared_relations()
+    # Literal DataFrames (createDataFrame band tables etc.) also plan as
+    # Scan ExistingRDD, so patch efficacy is asserted directly instead
+    # of via plan text.
+    probe = spark.range(1)
+    assert probe.localCheckpoint() is probe, "identity patch shadowed"
+    try:
+        explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        failures = []
+        for name in _BATCH_QUERIES:
+            dedup.reset_shared_relations()
+            plan = (
+                QUERIES[name](spark, SF)
+                ._jdf.queryExecution()
+                .explainString(explain_mode.fromString("formatted"))
+            )
+            if "CartesianProduct" in plan:
+                failures.append(f"{name}: CartesianProduct in full pipeline")
+            if (
+                "BroadcastNestedLoopJoin" in plan
+                and name not in _DEEP_BNLJ_BOUNDED
+            ):
+                failures.append(
+                    f"{name}: unbounded BroadcastNestedLoopJoin upstream — "
+                    "justify in _DEEP_BNLJ_BOUNDED if provably bounded"
+                )
+            if "BatchEvalPython" in plan and name not in ROW_PYTHON_OK:
+                failures.append(f"{name}: row-at-a-time Python upstream")
+        assert not failures, "\n".join(failures)
+    finally:
+        dedup.reset_shared_relations()
