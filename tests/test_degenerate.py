@@ -56,3 +56,13 @@ def test_runs_on_empty_tables(spark, empty_sf, name) -> None:
 @pytest.mark.parametrize("name", _BATCH_QUERIES)
 def test_runs_on_single_row_tables(spark, tiny_sf, name) -> None:
     assert QUERIES[name](spark, tiny_sf).count() >= 0
+
+
+_STREAM_QUERIES = sorted(n for n in QUERIES if n.startswith(_SKIP_PREFIX))
+
+
+@pytest.mark.parametrize("name", _STREAM_QUERIES)
+def test_streaming_runs_on_empty_source(spark, empty_sf, name) -> None:
+    """An AvailableNow pass over an empty source must terminate and
+    yield an empty result — the steady state of a quiet topic."""
+    assert QUERIES[name](spark, empty_sf).count() == 0
