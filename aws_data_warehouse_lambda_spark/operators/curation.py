@@ -122,9 +122,11 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / wc.cast("double")
     stop_hits = _count(F.lower(F.col("text")), STOPWORDS_RE)
-    digit_ratio = _count(F.col("text"), "[0-9]").cast("double") / F.length(
-        "text"
-    ).cast("double")
+    # nullif: empty text must give a NULL ratio (DuckDB's 0.0/0.0 is
+    # NULL), not an ANSI DIVIDE_BY_ZERO that aborts the scan.
+    digit_ratio = _count(F.col("text"), "[0-9]").cast("double") / F.nullif(
+        F.length("text").cast("double"), F.lit(0.0)
+    )
     r_wc = wc.between(WC_MIN, WC_MAX)
     r_mwl = mwl.between(MWL_MIN, MWL_MAX)
     r_stop = stop_hits >= STOP_MIN_HITS

@@ -67,15 +67,21 @@ def decode_image(payload: bytes) -> tuple[int, int]:
         return im.width, im.height
 
 
-def fake_decode(payload: bytes) -> tuple[int, int]:
+def fake_decode(payload: bytes | None) -> tuple[int | None, int | None]:
     """Deterministic stand-in for media decode: pseudo-dimensions derived
-    from the payload bytes (stable across engines and runs)."""
+    from the payload bytes (stable across engines and runs). A NULL
+    payload decodes to NULL dimensions — a missing blob must not abort
+    the batch (one null row would otherwise kill the whole job)."""
+    if payload is None:
+        return None, None
     first = payload[0] if payload else 0
     return 1 + first % 64, 1 + len(payload) % 64
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: one Arrow batch in, one feature frame out."""
+    """mapInPandas worker: one Arrow batch in, one feature frame out.
+    NULL payloads pass through as NULL features (row kept — the doc_id
+    survives for lineage; the features are unknowable)."""
     import hashlib
 
     for pdf in batches:
@@ -84,8 +90,11 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             {
                 "doc_id": pdf["doc_id"],
                 "modality": pdf["modality"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "payload_md5": [hashlib.md5(p).hexdigest() for p in pdf["payload"]],
+                "n_bytes": [None if p is None else len(p) for p in pdf["payload"]],
+                "payload_md5": [
+                    None if p is None else hashlib.md5(p).hexdigest()
+                    for p in pdf["payload"]
+                ],
                 "fake_width": [w for w, _ in dims],
                 "fake_height": [h for _, h in dims],
             }
@@ -106,7 +115,8 @@ def with_payload(docs: DataFrame) -> DataFrame:
 #: they agree only on ASCII, and the fixture being all-ASCII must not
 #: hide the divergence. Standard UTF-8 lead-byte arithmetic.
 _FIRST_UTF8_BYTE = """
-    CASE WHEN text IS NULL OR text = '' THEN 0
+    CASE WHEN text IS NULL THEN NULL
+         WHEN text = '' THEN 0
          WHEN unicode(substring(text, 1, 1)) < 128
               THEN unicode(substring(text, 1, 1))
          WHEN unicode(substring(text, 1, 1)) < 2048

@@ -136,7 +136,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(F.split(F.col("text"), " "))
     punct = _count(F.col("text"), "[^a-z0-9 ]")
     stop = _count(F.lower(F.col("text")), STOPWORDS_RE)
-    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    # nullif on the denominator: an EMPTY document must yield a NULL
+    # ratio, not kill the whole scan with an ANSI DIVIDE_BY_ZERO —
+    # DuckDB's 0.0/0.0 is already NULL, so this is also the parity fix
+    # (found by the adversarial-documents fixture).
+    punct_ratio = punct.cast("double") / F.nullif(
+        n_chars.cast("double"), F.lit(0.0)
+    )
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars_actual"),

@@ -1,0 +1,115 @@
+"""Adversarial-content parity: the document-family queries must agree
+with their DuckDB oracles on EDGE-CASE text, not just the driver's
+well-formed synthetic corpus.
+
+The fixture swaps `documents` for hand-crafted rows — empty text,
+below-shingle-width docs (0/1/2 words), double-space token runs,
+unicode (accents, CJK, emoji), exact duplicates, one-word-off near
+duplicates, a strict-subset containment pair, a high-repetition doc,
+PII-bearing text, and a NULL text — while the other nine tables stay
+the sf0.001 originals. Both engines run the same algorithm over the
+same parquet, so any tokenizer/hash/null-semantics divergence between
+the Spark expressions and the oracle SQL surfaces as a value mismatch
+here long before a real corpus would hit it.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.operators import dedup
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import run_parity
+
+SRC = "/root/testdata/sf0.001"
+
+_PHRASE = "the quick brown fox jumps over the lazy dog again and again "
+
+_DOCS = [
+    (0, "", "en", "src0"),
+    (1, "word", "en", "src0"),
+    (2, "two words", "en", "src0"),
+    (3, "exactly three words", "en", "src0"),
+    (4, "a  b   c    d", "en", "src1"),  # multi-space token runs
+    (5, "héllo wörld ünïcode tëst dáta pìpe", "de", "src1"),
+    (6, "数据 管道 测试 分词 哈希 边界", "zh", "src1"),
+    (7, "emoji 🚀 in 🎯 the 🔥 middle of words", "en", "src1"),
+    (8, "identical duplicate document body here", "en", "src2"),
+    (9, "identical duplicate document body here", "en", "src2"),
+    (10, "identical duplicate document body there", "en", "src2"),  # near-dup
+    (11, "shared prefix of the containment pair", "en", "src2"),
+    (12, "shared prefix of the containment pair plus extra trailing words", "en", "src2"),
+    (13, _PHRASE * 20, "en", "src3"),  # high repetition
+    (14, "contact alice@example.com or call 555-123-4567 now", "en", "src3"),
+    (15, None, "en", "src3"),  # NULL text
+    (16, "   ", "en", "src3"),  # whitespace-only
+]
+
+#: Document-family queries (consume `documents`; the rest of the
+#: registry reads tables this fixture leaves untouched).
+_DOC_QUERIES = [
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_containment",
+    "q_dedup_clusters",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_keep_list",
+    "q_text_langid",
+    "q_text_quality",
+    "q_token_stats",
+    "q_ngram_topk",
+    "q_tfidf",
+    "q_text_fingerprint",
+    "q_quality_filter",
+    "q_repetition",
+    "q_contamination",
+    "q_split_assign",
+    "q_pii_redact",
+    "q_boilerplate_spans",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_histogram",
+    "q_multimodal_features",
+    "q_frame_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_adversarial")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in _DOCS], pa.int64()),
+            "text": pa.array([d[1] for d in _DOCS], pa.string()),
+            "lang": pa.array([d[2] for d in _DOCS], pa.string()),
+            "source": pa.array([d[3] for d in _DOCS], pa.string()),
+            "n_chars": pa.array(
+                [len(d[1]) if d[1] is not None else None for d in _DOCS],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(docs, table_path(str(root), "documents"))
+    yield str(root)
+    dedup.reset_shared_relations()  # drop relations pinned on the tmp dir
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES)
+def test_adversarial_parity(spark, adversarial_sf, name) -> None:
+    run_parity(spark, adversarial_sf, name, _QUERIES[name], _ORACLES[name])
