@@ -1016,8 +1016,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint is tiny (REFEREE_CAP=512 rows).
     norms = _norms(spark, sf_dir, cap=REFEREE_CAP).localCheckpoint()
     a, b = norms.alias("a"), norms.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    # nullif: a zero-norm vector must yield NULL cosine (dropped by the
+    # threshold, like DuckDB's x/0.0 -> NULL), not abort the job with an
+    # ANSI DIVIDE_BY_ZERO.
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

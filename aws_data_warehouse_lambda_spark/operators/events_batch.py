@@ -347,9 +347,12 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_click",
             "n_click_view",
             "n_click_view_purchase",
+            # nullif: a corpus with zero first-step events must report
+            # NULL conversion (DuckDB's 0.0/0.0), not abort with an
+            # ANSI DIVIDE_BY_ZERO.
             F.round(
                 F.col("n_click_view_purchase").cast("double")
-                / F.col("n_click").cast("double"),
+                / F.nullif(F.col("n_click").cast("double"), F.lit(0.0)),
                 6,
             ).alias("conversion"),
         )

@@ -159,7 +159,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(mx, 6) AS max_abs,
            array_to_string(
                list_transform(embedding,
-                              v -> CAST(round(CAST(v AS DOUBLE) / mx * 127) AS INT)),
+                              v -> CASE WHEN mx = 0 THEN 0
+                                   ELSE CAST(round(CAST(v AS DOUBLE) / mx * 127)
+                                             AS INT) END),
                ',') AS qvec
     FROM (
         SELECT vec_id, embedding,
@@ -181,9 +183,14 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v_abs = F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
     scaled = emb.select("vec_id", "embedding", F.array_max(v_abs).alias("mx"))
+    # mx = 0 (the all-zero vector) quantizes to all zeros explicitly —
+    # the division would be an ANSI DIVIDE_BY_ZERO job abort on one
+    # degenerate row (found by the adversarial-embeddings fixture).
     qvec = F.transform(
         F.col("embedding"),
-        lambda v: F.round(v.cast("double") / F.col("mx") * 127).cast("int"),
+        lambda v: F.when(F.col("mx") == 0, F.lit(0)).otherwise(
+            F.round(v.cast("double") / F.col("mx") * 127).cast("int")
+        ),
     )
     return scaled.select(
         "vec_id",

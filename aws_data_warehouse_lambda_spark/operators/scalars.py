@@ -141,7 +141,9 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+           END AS k_value,
            event_type
     FROM events ORDER BY event_id
     """,
@@ -152,7 +154,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_value"),
         "event_type",
     ).orderBy("event_id")
 
@@ -161,7 +163,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_agg",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+           CAST(SUM(CASE WHEN json_valid(props)
+                         THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                    END) AS BIGINT) AS k_total,
            COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -170,7 +174,7 @@ def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over an extracted JSON field (integer sum — exact)."""
     e = load_table(spark, sf_dir, "events")
     return (
-        e.select("event_type", F.get_json_object("props", "$.k").cast("int").alias("k"))
+        e.select("event_type", F.get_json_object("props", "$.k").try_cast("int").alias("k"))
         .groupBy("event_type")
         .agg(F.sum("k").cast("bigint").alias("k_total"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
@@ -212,8 +216,12 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+           CAST(min(CASE WHEN json_valid(props)
+                         THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                    END) AS INT) AS k_min,
+           CAST(max(CASE WHEN json_valid(props)
+                         THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                    END) AS INT) AS k_max
     FROM events
     GROUP BY event_type ORDER BY event_type
     """,
@@ -223,7 +231,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (from_json MapType) and aggregate over a looked-up key — the
     semi-structured column shape (map access stays JVM-side)."""
     e = load_table(spark, sf_dir, "events")
-    k = F.from_json("props", "map<string,string>").getItem("k").cast("int")
+    k = F.from_json("props", "map<string,string>").getItem("k").try_cast("int")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -83,8 +83,8 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = _norms(spark, sf_dir)
     q = F.broadcast(norms.where(F.col("vec_id") < N_QUERIES)).alias("q")
     c = norms.where(F.col("vec_id") >= N_QUERIES).alias("c")
-    cos = dot(F.col("q.embedding"), F.col("c.embedding")) / (
-        F.col("q.nrm") * F.col("c.nrm")
+    cos = dot(F.col("q.embedding"), F.col("c.embedding")) / F.nullif(
+        F.col("q.nrm") * F.col("c.nrm"), F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -148,8 +148,8 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     b = _bucketed(spark, sf_dir)
     q, c = b.alias("q"), b.alias("c")
-    cos = dot(F.col("q.embedding"), F.col("c.embedding")) / (
-        F.col("q.nrm") * F.col("c.nrm")
+    cos = dot(F.col("q.embedding"), F.col("c.embedding")) / F.nullif(
+        F.col("q.nrm") * F.col("c.nrm"), F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -237,7 +237,11 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = norms.where(F.col("vec_id") >= IVF_CELLS)
-    cent_cos = dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    # nullif on every cosine denominator: a zero-norm vector gives NULL
+    # similarity (DuckDB's x/0.0), never an ANSI DIVIDE_BY_ZERO abort.
+    cent_cos = dot(F.col("embedding"), F.col("c_emb")) / F.nullif(
+        F.col("nrm") * F.col("c_nrm"), F.lit(0.0)
+    )
     cr = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
     assigned = (
         corpus.crossJoin(cent)
@@ -252,8 +256,8 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assigned.localCheckpoint()
     q = assigned.where(F.col("vec_id") < IVF_CELLS + N_QUERIES).alias("q")
     c = assigned.alias("c")
-    cos = dot(F.col("q.embedding"), F.col("c.embedding")) / (
-        F.col("q.nrm") * F.col("c.nrm")
+    cos = dot(F.col("q.embedding"), F.col("c.embedding")) / F.nullif(
+        F.col("q.nrm") * F.col("c.nrm"), F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -1,0 +1,98 @@
+"""Adversarial-embedding parity: the vector-family queries must agree
+with their DuckDB oracles on degenerate vectors, not just the driver's
+well-conditioned random corpus.
+
+The fixture swaps `embeddings` for crafted rows — an all-zero vector
+(norm 0: cosine denominators hit 0*x), exact duplicate vectors,
+near-duplicates, anti-parallel pairs (cos = -1), a one-hot, tiny and
+huge magnitudes — across the id ranges the similarity queries carve up
+(query probes vec_id < 10, IVF centroids vec_id < 8). Dimensions stay
+64 like the fixture: fixed dims are the table's schema contract.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import run_parity
+
+SRC = "/root/testdata/sf0.001"
+DIM = 64
+
+
+def _vec(kind: str, i: int) -> list[float]:
+    if kind == "zero":
+        return [0.0] * DIM
+    if kind == "onehot":
+        v = [0.0] * DIM
+        v[i % DIM] = 1.0
+        return v
+    if kind == "anti":
+        return [-((j % 7) + 1.0) for j in range(DIM)]
+    if kind == "base":
+        return [((j % 7) + 1.0) for j in range(DIM)]
+    if kind == "near":
+        v = [((j % 7) + 1.0) for j in range(DIM)]
+        v[0] += 0.01
+        return v
+    if kind == "tiny":
+        return [1e-8 * ((j % 5) + 1) for j in range(DIM)]
+    if kind == "huge":
+        return [1e8 * ((j % 5) + 1) for j in range(DIM)]
+    raise ValueError(kind)
+
+
+_ROWS: list[tuple[int, list[float], int]] = []
+# Query-probe range (vec_id < 10) and IVF-centroid range (vec_id < 8)
+# get the degenerate shapes so they flow through BOTH sides of every
+# join; the corpus range repeats them so matches exist.
+_KINDS = ["zero", "base", "near", "anti", "onehot", "tiny", "huge"]
+for i in range(30):
+    _ROWS.append((i, _vec(_KINDS[i % len(_KINDS)], i), i % 3))
+
+_VECTOR_QUERIES = [
+    "q_dedup_embedding",
+    "q_sim_topk_bruteforce",
+    "q_sim_lsh_bucketed",
+    "q_sim_ivf",
+    "q_kmeans_iter",
+    "q_embedding_quantize",
+    "q_embedding_centroids",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_adv_emb")
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+    emb = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in _ROWS], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in _ROWS], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in _ROWS], pa.int32()),
+        }
+    )
+    pq.write_table(emb, table_path(str(root), "embeddings"))
+    return str(root)
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _VECTOR_QUERIES)
+def test_adversarial_embedding_parity(spark, adversarial_emb_sf, name) -> None:
+    run_parity(spark, adversarial_emb_sf, name, _QUERIES[name], _ORACLES[name])

@@ -1,0 +1,135 @@
+"""Adversarial-events parity: the event-time family (batch AND
+streaming) must agree with its DuckDB oracles on boundary timestamps.
+
+The fixture swaps `events` for hand-crafted rows targeting the exact
+edges where engines diverge: a pair exactly SESSION_GAP apart (is the
+gap `>` or `>=`?), pairs one microsecond either side of it, identical
+timestamps for one user (ordering ties), events exactly on hour/window
+boundaries and at x:59:59.999999, an event exactly AT the CDC
+watermark (strict `>` must exclude it), duplicate event_ids,
+out-of-order ids vs time, NULL/negative/zero values, and malformed /
+empty / NULL JSON props. Streaming queries run their full
+readStream->state-store path over the same rows, so the stateful
+sessionizer's boundary arithmetic is checked against SQL semantics,
+not just the batch twin's.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import run_parity
+
+SRC = "/root/testdata/sf0.001"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+_E: list[tuple[int, dt.datetime, int, str, float | None, str | None]] = [
+    # user 1: inactivity-gap boundaries (SESSION_GAP_MIN = 30)
+    (0, _ts("2024-01-02 00:00:00"), 1, "view", 1.0, '{"k": 1}'),
+    (1, _ts("2024-01-02 00:30:00"), 1, "view", 2.0, '{"k": 2}'),  # == gap
+    (2, _ts("2024-01-02 01:00:00.000001"), 1, "view", 3.0, '{"k": 3}'),  # gap+1us
+    (3, _ts("2024-01-02 01:29:59.999999"), 1, "view", 4.0, '{"k": 4}'),  # gap-1us
+    # user 2: identical timestamps (ordering tie) + one follower
+    (4, _ts("2024-01-03 10:00:00"), 2, "signup", 5.0, '{"k": 5}'),
+    (5, _ts("2024-01-03 10:00:00"), 2, "purchase", 6.0, '{"k": 6}'),
+    (6, _ts("2024-01-03 10:10:00"), 2, "view", 7.0, '{"k": 7}'),
+    # user 3: single-event session
+    (7, _ts("2024-01-04 12:00:00"), 3, "error", 8.0, '{"k": 8}'),
+    # user 4: window-boundary events (tumbling/sliding [start, end))
+    (8, _ts("2024-01-05 00:00:00"), 4, "view", 9.0, '{"k": 9}'),
+    (9, _ts("2024-01-05 00:59:59.999999"), 4, "view", 10.0, '{"k": 10}'),
+    (10, _ts("2024-01-05 01:00:00"), 4, "view", 11.0, '{"k": 11}'),
+    (11, _ts("2024-01-05 01:30:00"), 4, "view", 12.0, '{"k": 12}'),
+    # CDC watermark edge (EVENTS_WM = 2024-01-15 00:00:00, strict >)
+    (12, _ts("2024-01-15 00:00:00"), 5, "view", 13.0, '{"k": 13}'),
+    (13, _ts("2024-01-15 00:00:00.000001"), 5, "view", 14.0, '{"k": 14}'),
+    # duplicate event_id, out-of-order id vs ts
+    (14, _ts("2024-01-06 09:00:00"), 6, "view", 15.0, '{"k": 15}'),
+    (14, _ts("2024-01-06 09:05:00"), 6, "view", 16.0, '{"k": 16}'),
+    (99, _ts("2024-01-06 08:00:00"), 6, "view", 17.0, '{"k": 17}'),
+    # value edges: NULL, negative, zero
+    (15, _ts("2024-01-07 13:00:00"), 7, "purchase", None, '{"k": 18}'),
+    (16, _ts("2024-01-07 13:05:00"), 7, "purchase", -5.5, '{"k": 19}'),
+    (17, _ts("2024-01-07 13:10:00"), 7, "purchase", 0.0, '{"k": 20}'),
+    # props edges: malformed, empty string, empty object, NULL
+    (18, _ts("2024-01-08 15:00:00"), 8, "view", 21.0, "not json"),
+    (19, _ts("2024-01-08 15:01:00"), 8, "view", 22.0, ""),
+    (20, _ts("2024-01-08 15:02:00"), 8, "view", 23.0, "{}"),
+    (21, _ts("2024-01-08 15:03:00"), 8, "view", 24.0, None),
+    (25, _ts("2024-01-08 15:04:00"), 8, "view", 28.0, '{"k": "abc"}'),  # non-int k
+    # funnel shape: signup -> purchase for one user, signup-only another
+    (22, _ts("2024-01-09 10:00:00"), 9, "signup", 25.0, '{"k": 25}'),
+    (23, _ts("2024-01-09 10:30:00"), 9, "purchase", 26.0, '{"k": 26}'),
+    (24, _ts("2024-01-09 11:00:00"), 10, "signup", 27.0, '{"k": 27}'),
+]
+
+_EVENT_QUERIES = [
+    "q_sessionize",
+    "q_window_lag_lead",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_pivot_event_types",
+    "q_time_spine_gapfill",
+    "q_spine_forward_fill",
+    "q_funnel_steps",
+    "q_incremental_scan",
+    "q_variant_extract",
+    "q_json_extract",
+    "q_json_agg",
+    "q_map_funcs",
+    "q_join_asof",
+    "q_join_asof_pandas",
+    "q_cdc_compact",
+    # streaming family — full readStream/state-store path over the
+    # same boundary rows
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_dedup",
+    "q_stream_sessionize",
+    "q_stream_session_window",
+    "q_stream_stream_join",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_ev_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_adv_events")
+    for t in TABLES:
+        if t == "events":
+            continue
+        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+    ev = pa.table(
+        {
+            "event_id": pa.array([e[0] for e in _E], pa.int64()),
+            "ts": pa.array([e[1] for e in _E], pa.timestamp("us")),
+            "user_id": pa.array([e[2] for e in _E], pa.int64()),
+            "event_type": pa.array([e[3] for e in _E], pa.string()),
+            "value": pa.array([e[4] for e in _E], pa.float64()),
+            "props": pa.array([e[5] for e in _E], pa.string()),
+        }
+    )
+    pq.write_table(ev, table_path(str(root), "events"))
+    return str(root)
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _EVENT_QUERIES)
+def test_adversarial_event_parity(spark, adversarial_ev_sf, name) -> None:
+    run_parity(spark, adversarial_ev_sf, name, _QUERIES[name], _ORACLES[name])
