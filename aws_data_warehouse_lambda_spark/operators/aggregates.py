@@ -453,11 +453,16 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: both engines); their DECIMAL(38,10) sums are exact integers underneath,
 #: so every derived statistic below starts from engine-identical doubles.
 _MOMENT_FINAL = """
-    round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
-    round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+    round(sqrt((sxx - sx * sx / n) / nullif(n - 1, 0)), 6) AS stddev_qty,
+    round((sxy - sx * sy / n) / nullif(n - 1, 0), 6) AS covar_qty_price,
     round((n * sxy - sx * sy)
-          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+          / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0),
+          6) AS corr_qty_price
 """
+# nullif guards: a single-row group (n-1 = 0) or a constant column
+# (zero variance) must yield NULL statistics — the SQL runs verbatim on
+# BOTH engines, and without the guard Spark's ANSI mode aborts the scan
+# where DuckDB would return NULL.
 
 
 @query(

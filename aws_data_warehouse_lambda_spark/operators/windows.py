@@ -49,7 +49,8 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS VARCHAR) AS DOUBLE) AS running_total
     FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
@@ -152,7 +153,8 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS VARCHAR) AS DOUBLE)
                AS moving_sum
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     ORDER BY o_custkey, o_orderkey
     """,
 )

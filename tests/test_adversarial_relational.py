@@ -1,0 +1,179 @@
+"""Adversarial-relational parity: joins, aggregates, windows, set ops
+and subqueries must agree with their DuckDB oracles on NULL join keys,
+orphan foreign keys, duplicate keys, and NULL group/order columns.
+
+The fixture swaps `customer`, `orders`, and `lineitem` for crafted
+rows: a NULL primary key on each side of every join, orphan keys that
+match nothing (outer-join null fills), an exactly-duplicated order key
+(join multiplicity), duplicate (orderkey, linenumber) lines, NULL
+group-by keys (one NULL group, not one per row), NULL order-by columns
+(engines default to opposite NULL sort ends — any divergence means an
+oracle is relying on engine defaults), empty-string and unicode names,
+and zero/negative measures. region/nation/supplier/part stay the
+sf0.001 originals so dimension joins resolve.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import run_parity
+
+SRC = "/root/testdata/sf0.001"
+
+
+def _d(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+_CUSTOMERS = [
+    # (custkey, name, nationkey, acctbal, mktsegment)
+    (1, "Customer#000000001", 0, 100.5, "BUILDING"),
+    (2, "Customer#000000002", 1, -50.25, "MACHINERY"),
+    (3, "", 2, 0.0, "BUILDING"),              # empty name
+    (4, "Ünïcode Küstömer 顧客", 3, 7.75, "AUTOMOBILE"),
+    (5, "Customer#000000005", 99, 1.0, "BUILDING"),   # orphan nationkey
+    (6, "Customer#000000006", 4, 2.0, None),  # NULL segment (NULL group)
+    (None, "Customer#nullkey", 5, 3.0, "MACHINERY"),  # NULL primary key
+    (8, "Customer#000000008", 6, 4.0, "HOUSEHOLD"),   # no orders
+]
+
+_ORDERS = [
+    # (orderkey, custkey, status, totalprice, orderdate, priority)
+    (100, 1, "O", 1000.0, _d("2001-07-01 00:00:00"), "1-URGENT"),
+    (101, 1, "F", 2000.0, _d("2001-07-02 00:00:00"), "2-HIGH"),
+    (102, 2, "O", 500.0, _d("2001-07-03 00:00:00"), "3-MEDIUM"),
+    (103, 3, "F", 250.0, _d("2001-05-01 00:00:00"), "1-URGENT"),
+    (104, None, "O", 125.0, _d("2001-07-04 00:00:00"), "4-NOT SPECIFIED"),  # NULL custkey
+    (105, 999, "O", 60.0, _d("2001-07-05 00:00:00"), "5-LOW"),   # orphan custkey
+    (106, 4, "P", 30.0, None, "2-HIGH"),                          # NULL orderdate
+    (107, 4, "O", None, _d("2001-07-06 00:00:00"), "3-MEDIUM"),   # NULL totalprice
+    (108, 6, "O", 15.0, _d("2001-07-07 00:00:00"), "1-URGENT"),
+    (108, 6, "O", 15.0, _d("2001-07-07 00:00:00"), "1-URGENT"),   # exact dup row
+    (109, 1, "O", 7.5, _d("2001-07-01 00:00:00"), "2-HIGH"),      # same-date tie
+]
+
+_LINES = [
+    # (orderkey, partkey, suppkey, linenumber, qty, price, disc, tax,
+    #  returnflag, linestatus, shipdate)
+    (100, 1, 1, 1, 10.0, 1000.0, 0.05, 0.02, "N", "O", _d("2001-07-10 00:00:00")),
+    (100, 2, 1, 2, 0.0, 500.0, 0.0, 0.0, "N", "O", _d("2001-07-11 00:00:00")),  # zero qty
+    (101, 3, 2, 1, 5.0, 0.0, 0.1, 0.04, "R", "F", _d("2001-07-12 00:00:00")),   # zero price
+    (101, 3, 2, 1, 5.0, 100.0, 0.1, 0.04, "R", "F", _d("2001-07-12 00:00:00")), # dup (key,line)
+    (102, 4, 3, 1, 2.5, 75.5, 0.02, 0.01, "A", "F", _d("2001-05-02 00:00:00")),
+    (103, 5, 4, 1, 1.0, 33.33, 0.0, 0.0, None, "O", _d("2001-07-13 00:00:00")), # NULL flag
+    (104, 6, 5, 1, 4.0, 44.4, 0.03, 0.02, "N", "O", None),                      # NULL shipdate
+    (888, 7, 6, 1, 9.0, 99.9, 0.01, 0.0, "N", "O", _d("2001-07-14 00:00:00")),  # orphan order
+    (None, 8, 7, 1, 3.0, 12.0, 0.0, 0.0, "R", "F", _d("2001-07-15 00:00:00")),  # NULL key
+    (106, 9, 8, 1, 6.0, 60.0, 0.06, 0.03, "A", "O", _d("2001-07-16 00:00:00")),
+    (107, 10, 9, 1, 7.0, 70.0, 0.07, 0.0, "N", "O", _d("2001-07-17 00:00:00")),
+    (109, 11, 10, 1, 8.0, -80.0, 0.08, 0.01, "R", "O", _d("2001-07-18 00:00:00")),  # negative price
+]
+
+_RELATIONAL_QUERIES = [
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_outer",
+    "q_join_full_outer",
+    "q_join_salted",
+    "q_revenue_by_nation",
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_conditional_agg",
+    "q_count_distinct",
+    "q_multi_distinct",
+    "q_stats_moments",
+    "q_min_max_exact",
+    "q_percentiles_exact",
+    "q_cube",
+    "q_grouping_sets",
+    "q_window_running",
+    "q_window_frames",
+    "q_window_range_frame",
+    "q_topk_per_group",
+    "q_sort_limit",
+    "q_null_semantics",
+    "q_upsert_scan",
+    "q_union",
+    "q_union_all_counts",
+    "q_intersect",
+    "q_intersect_all",
+    "q_except",
+    "q_except_all",
+    "q_scalar_subquery",
+    "q_exists_subquery",
+    "q_in_subquery",
+    "q_lateral_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_rel_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_adv_rel")
+    for t in TABLES:
+        if t in ("customer", "orders", "lineitem"):
+            continue
+        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([c[0] for c in _CUSTOMERS], pa.int64()),
+                "c_name": pa.array([c[1] for c in _CUSTOMERS], pa.string()),
+                "c_nationkey": pa.array([c[2] for c in _CUSTOMERS], pa.int32()),
+                "c_acctbal": pa.array([c[3] for c in _CUSTOMERS], pa.float64()),
+                "c_mktsegment": pa.array([c[4] for c in _CUSTOMERS], pa.string()),
+            }
+        ),
+        table_path(str(root), "customer"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in _ORDERS], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in _ORDERS], pa.int64()),
+                "o_orderstatus": pa.array([o[2] for o in _ORDERS], pa.string()),
+                "o_totalprice": pa.array([o[3] for o in _ORDERS], pa.float64()),
+                "o_orderdate": pa.array([o[4] for o in _ORDERS], pa.timestamp("us")),
+                "o_orderpriority": pa.array([o[5] for o in _ORDERS], pa.string()),
+            }
+        ),
+        table_path(str(root), "orders"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([x[0] for x in _LINES], pa.int64()),
+                "l_partkey": pa.array([x[1] for x in _LINES], pa.int64()),
+                "l_suppkey": pa.array([x[2] for x in _LINES], pa.int64()),
+                "l_linenumber": pa.array([x[3] for x in _LINES], pa.int32()),
+                "l_quantity": pa.array([x[4] for x in _LINES], pa.float64()),
+                "l_extendedprice": pa.array([x[5] for x in _LINES], pa.float64()),
+                "l_discount": pa.array([x[6] for x in _LINES], pa.float64()),
+                "l_tax": pa.array([x[7] for x in _LINES], pa.float64()),
+                "l_returnflag": pa.array([x[8] for x in _LINES], pa.string()),
+                "l_linestatus": pa.array([x[9] for x in _LINES], pa.string()),
+                "l_shipdate": pa.array([x[10] for x in _LINES], pa.timestamp("us")),
+            }
+        ),
+        table_path(str(root), "lineitem"),
+    )
+    return str(root)
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _RELATIONAL_QUERIES)
+def test_adversarial_relational_parity(spark, adversarial_rel_sf, name) -> None:
+    run_parity(spark, adversarial_rel_sf, name, _QUERIES[name], _ORACLES[name])
