@@ -1,0 +1,80 @@
+"""Adversarial-part parity: the non-equi join family (range bands,
+edit-distance fuzzy matching) plus the part-consuming window/scalar
+queries must agree with DuckDB on NULL range keys, out-of-band values,
+NULL/empty join strings, and duplicate labels.
+
+NULL p_retailprice must fall out of every band (NULL >= lo is not
+true), negative and huge prices probe the band edges, and NULL/empty
+p_brand rows probe levenshtein and distinct semantics.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import run_parity
+
+SRC = "/root/testdata/sf0.001"
+
+_PARTS = [
+    # (partkey, name, brand, type, size, retailprice)
+    (1, "ivory spring green", "Brand#11", "STANDARD", 5, 900.0),
+    (2, "azure steel blue", "Brand#12", "SMALL", 10, 1000.0),     # == band edge
+    (3, "misty rose plum", "Brand#13", "MEDIUM", 15, 1499.999999),
+    (4, "dark slate navy", "Brand#13", "MEDIUM", 15, 1500.0),     # == band edge
+    (5, "pale gold cream", "Brand#21", "LARGE", 20, 0.0),
+    (6, "cornsilk wheat tan", "Brand#22", "ECONOMY", 25, -10.0),  # below all bands
+    (7, "burnished bronze oak", "Brand#23", "PROMO", 30, None),   # NULL price
+    (8, "frosted mint sage", "Brand#23", "PROMO", 30, 99999.0),
+    (9, "antique lace pearl", None, "STANDARD", 35, 50.0),        # NULL brand
+    (10, "smoke slate ash", "", "SMALL", 40, 60.0),               # empty brand
+    (11, "ivory spring green", "Brand#11", "STANDARD", 5, 900.0),  # exact dup of 1
+    (12, "deep teal spruce", "Brand#14", "LARGE", 45, 1200.0),    # lev-1 of Brand#11..13
+]
+
+_PART_QUERIES = [
+    "q_join_range",
+    "q_fuzzy_join",
+    "q_window_ranks",
+    "q_sort_limit",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_part_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_adv_part")
+    for t in TABLES:
+        if t == "part":
+            continue
+        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([p[0] for p in _PARTS], pa.int64()),
+                "p_name": pa.array([p[1] for p in _PARTS], pa.string()),
+                "p_brand": pa.array([p[2] for p in _PARTS], pa.string()),
+                "p_type": pa.array([p[3] for p in _PARTS], pa.string()),
+                "p_size": pa.array([p[4] for p in _PARTS], pa.int32()),
+                "p_retailprice": pa.array([p[5] for p in _PARTS], pa.float64()),
+            }
+        ),
+        table_path(str(root), "part"),
+    )
+    return str(root)
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _PART_QUERIES)
+def test_adversarial_part_parity(spark, adversarial_part_sf, name) -> None:
+    run_parity(spark, adversarial_part_sf, name, _QUERIES[name], _ORACLES[name])
