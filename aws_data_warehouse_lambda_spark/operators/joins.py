@@ -207,17 +207,27 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("ts", kind="mergesort")
-        if right.empty:
-            out = left.assign(last_order_date=pd.NaT)
+        # NULL-safe split: merge_asof REFUSES null merge keys (raises on
+        # NaT/NaN in `on`/`by`), so one null user_id or timestamp would
+        # kill the whole bucket. Rows that cannot participate keep the
+        # oracle's semantics — the event row survives with a NULL match
+        # (correlated MAX over an empty set); null-keyed orders can
+        # never be anyone's match and drop from the right side.
+        bad = left["user_id"].isna() | left["ts"].isna()
+        nomatch = left[bad].assign(last_order_date=pd.NaT)
+        good = left[~bad].sort_values("ts", kind="mergesort")
+        right = right.dropna(subset=["o_custkey", "o_orderdate"])
+        if right.empty or good.empty:
+            out = pd.concat([good.assign(last_order_date=pd.NaT), nomatch])
         else:
             right = right.sort_values("o_orderdate", kind="mergesort").rename(
                 columns={"o_custkey": "user_id"}
             )
-            out = pd.merge_asof(
-                left, right, left_on="ts", right_on="o_orderdate", by="user_id",
+            matched = pd.merge_asof(
+                good, right, left_on="ts", right_on="o_orderdate", by="user_id",
                 direction="backward", allow_exact_matches=True,
             ).rename(columns={"o_orderdate": "last_order_date"})
+            out = pd.concat([matched, nomatch])
         return out[["event_id", "user_id", "ts", "last_order_date"]]
 
     return (

@@ -38,8 +38,11 @@ _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 @pandas_udf(T.IntegerType())
 def bpe_token_count(text: pd.Series) -> pd.Series:
-    """Vectorized token counter (pandas str ops over an Arrow batch)."""
-    return text.str.lower().str.count(_TOKEN_RE).astype("int32")
+    """Vectorized token counter (pandas str ops over an Arrow batch).
+    Nullable Int32: a NULL document must count as NULL, and the plain
+    numpy int32 astype raises IntCastingNaNError on the NaN a null row
+    produces — one null text would kill the whole batch."""
+    return text.str.lower().str.count(_TOKEN_RE).astype("Int32")
 
 
 @query(
@@ -112,7 +115,8 @@ def scored_length(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     scorer so the DuckDB oracle can replay it."""
     weight, bias = 0.001, 1.0  # <- once-per-partition init (model load)
     for text in batches:
-        yield text.str.len().astype("float64") * weight + bias
+        # Nullable Float64: a NULL document scores NULL, not NaN.
+        yield text.str.len().astype("Float64") * weight + bias
 
 
 @query(
@@ -146,7 +150,9 @@ class ChunkDocument:
     -> N output rows with per-row metadata)."""
 
     def eval(self, text: str) -> "Iterator":  # noqa: F821 - pyspark introspects
-        words = (text or "").split(" ")
+        if text is None:
+            return  # NULL document -> no chunks (the UNNEST-over-NULL shape)
+        words = text.split(" ")
         for idx in range(0, len(words), CHUNK_WORDS):
             chunk = words[idx : idx + CHUNK_WORDS]
             yield idx // CHUNK_WORDS, " ".join(chunk), len(chunk)

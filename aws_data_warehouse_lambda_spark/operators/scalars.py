@@ -28,7 +28,7 @@ from .registry import query
            LENGTH(c_name) AS name_len,
            SUBSTRING(c_name, 1, 9) AS name_prefix,
            REPLACE(c_name, 'Customer', 'Cust') AS name_short,
-           CONCAT(c_mktsegment, ':', c_name) AS tagged,
+           CONCAT(COALESCE(c_mktsegment, ''), ':', COALESCE(c_name, '')) AS tagged,
            LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key
     FROM customer ORDER BY c_custkey
     """,
@@ -42,7 +42,12 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").alias("name_len"),
         F.substring("c_name", 1, 9).alias("name_prefix"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
-        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        # Explicit NULL-as-empty on both engines: concat_ws SKIPS null
+        # args (losing the separator) while DuckDB's CONCAT keeps it —
+        # coalesce pins one semantics before either default applies.
+        F.concat_ws(
+            ":", F.coalesce("c_mktsegment", F.lit("")), F.coalesce("c_name", F.lit(""))
+        ).alias("tagged"),
         F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
     ).orderBy("c_custkey")
 

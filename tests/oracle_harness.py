@@ -30,7 +30,14 @@ def _canon_cell(v) -> str:
         return "<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
-            return "<NaN>"
+            # NaN canonicalizes WITH NULL: pandas renders SQL NULL as
+            # NaN in every numeric column (DuckDB .df() always, Spark
+            # toPandas for floats) but as None in object columns, so
+            # the same NULL boolean arrived as None from Spark and NaN
+            # from DuckDB — a harness artifact, not a divergence. The
+            # NULL-vs-NaN distinction is untestable through pandas for
+            # numeric columns either way.
+            return "<NULL>"
         return repr(v)
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         ts = pd.Timestamp(v)

@@ -1,0 +1,79 @@
+"""Omnibus adversarial parity: EVERY registered oracle over a fixture
+where ALL mutable tables are the crafted edge-case versions at once.
+
+The per-family adversarial modules enumerate the queries known to read
+each swapped table; this backstop removes the enumeration risk — a
+query that reads a crafted table without being on any family list
+still gets its edge-case parity row here — and exercises cross-table
+edge interactions the single-swap fixtures cannot (an as-of join
+between boundary events and NULL-keyed orders, revenue rollups over
+orphaned keys joined to unchanged dims, dedup keep-lists whose corpus
+is entirely degenerate documents).
+
+region / nation / supplier stay the sf0.001 originals (bounded dims
+with no crafted variant); everything else is the adversarial build.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.operators import dedup
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import run_parity
+from .test_adversarial_documents import adversarial_sf  # noqa: F401
+from .test_adversarial_embeddings import adversarial_emb_sf  # noqa: F401
+from .test_adversarial_events import adversarial_ev_sf  # noqa: F401
+from .test_adversarial_part import adversarial_part_sf  # noqa: F401
+from .test_adversarial_relational import adversarial_rel_sf  # noqa: F401
+
+SRC = "/root/testdata/sf0.001"
+
+#: table -> the single-swap fixture (by fixture name) that crafted it
+_CRAFTED = {
+    "documents": "adversarial_sf",
+    "embeddings": "adversarial_emb_sf",
+    "events": "adversarial_ev_sf",
+    "part": "adversarial_part_sf",
+    "customer": "adversarial_rel_sf",
+    "orders": "adversarial_rel_sf",
+    "lineitem": "adversarial_rel_sf",
+}
+
+
+@pytest.fixture(scope="module")
+def omnibus_sf(
+    tmp_path_factory,
+    adversarial_sf,  # noqa: F811
+    adversarial_emb_sf,  # noqa: F811
+    adversarial_ev_sf,  # noqa: F811
+    adversarial_part_sf,  # noqa: F811
+    adversarial_rel_sf,  # noqa: F811
+) -> str:
+    dirs = {
+        "adversarial_sf": adversarial_sf,
+        "adversarial_emb_sf": adversarial_emb_sf,
+        "adversarial_ev_sf": adversarial_ev_sf,
+        "adversarial_part_sf": adversarial_part_sf,
+        "adversarial_rel_sf": adversarial_rel_sf,
+    }
+    root = tmp_path_factory.mktemp("sf_adv_omnibus")
+    for t in TABLES:
+        src_dir = dirs.get(_CRAFTED.get(t, ""), SRC)
+        shutil.copyfile(table_path(src_dir, t), table_path(str(root), t))
+    yield str(root)
+    dedup.reset_shared_relations()
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_omnibus_adversarial_parity(spark, omnibus_sf, name) -> None:
+    run_parity(spark, omnibus_sf, name, _QUERIES[name], _ORACLES[name])
