@@ -90,29 +90,38 @@ def salted_join(
     of one hot key scatter over ``n_salts`` shuffle keys while remaining
     deterministic run-to-run.
     """
-    # Compute the hot set ONCE: three joins consume it below, and
-    # without a materialization point each broadcast would re-run the
-    # detection scan+aggregate over the big side — 3x the detection
-    # cost the module docstring prices. An EAGER localCheckpoint, not a
-    # lazy persist: the three F.broadcast(hot) exchanges build on
-    # concurrent threads, and a block-less lazily-persisted relation
-    # races them into concurrent first-computations of the detection
-    # scan (the same fan-out-over-lazy failure measured 2-3x on the
-    # dedup pipelines). The relation is tiny by construction, so the
-    # one up-front job costs a detection scan and nothing lingers
-    # pinned in the block manager across calls.
-    hot = hot_keys(
-        big,
-        big_key,
-        hot_row_threshold=hot_row_threshold,
-        sample_fraction=sample_fraction,
-    ).localCheckpoint()
-    on_hot = big_key == F.col(HOT_KEY_COL)
-    big_hot = big.join(F.broadcast(hot), on_hot, "semi")
-    big_cold = big.join(F.broadcast(hot), on_hot, "anti")
-    small_hot = small.join(
-        F.broadcast(hot), small_key == F.col(HOT_KEY_COL), "semi"
-    )
+    # Collect the hot set to a DRIVER-SIDE literal: the relation is
+    # bounded by construction (at most |big| / hot_row_threshold keys —
+    # ~1000 keys per 100M rows at the default threshold), so this is
+    # the standard bounded-collect-for-broadcast pattern, not a
+    # driver-side data loop. One detection job runs exactly once, the
+    # three consumers below get literal IN-lists (pushable predicates,
+    # no broadcast exchange, no materialization race between concurrent
+    # broadcast builds), nothing pins block-manager memory across
+    # calls, and executor loss costs nothing — the list lives on the
+    # driver. (A lazy persist raced the three concurrent broadcast
+    # builds into re-running detection; an eager localCheckpoint fixed
+    # the race but truncated lineage, turning executor loss into job
+    # failure, and its blocks lingered until ContextCleaner GC.)
+    hot_set = [
+        r[HOT_KEY_COL]
+        for r in hot_keys(
+            big,
+            big_key,
+            hot_row_threshold=hot_row_threshold,
+            sample_fraction=sample_fraction,
+        ).collect()
+    ]
+    if not hot_set:
+        # No detected skew: the plain join, zero overhead beyond the
+        # sampled detection scan.
+        return big.join(small, big_key == small_key, "inner")
+    big_hot = big.where(big_key.isin(hot_set))
+    # NULL big keys ride the cold leg (NOT isin is null for them, so
+    # add the explicit isNull) — they match nothing in the inner join
+    # either way; this just keeps the legs an exact partition of big.
+    big_cold = big.where(big_key.isNull() | ~big_key.isin(hot_set))
+    small_hot = small.where(small_key.isin(hot_set))
 
     salted_big = big_hot.withColumn(
         SALT_COL, F.pmod(F.xxhash64(distribute_by), F.lit(n_salts))

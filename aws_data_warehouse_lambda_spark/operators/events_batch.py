@@ -27,7 +27,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
            event_type,
            COUNT(*) AS n,
            {dsum_expr('value')} AS total_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     ORDER BY window_start, event_type
     """,
@@ -60,7 +60,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
                        time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     GROUP BY ws
     ORDER BY ws
@@ -91,7 +91,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts > LAG(ts) OVER w + INTERVAL '30' MINUTE
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     numbered AS (

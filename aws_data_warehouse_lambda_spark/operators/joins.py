@@ -217,6 +217,13 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         nomatch = left[bad].assign(last_order_date=pd.NaT)
         good = left[~bad].sort_values("ts", kind="mergesort")
         right = right.dropna(subset=["o_custkey", "o_orderdate"])
+        # Re-pin the key dtypes: Arrow delivers a null-CONTAINING int64
+        # column as float64, so a bucket whose other side had no nulls
+        # would hand merge_asof int64-vs-float64 by-keys — MergeError,
+        # whole bucket dead. After the null split both sides are
+        # losslessly int64 again.
+        good = good.astype({"user_id": "int64"})
+        right = right.astype({"o_custkey": "int64"})
         if right.empty or good.empty:
             out = pd.concat([good.assign(last_order_date=pd.NaT), nomatch])
         else:
@@ -228,6 +235,9 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 direction="backward", allow_exact_matches=True,
             ).rename(columns={"o_orderdate": "last_order_date"})
             out = pd.concat([matched, nomatch])
+        # Nullable Int64: concat with the (possibly float64) nomatch
+        # frame must not smuggle NaN into the integer output columns.
+        out = out.astype({"event_id": "Int64", "user_id": "Int64"})
         return out[["event_id", "user_id", "ts", "last_order_date"]]
 
     return (

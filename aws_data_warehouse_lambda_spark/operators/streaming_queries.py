@@ -33,7 +33,7 @@ from .registry import query
            event_type,
            COUNT(*) AS n,
            {dsum_expr("value")} AS total_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     ORDER BY window_start, event_type
     """,
@@ -55,7 +55,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT UNNEST([time_bucket(INTERVAL 30 MINUTE, ts),
                        time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
                value
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     GROUP BY ws
     ORDER BY ws
@@ -116,7 +116,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                              + INTERVAL '30' MINUTE
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     numbered AS (
         SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -146,7 +146,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts > LAG(ts) OVER w + INTERVAL '30' MINUTE
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     numbered AS (

@@ -68,7 +68,9 @@ def invalidate_schema_cache() -> None:
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _SCHEMA_CACHE if k[0] != app_id]:
-        _SCHEMA_CACHE.pop(k)  # entries from dead contexts — prune
+        # pop with default: two threads can snapshot the same stale
+        # keys and race the prune — idempotent, not KeyError.
+        _SCHEMA_CACHE.pop(k, None)
     key = (app_id, os.path.normpath(path))
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:

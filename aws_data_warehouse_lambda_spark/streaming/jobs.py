@@ -327,8 +327,14 @@ def _sessionize_bucket(
         batch = batch.assign(
             _us=batch["ts"].values.astype("datetime64[us]").astype("int64")
         ).sort_values(["user_id", "_us"], kind="mergesort")
-        for user, grp in batch.groupby("user_id", sort=False):
-            user = int(user)
+        # dropna=False: NULL user_ids form ONE session group, exactly
+        # like the engine's native groupBy/session_window and the SQL
+        # oracle — pandas' default groupby silently discards NaN keys,
+        # which ate every null-user event here. The None key rides the
+        # state arrays as a null element (array<long> elements are
+        # nullable).
+        for user, grp in batch.groupby("user_id", sort=False, dropna=False):
+            user = None if pd.isna(user) else int(user)
             start, end, n = open_sessions.get(user, (None, None, 0))
             for t in grp["_us"].tolist():
                 if start is None:
@@ -345,7 +351,9 @@ def _sessionize_bucket(
             out_u.append(user)
             out_sessions.append((start, end, n))
 
-    items = sorted(open_sessions.items())
+    items = sorted(
+        open_sessions.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)
+    )
     state.update(
         (
             [u for u, _ in items],
@@ -377,8 +385,17 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     per N_SESSION_BUCKETS hash bucket, bounded by open sessions);
     NoTimeout because AvailableNow drains the source (a 24/7 deployment
     would use EventTimeTimeout to expire idle sessions)."""
-    e = events_stream(spark, sf_dir).withColumn(
-        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(N_SESSION_BUCKETS))
+    # NULL event times never enter an event-time operator: the
+    # watermarked jobs drop them inside F.window/session_window, and
+    # this watermark-less custom operator must apply the same rule
+    # itself — a NaT would otherwise sort to int64-min and fabricate an
+    # epoch-adjacent session.
+    e = (
+        events_stream(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("user_id"), F.lit(N_SESSION_BUCKETS))
+        )
     )
     return e.groupBy("bucket").applyInPandasWithState(
         _sessionize_bucket,

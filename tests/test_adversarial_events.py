@@ -74,6 +74,11 @@ _E: list[tuple[int, dt.datetime, int, str, float | None, str | None]] = [
     (22, _ts("2024-01-09 10:00:00"), 9, "signup", 25.0, '{"k": 25}'),
     (23, _ts("2024-01-09 10:30:00"), 9, "purchase", 26.0, '{"k": 26}'),
     (24, _ts("2024-01-09 11:00:00"), 10, "signup", 27.0, '{"k": 27}'),
+    # NULL key / NULL event-time rows: the as-of pandas bucket must not
+    # die on them (merge_asof refuses NaT/NaN keys), batch windows must
+    # agree on their NULL placement.
+    (26, _ts("2024-01-10 09:00:00"), None, "view", 29.0, '{"k": 29}'),
+    (27, None, 11, "view", 30.0, '{"k": 30}'),
 ]
 
 _EVENT_QUERIES = [

@@ -184,13 +184,47 @@ def test_boilerplate_joins_on_int_keys_with_partial_agg(spark) -> None:
 
 
 def test_salted_join_broadcasts_hot_set_and_cold_leg(spark) -> None:
-    # Two-phase skew plan: the detected-hot-key relation must reach both
-    # split anti/semi joins as a broadcast (it is tiny by construction),
-    # and the plan must still contain the plain cold-leg join — never a
-    # blanket replication of the small side.
-    plan = plan_of(spark, "q_join_salted")
-    assert plan.count("BroadcastHashJoin") >= 2
+    # Two-phase skew plan, forced onto the salted path with a threshold
+    # the fixture exceeds: the detected hot keys are driver-side
+    # literals (bounded collect), so the hot/cold split is INSET
+    # predicates — no broadcast exchange of the hot relation, no
+    # materialization race — the cold leg keeps null big keys
+    # explicitly, and both legs still join the small side as broadcast
+    # hash joins; never a blanket replication of the small side.
+    import pyspark.sql.functions as F
+
+    from aws_data_warehouse_lambda_spark.functions.skew import salted_join
+    from aws_data_warehouse_lambda_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    j = salted_join(
+        li, o,
+        big_key=F.col("l_orderkey"), small_key=F.col("o_orderkey"),
+        distribute_by=F.col("l_linenumber"), n_salts=4, hot_row_threshold=2,
+    )
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "INSET" in plan            # literal hot-key split predicates
+    assert "isnull(l_orderkey" in plan  # cold leg keeps null keys
+    assert plan.count("BroadcastHashJoin") >= 4  # both legs broadcast small
     assert "CartesianProduct" not in plan
+    # And with no detected skew the function must collapse to the plain
+    # single join — zero salting overhead on unskewed input.
+    plain = salted_join(
+        li, o,
+        big_key=F.col("l_orderkey"), small_key=F.col("o_orderkey"),
+        distribute_by=F.col("l_linenumber"), hot_row_threshold=10**9,
+    )
+    pplan = plain._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "INSET" not in pplan and "Union" not in pplan
 
 
 def test_kmeans_broadcasts_centroids(spark) -> None:
