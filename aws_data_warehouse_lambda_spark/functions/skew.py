@@ -40,6 +40,12 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 HOT_KEY_COL = "__hot_key"
 
+#: Upper bound on the driver-side hot-key literal list. Genuine skew
+#: means a RARE heavy tail — tens to low thousands of keys; a detection
+#: that returns more than this is a mis-tuned threshold, and the
+#: function refuses rather than ship a bloated plan (see salted_join).
+MAX_HOT_LITERALS = 10_000
+
 
 def hot_keys(
     big: DataFrame,
@@ -103,15 +109,29 @@ def salted_join(
     # builds into re-running detection; an eager localCheckpoint fixed
     # the race but truncated lineage, turning executor loss into job
     # failure, and its blocks lingered until ContextCleaner GC.)
-    hot_set = [
-        r[HOT_KEY_COL]
-        for r in hot_keys(
+    # MAX_HOT_LITERALS+1: one extra row proves overflow without
+    # collecting an unbounded set — a mis-tuned threshold (low enough
+    # that "hot" stops being rare) must degrade loudly, not OOM the
+    # driver or bloat the plan with a million-element IN-list.
+    hot_rows = (
+        hot_keys(
             big,
             big_key,
             hot_row_threshold=hot_row_threshold,
             sample_fraction=sample_fraction,
-        ).collect()
-    ]
+        )
+        .limit(MAX_HOT_LITERALS + 1)
+        .collect()
+    )
+    if len(hot_rows) > MAX_HOT_LITERALS:
+        raise ValueError(
+            f"salted_join detected more than {MAX_HOT_LITERALS} hot keys "
+            f"at hot_row_threshold={hot_row_threshold}: that many keys "
+            "are not skew, they are the key distribution — raise the "
+            "threshold (hot keys should be the rare heavy tail) or use "
+            "AQE skew-join handling for mild, widespread skew"
+        )
+    hot_set = [r[HOT_KEY_COL] for r in hot_rows]
     if not hot_set:
         # No detected skew: the plain join, zero overhead beyond the
         # sampled detection scan.

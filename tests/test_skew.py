@@ -85,3 +85,34 @@ def test_salt_spreads_hot_key(spark) -> None:
         .count()
     )
     assert salts == 8  # the hot key occupies all salt shards
+
+
+def test_salted_join_refuses_unbounded_hot_set(spark) -> None:
+    """A threshold low enough that 'hot' stops being rare must fail
+    loudly (plan-bloat / driver-OOM guard), not silently collect an
+    unbounded key set."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.functions import skew
+
+    big = spark.range(0, 2000).select(
+        F.col("id").alias("k"), F.col("id").alias("rid")
+    )
+    small = spark.range(0, 2000).select(
+        F.col("id").alias("sk"), (F.col("id") * 10).alias("label")
+    )
+    orig = skew.MAX_HOT_LITERALS
+    skew.MAX_HOT_LITERALS = 100
+    try:
+        with pytest.raises(ValueError, match="hot keys"):
+            skew.salted_join(
+                big,
+                small,
+                big_key=F.col("k"),
+                small_key=F.col("sk"),
+                distribute_by=F.col("rid"),
+                hot_row_threshold=1,  # every key "hot"
+            )
+    finally:
+        skew.MAX_HOT_LITERALS = orig
