@@ -58,16 +58,22 @@ def hot_keys(
     """Single-column relation of ``big``'s join keys whose estimated row
     count is at least ``hot_row_threshold``.
 
+    NULL keys are excluded from detection: they can never match the
+    inner join, so they need no salting — and a None in the literal
+    hot set would poison salted_join's cold leg (``~isin([..., None])``
+    is NULL for every non-member, silently dropping all cold rows; the
+    classic three-valued-logic NOT IN trap).
+
     At 100 TB pass ``sample_fraction`` < 1: a 1-5% Bernoulli sample
     bounds the detection scan while a genuinely hot key (millions of
     rows) still surfaces with near-certainty; counts are scaled by
     1/fraction before thresholding. The sample is seeded, so the hot
     set — and therefore the physical plan — is deterministic run-over-
     run."""
-    src = big
+    src = big.where(key.isNotNull())
     scale = 1.0
     if sample_fraction < 1.0:
-        src = big.sample(fraction=sample_fraction, seed=seed)
+        src = src.sample(fraction=sample_fraction, seed=seed)
         scale = 1.0 / sample_fraction
     return (
         src.groupBy(key.alias(HOT_KEY_COL))

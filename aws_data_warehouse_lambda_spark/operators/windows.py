@@ -85,7 +85,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAG(ts) OVER w AS prev_ts,
            LEAD(event_type) OVER w AS next_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ORDER BY user_id, ts, event_id
     """,
 )
@@ -227,7 +227,7 @@ _SESSIONIZE_SQL = """
                     OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                             + INTERVAL '30' MINUTE
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     numbered AS (
         SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -311,7 +311,8 @@ def _sessionize_bucket(
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
 
     frames = [pdf for pdf in pdfs if len(pdf)]
-    open_sessions: dict[int, tuple[int, int, int]] = {}
+    # None key = the NULL-user session group (see the dropna=False note)
+    open_sessions: dict[int | None, tuple[int, int, int]] = {}
     if state.exists:
         users, starts, ends, ns = state.get
         open_sessions = {

@@ -79,6 +79,11 @@ _E: list[tuple[int, dt.datetime, int, str, float | None, str | None]] = [
     # agree on their NULL placement.
     (26, _ts("2024-01-10 09:00:00"), None, "view", 29.0, '{"k": 29}'),
     (27, None, 11, "view", 30.0, '{"k": 30}'),
+    # ... and for a MULTI-event user (5 has two real events), so
+    # lag/lead and sessionize actually order a NULL ts against real
+    # rows — a singleton null-ts user cannot expose engine-default
+    # NULL-placement divergence.
+    (28, None, 5, "click", 31.0, '{"k": 31}'),
 ]
 
 _EVENT_QUERIES = [

@@ -183,7 +183,7 @@ def test_boilerplate_joins_on_int_keys_with_partial_agg(spark) -> None:
     assert "partial_" in plan
 
 
-def test_salted_join_broadcasts_hot_set_and_cold_leg(spark) -> None:
+def test_salted_join_inset_split_and_broadcast_small(spark) -> None:
     # Two-phase skew plan, forced onto the salted path with a threshold
     # the fixture exceeds: the detected hot keys are driver-side
     # literals (bounded collect), so the hot/cold split is INSET

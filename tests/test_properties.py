@@ -232,10 +232,13 @@ def test_connected_components_match_union_find(spark, edges) -> None:
 
 
 _skewed_rows = st.lists(
-    # ~2/3 of drawn rows land on key 0 — the hot key the salted path
-    # must split; the rest scatter so the cold leg is non-empty.
+    # ~half the drawn rows land on key 0 — the hot key the salted path
+    # must split; NULL keys appear often enough to form a "hot" NULL
+    # cluster (the detection-path trap: a None in the literal hot set
+    # turns ~isin() three-valued and silently empties the cold leg);
+    # the rest scatter so the cold leg is non-empty.
     st.tuples(
-        st.integers(min_value=0, max_value=3).map(lambda k: 0 if k < 2 else k),
+        st.sampled_from([0, 0, 0, 1, 2, 3, None, None]),
         st.integers(min_value=-100, max_value=100),
     ),
     min_size=1,

@@ -33,13 +33,14 @@ def test_no_collect_in_package() -> None:
     AQE itself performs, and the reason the hot-leg filter can reach
     the parquet scan. The file must carry the boundedness argument."""
     allowed = {"functions/skew.py"}
+    srcs = _sources()
     hits = [
         name
-        for name, src in _sources().items()
+        for name, src in srcs.items()
         if ".collect(" in src and name not in allowed
     ]
     assert hits == [], f".collect() in package code: {hits}"
-    skew_src = _sources()["functions/skew.py"]
+    skew_src = srcs["functions/skew.py"]
     assert "bounded" in skew_src and ".collect()" in skew_src, (
         "skew.py lost its bounded-collect justification or the collect "
         "moved — re-review the quarantine exception"
