@@ -26,9 +26,44 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # Reworked THIS round (packed df-annotated shingle relation,
-    # doc-local PPJoin prefix, per-round CC fixpoint check) — the code
-    # under these changed, so they need the freshest hard signal:
+    # Semantics/operators CHANGED LATE this round (adversarial-parity
+    # campaign: nullif denominators, NULL-ordering pins, NULL-group
+    # sessionizer, literal hot-key salted join, try_cast JSON, nullable
+    # pandas UDF dtypes) — these need the freshest hard signal:
+    "q_join_salted",
+    "q_stats_moments",
+    "q_funnel_steps",
+    "q_json_extract",
+    "q_json_agg",
+    "q_map_funcs",
+    "q_string_funcs",
+    "q_udtf_chunks",
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_iterator",
+    "q_join_asof",
+    "q_join_asof_pandas",
+    "q_window_running",
+    "q_window_frames",
+    "q_window_lag_lead",
+    "q_sessionize",
+    "q_stream_sessionize",
+    "q_stream_session_window",
+    "q_stream_tumbling",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_dedup_embedding",
+    "q_embedding_quantize",
+    "q_multimodal_features",
+    "q_sim_topk_bruteforce",
+    "q_sim_lsh_bucketed",
+    "q_sim_ivf",
+    "q_kmeans_iter",
+    "q_text_quality",
+    "q_quality_filter",
+    "q_variant_extract",
+    # Reworked EARLY this round (packed df-annotated shingle relation,
+    # doc-local PPJoin prefix, per-round CC fixpoint check):
     "q_dedup_keep_list",
     "q_dedup_clusters",
     "q_dedup_ngram_jaccard",
@@ -48,14 +83,9 @@ _DRIVER_FIRST = [
     "q_min_max_exact",
     "q_multi_distinct",
     "q_conditional_agg",
-    "q_stats_moments",
     "q_topk_per_group",
-    "q_window_running",
-    "q_window_lag_lead",
     "q_window_ranks",
-    "q_window_frames",
     "q_window_range_frame",
-    "q_sessionize",
     "q_union",
     "q_intersect",
     "q_except",
@@ -66,16 +96,10 @@ _DRIVER_FIRST = [
     # reworked code; the scalar/event/UDF families were untouched and
     # keep their r2 rows one more round):
     "q_dedup_exact",
-    "q_dedup_embedding",
-    "q_sim_topk_bruteforce",
-    "q_sim_lsh_bucketed",
-    "q_sim_ivf",
-    "q_quality_filter",
     "q_repetition",
     "q_split_assign",
     "q_embedding_centroids",
     "q_text_langid",
-    "q_text_quality",
     "q_token_stats",
     "q_ngram_topk",
     "q_tfidf",
@@ -83,8 +107,6 @@ _DRIVER_FIRST = [
     "q_sample_hash",
     "q_sample_stratified",
     "q_histogram",
-    "q_multimodal_features",
-    "q_pandas_udf_scalar",
 ]
 
 
