@@ -34,11 +34,35 @@ sampled count when no key is hot.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 HOT_KEY_COL = "__hot_key"
+
+#: Detected-hot-set memo, keyed on (appId, semantic hash of the
+#: key-projected big side, threshold, sample_fraction). The hot set is
+#: STATISTICS — deterministic per (input, threshold) because the
+#: detection sample is seeded — so it is cached for the life of the
+#: session exactly like the table-schema cache (sources/tables.py):
+#: one detection job per distinct input, not one per call. A hash
+#: collision can only swap in a differently-detected hot set, which is
+#: harmless by the function's own contract: ANY hot set yields
+#: identical join results (missed keys ride the plain leg, spurious
+#: keys are salted unnecessarily) — only performance, never
+#: correctness, rides on the cache. Entries are driver-side literal
+#: lists (<= MAX_HOT_LITERALS), so the memo pins no executor memory.
+_HOT_SET_CACHE: dict[tuple[str, int, int, float], list] = {}
+_HOT_SET_LOCK = threading.Lock()
+
+
+def reset_hot_set_cache() -> None:
+    """Drop every memoized hot set (e.g. after overwriting an input
+    path in place — none in-repo — or for honest cold timing)."""
+    with _HOT_SET_LOCK:
+        _HOT_SET_CACHE.clear()
 
 #: Upper bound on the driver-side hot-key literal list. Genuine skew
 #: means a RARE heavy tail — tens to low thousands of keys; a detection
@@ -101,6 +125,17 @@ def salted_join(
     join key (a row id, an event id) — the salt is a hash of it, so rows
     of one hot key scatter over ``n_salts`` shuffle keys while remaining
     deterministic run-to-run.
+
+    **Eager-execution contract:** constructing the joined DataFrame may
+    run Spark jobs at CALL time — the first call per (input, threshold,
+    sample_fraction) in a session executes the hot-key detection scan
+    synchronously (a bounded ``collect()``, see inline note). The
+    result is memoized in :data:`_HOT_SET_CACHE` for the session, so
+    repeated calls on the same input — a query surface re-planning per
+    invocation, a foreachBatch loop — pay detection once. Callers that
+    must build plans before source data exists should not use this
+    function (detection would see the empty input and cache an empty
+    hot set).
     """
     # Collect the hot set to a DRIVER-SIDE literal: the relation is
     # bounded by construction (at most |big| / hot_row_threshold keys —
@@ -119,25 +154,44 @@ def salted_join(
     # collecting an unbounded set — a mis-tuned threshold (low enough
     # that "hot" stops being rare) must degrade loudly, not OOM the
     # driver or bloat the plan with a million-element IN-list.
-    hot_rows = (
-        hot_keys(
-            big,
-            big_key,
-            hot_row_threshold=hot_row_threshold,
-            sample_fraction=sample_fraction,
-        )
-        .limit(MAX_HOT_LITERALS + 1)
-        .collect()
+    app_id = big.sparkSession.sparkContext.applicationId
+    cache_key = (
+        app_id,
+        # semanticHash normalizes expression IDs, so two independently
+        # constructed reads of the same table hash equal — and the key
+        # expression rides inside the projection, so (input, key) pairs
+        # get distinct entries. See _HOT_SET_CACHE for why a collision
+        # would be performance-only.
+        big.select(big_key.alias(HOT_KEY_COL)).semanticHash(),
+        hot_row_threshold,
+        sample_fraction,
     )
-    if len(hot_rows) > MAX_HOT_LITERALS:
-        raise ValueError(
-            f"salted_join detected more than {MAX_HOT_LITERALS} hot keys "
-            f"at hot_row_threshold={hot_row_threshold}: that many keys "
-            "are not skew, they are the key distribution — raise the "
-            "threshold (hot keys should be the rare heavy tail) or use "
-            "AQE skew-join handling for mild, widespread skew"
+    with _HOT_SET_LOCK:
+        for k in [k for k in _HOT_SET_CACHE if k[0] != app_id]:
+            _HOT_SET_CACHE.pop(k, None)
+        hot_set = _HOT_SET_CACHE.get(cache_key)
+    if hot_set is None:
+        hot_rows = (
+            hot_keys(
+                big,
+                big_key,
+                hot_row_threshold=hot_row_threshold,
+                sample_fraction=sample_fraction,
+            )
+            .limit(MAX_HOT_LITERALS + 1)
+            .collect()
         )
-    hot_set = [r[HOT_KEY_COL] for r in hot_rows]
+        if len(hot_rows) > MAX_HOT_LITERALS:
+            raise ValueError(
+                f"salted_join detected more than {MAX_HOT_LITERALS} hot keys "
+                f"at hot_row_threshold={hot_row_threshold}: that many keys "
+                "are not skew, they are the key distribution — raise the "
+                "threshold (hot keys should be the rare heavy tail) or use "
+                "AQE skew-join handling for mild, widespread skew"
+            )
+        hot_set = [r[HOT_KEY_COL] for r in hot_rows]
+        with _HOT_SET_LOCK:
+            _HOT_SET_CACHE[cache_key] = hot_set
     if not hot_set:
         # No detected skew: the plain join, zero overhead beyond the
         # sampled detection scan.

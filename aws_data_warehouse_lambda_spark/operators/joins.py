@@ -162,15 +162,26 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     event, the most recent order of that customer at-or-before the event
     time. Composition form: equi-join on the key, inequality filter on
     the time, max() per left row. The join shuffles on user_id/custkey;
-    at scale the orders side should be pre-bucketed on o_custkey."""
-    e = load_table(spark, sf_dir, "events")
+    at scale the orders side should be pre-bucketed on o_custkey.
+
+    The group key includes a per-ROW id minted before the join, not just
+    the value columns: the oracle's correlated subquery is per input
+    row, so two exactly-identical event rows must yield two output rows
+    — a groupBy on the value columns alone would collapse them.
+    ``monotonically_increasing_id`` is stable within this one plan (id
+    assignment precedes the join and is dropped before output), which
+    is all the grouping handle needs."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__rid", F.monotonically_increasing_id()
+    )
     o = load_table(spark, sf_dir, "orders")
     joined = e.join(
         o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts), "left"
     )
     return (
-        joined.groupBy("event_id", "user_id", "ts")
+        joined.groupBy("__rid", "event_id", "user_id", "ts")
         .agg(F.max("o_orderdate").alias("last_order_date"))
+        .drop("__rid")
         .orderBy("event_id")
     )
 

@@ -189,7 +189,7 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_FRAME_SQL = """
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(COUNT(*) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST
                RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS orders_last_90d,
            CAST({sum_cast}) AS DOUBLE) AS spend_last_90d
@@ -198,7 +198,7 @@ _RANGE_FRAME_SQL = """
 """
 
 _RANGE_SUM = """SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST
                RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
            )"""
 

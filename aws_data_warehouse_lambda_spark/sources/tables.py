@@ -10,6 +10,7 @@ JDBC scale path lives in sources/jdbc.py. Reads are plain
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,23 +60,33 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 #: SCHEMA is cached — each call still builds a fresh DataFrame, so
 #: self-joins keep distinct expression IDs.
 _SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+#: Guards prune + get/set: driver-side threads (foreachBatch callbacks,
+#: concurrent query builds) may hit the cache concurrently, and
+#: iterating the dict for the stale-app-id prune while another thread
+#: inserts raises "dictionary changed size during iteration". The
+#: schema-inference job itself runs OUTSIDE the lock — only the dict
+#: bookkeeping is serialized, so a slow footer read never blocks other
+#: tables (two threads may race to infer the same schema; the double
+#: write is idempotent).
+_SCHEMA_CACHE_LOCK = threading.Lock()
 
 
 def invalidate_schema_cache() -> None:
-    _SCHEMA_CACHE.clear()
+    with _SCHEMA_CACHE_LOCK:
+        _SCHEMA_CACHE.clear()
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _SCHEMA_CACHE if k[0] != app_id]:
-        # pop with default: two threads can snapshot the same stale
-        # keys and race the prune — idempotent, not KeyError.
-        _SCHEMA_CACHE.pop(k, None)
     key = (app_id, os.path.normpath(path))
-    schema = _SCHEMA_CACHE.get(key)
+    with _SCHEMA_CACHE_LOCK:
+        for k in [k for k in _SCHEMA_CACHE if k[0] != app_id]:
+            _SCHEMA_CACHE.pop(k, None)
+        schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[key] = schema
+        with _SCHEMA_CACHE_LOCK:
+            _SCHEMA_CACHE[key] = schema
     return spark.read.schema(schema).parquet(path)
 
 

@@ -25,19 +25,17 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon_cell(v) -> str:
+def _canon_cell(v, nan_means_null: bool = False) -> str:
     if v is None:
         return "<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
-            # NaN canonicalizes WITH NULL: pandas renders SQL NULL as
-            # NaN in every numeric column (DuckDB .df() always, Spark
-            # toPandas for floats) but as None in object columns, so
-            # the same NULL boolean arrived as None from Spark and NaN
-            # from DuckDB — a harness artifact, not a divergence. The
-            # NULL-vs-NaN distinction is untestable through pandas for
-            # numeric columns either way.
-            return "<NULL>"
+            # See _nan_means_null: NaN merges with NULL only where the
+            # NaN is provably the pandas NULL-rendering artifact; in
+            # other object columns None vs NaN IS observable, so an
+            # engine returning a true NaN where the other returns NULL
+            # must fail the gate.
+            return "<NULL>" if nan_means_null else "<NaN>"
         return repr(v)
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         ts = pd.Timestamp(v)
@@ -53,10 +51,32 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
+def _nan_means_null(s: pd.Series) -> bool:
+    """Columns where a pandas NaN can only be the NULL rendering
+    artifact: float dtype (both engines surface SQL NULL as NaN there —
+    the distinction is untestable through pandas), and object columns
+    whose non-null values are all bool (a BOOLEAN SQL column cannot
+    hold a real NaN, yet DuckDB .df() delivers its NULLs as float NaN
+    inside the object column while Spark delivers None). Everywhere
+    else — strings, mixed objects — NaN stays a distinct token so an
+    engine returning a true NaN where the other returns NULL fails."""
+    if pd.api.types.is_float_dtype(s.dtype):
+        return True
+    if s.dtype == object:
+        non_null = [
+            v
+            for v in s
+            if v is not None and not (isinstance(v, float) and math.isnan(v))
+        ]
+        return bool(non_null) and all(isinstance(v, bool) for v in non_null)
+    return False
+
+
 def canonicalize(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
     cols = sorted(df.columns)
+    nan_null = [_nan_means_null(df[c]) for c in cols]
     rows = [
-        tuple(_canon_cell(v) for v in row)
+        tuple(_canon_cell(v, f) for v, f in zip(row, nan_null))
         for row in df[cols].itertuples(index=False, name=None)
     ]
     rows.sort()

@@ -56,7 +56,12 @@ _E: list[tuple[int, dt.datetime, int, str, float | None, str | None]] = [
     # CDC watermark edge (EVENTS_WM = 2024-01-15 00:00:00, strict >)
     (12, _ts("2024-01-15 00:00:00"), 5, "view", 13.0, '{"k": 13}'),
     (13, _ts("2024-01-15 00:00:00.000001"), 5, "view", 14.0, '{"k": 14}'),
-    # duplicate event_id, out-of-order id vs ts
+    # duplicate event_id, out-of-order id vs ts — plus one FULLY
+    # duplicated row (every column identical): per-row operators like
+    # the as-of join must emit it twice, exactly as the oracle's
+    # correlated subquery does (a groupBy on value columns alone
+    # silently collapses it — the r4-ADVICE latent gap).
+    (14, _ts("2024-01-06 09:00:00"), 6, "view", 15.0, '{"k": 15}'),
     (14, _ts("2024-01-06 09:00:00"), 6, "view", 15.0, '{"k": 15}'),
     (14, _ts("2024-01-06 09:05:00"), 6, "view", 16.0, '{"k": 16}'),
     (99, _ts("2024-01-06 08:00:00"), 6, "view", 17.0, '{"k": 17}'),

@@ -87,6 +87,56 @@ def test_salt_spreads_hot_key(spark) -> None:
     assert salts == 8  # the hot key occupies all salt shards
 
 
+def test_hot_set_memoized_per_session(spark, monkeypatch) -> None:
+    """Detection is one job per (input, key, threshold, fraction) per
+    session: the second identical salted_join call must read the memo,
+    not re-run the detection scan (the r4 +55% regression was exactly
+    this recomputation). A different threshold is a different cache
+    entry and re-detects."""
+    from aws_data_warehouse_lambda_spark.functions import skew
+
+    skew.reset_hot_set_cache()
+    events = _skewed_events(spark)
+    users = (
+        load_table(spark, SF, "events")
+        .select(F.col("user_id")).distinct()
+        .withColumn("segment", F.pmod("user_id", F.lit(3)))
+    )
+    calls = {"n": 0}
+    real_hot_keys = skew.hot_keys
+
+    def counting_hot_keys(*a, **kw):
+        calls["n"] += 1
+        return real_hot_keys(*a, **kw)
+
+    monkeypatch.setattr(skew, "hot_keys", counting_hot_keys)
+
+    def build(threshold: int):
+        e, u = events.alias("e"), users.alias("u")
+        return salted_join(
+            e,
+            u,
+            big_key=F.col("e.user_id"),
+            small_key=F.col("u.user_id"),
+            distribute_by=F.col("e.event_id"),
+            n_salts=8,
+            hot_row_threshold=threshold,
+        )
+
+    first = build(100)
+    assert calls["n"] == 1
+    second = build(100)  # memo hit — no new detection
+    assert calls["n"] == 1
+    # The memoized plan is still the correct join.
+    assert first.count() == second.count()
+    build(101)  # different threshold => distinct statistics => re-detect
+    assert calls["n"] == 2
+    skew.reset_hot_set_cache()
+    build(100)  # reset forces cold detection again
+    assert calls["n"] == 3
+    skew.reset_hot_set_cache()
+
+
 def test_salted_join_refuses_unbounded_hot_set(spark) -> None:
     """A threshold low enough that 'hot' stops being rare must fail
     loudly (plan-bloat / driver-OOM guard), not silently collect an
