@@ -26,64 +26,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # Semantics/operators CHANGED LATE this round (adversarial-parity
-    # campaign: nullif denominators, NULL-ordering pins, NULL-group
-    # sessionizer, literal hot-key salted join, try_cast JSON, nullable
-    # pandas UDF dtypes) — these need the freshest hard signal:
-    "q_join_salted",
-    "q_stats_moments",
-    "q_funnel_steps",
-    "q_json_extract",
-    "q_json_agg",
-    "q_map_funcs",
-    "q_string_funcs",
-    "q_udtf_chunks",
-    "q_pandas_udf_scalar",
-    "q_pandas_udf_iterator",
-    "q_join_asof",
-    "q_join_asof_pandas",
-    "q_window_running",
-    "q_window_frames",
-    "q_window_lag_lead",
-    "q_sessionize",
-    "q_stream_sessionize",
-    "q_stream_session_window",
-    "q_stream_tumbling",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_dedup_embedding",
-    "q_embedding_quantize",
-    "q_multimodal_features",
-    "q_sim_topk_bruteforce",
-    "q_sim_lsh_bucketed",
-    "q_sim_ivf",
-    "q_kmeans_iter",
-    "q_text_quality",
-    "q_quality_filter",
-    "q_variant_extract",
-    # Reworked EARLY this round (packed df-annotated shingle relation,
-    # doc-local PPJoin prefix, per-round CC fixpoint check):
-    "q_dedup_keep_list",
-    "q_dedup_clusters",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_containment",
-    "q_boilerplate_spans",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_contamination",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    # Stalest driver rows: last checked in ROUND 1, while three rounds
-    # of refactors churned the modules underneath (VERDICT r3 task #1):
-    "q_cube",
-    "q_grouping_sets",
-    "q_count_distinct",
-    "q_percentiles_exact",
-    "q_min_max_exact",
-    "q_multi_distinct",
-    "q_conditional_agg",
-    "q_topk_per_group",
+    # THE 26 QUERIES WITH PRE-r3 DRIVER ROWS (VERDICT r4 task #1: close
+    # the staleness ledger for good). r1-vintage first — the two window
+    # queries sit in a module edited in r4 (NULL-order pins) and again
+    # in r5 (range-frame oracle NULLS FIRST), so their r1 rows certify
+    # code that no longer exists:
     "q_window_ranks",
     "q_window_range_frame",
     "q_union",
@@ -91,14 +38,15 @@ _DRIVER_FIRST = [
     "q_except",
     "q_intersect_all",
     "q_except_all",
-    # Round-2-vintage rows under modules that churned in r3/r4, most
-    # affected first (dedup/sim/curation/text share relations with the
-    # reworked code; the scalar/event/UDF families were untouched and
-    # keep their r2 rows one more round):
+    # r2-vintage in r4-edited operators/scalars.py:
+    "q_array_funcs",
+    "q_date_funcs",
+    "q_math_case",
+    "q_null_semantics",
+    # remaining r2-vintage rows:
+    "q_union_all_counts",
+    "q_pivot_event_types",
     "q_dedup_exact",
-    "q_repetition",
-    "q_split_assign",
-    "q_embedding_centroids",
     "q_text_langid",
     "q_token_stats",
     "q_ngram_topk",
@@ -107,6 +55,40 @@ _DRIVER_FIRST = [
     "q_sample_hash",
     "q_sample_stratified",
     "q_histogram",
+    "q_pandas_udf_grouped_agg",
+    "q_repetition",
+    "q_split_assign",
+    "q_embedding_centroids",
+    # CODE CHANGED IN r5: memoized hot-set salted join (functions/
+    # skew.py), per-row-id as-of grouping (operators/joins.py):
+    "q_join_salted",
+    "q_join_asof",
+    "q_join_asof_pandas",
+    # Perf-watch family (graded weak/watch in r4): keep fresh rows
+    # landing while the shared-relation pipeline is under tuning:
+    "q_dedup_keep_list",
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_containment",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_boilerplate_spans",
+    "q_contamination",
+    "q_graph_degree",
+    "q_graph_pagerank",
+    "q_kmeans_iter",
+    "q_sim_topk_bruteforce",
+    "q_sim_lsh_bucketed",
+    "q_sim_ivf",
+    # Streaming family (STREAM_STATE_PARTITIONS measurement re-pinned
+    # this round; code unchanged, rows r3/r4 — fill the window tail):
+    "q_stream_stream_join",
+    "q_stream_sliding",
+    "q_stream_dedup",
+    "q_stream_sessionize",
+    "q_stream_session_window",
+    "q_stream_tumbling",
 ]
 
 

@@ -235,12 +235,14 @@ def run_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: micro-batch, so partitions must track STATE volume, not batch CPU
 #: count — at 32 (the batch setting) the fixed store overhead dominates
 #: wall-clock 4-5x on fixture-scale state (measured: the stream-stream
-#: join drops 12s -> 2.9s going 32 -> 8, and roughly halves again at 4
-#: — it opens TWO stores per partition per batch, so it prices the
-#: overhead double; the single-store jobs are flat-to-slightly-better
-#: at 4). The count is frozen into the checkpoint at first start, so
-#: production picks it for the state size it expects at steady state,
-#: not for one micro-batch's input.
+#: join drops 12s -> 2.9s going 32 -> 8). 8 -> 4 is FLAT on a quiet
+#: host (r5 measurement: medians 2.37s vs 2.36s over 5 runs each —
+#: the r4 note claiming it "roughly halves again" was taken inside a
+#: host CPU-steal window and does not reproduce); 4 is kept only
+#: because the checkpointed value is already 4 and nothing favors
+#: churning it. The count is frozen into the checkpoint at first
+#: start, so production picks it for the state size it expects at
+#: steady state, not for one micro-batch's input.
 STREAM_STATE_PARTITIONS = 4
 
 

@@ -25,13 +25,14 @@ def test_driver_window_ordering():
     names = list(entrymod.queries())
     assert names[: len(entrymod._DRIVER_FIRST)] == entrymod._DRIVER_FIRST
     # The list may exceed the ~50-row driver window — entries past it
-    # pre-stage the NEXT round's rotation — but the queries whose code
-    # changed this round must all sit INSIDE the window. The changed
-    # set is everything above the first "stalest" comment tier, i.e.
-    # the entries before q_cube.
-    changed_tier = entrymod._DRIVER_FIRST.index("q_cube")
+    # pre-stage the NEXT round's rotation — but the must-check set
+    # (r5: the 26 pre-r3-row queries plus the r5-changed salted/as-of
+    # queries) must all sit INSIDE the window. The must-check tier is
+    # everything before the perf-watch tier, which starts at
+    # q_dedup_keep_list.
+    changed_tier = entrymod._DRIVER_FIRST.index("q_dedup_keep_list")
     assert changed_tier <= 50, (
-        "this round's changed queries overflow the driver window — "
+        "this round's must-check queries overflow the driver window — "
         "trim the first tier to what actually changed"
     )
     assert len(entrymod._DRIVER_FIRST) <= len(names)
