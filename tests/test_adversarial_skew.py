@@ -1,0 +1,182 @@
+"""Adversarial-skew parity: the salted join must hash-match its plain
+oracle when the hot set is NON-EMPTY.
+
+On the standard fixtures lineitem is unskewed, so the driver gate and
+every prior parity run exercised only salted_join's degenerate path
+(empty hot set -> plain join). This fixture swaps lineitem/orders for a
+crafted pair with one genuinely hot order key (2000 of ~2245 lineitem
+rows), so the full two-phase plan — literal IN-list split, hash-salted
+hot leg, replicated small side, positional union — runs against the
+plain-join DuckDB oracle. Edge rows ride along: NULL join keys (must be
+pruned by the inner join on BOTH legs and engines), NULL discount /
+extendedprice (decimal-exact sum must agree on NULL handling), and an
+orphan order key on each side (inner-join drop).
+
+The memoized hot set (functions/skew.py _HOT_SET_CACHE, r5) is also
+exercised cross-fixture here: the same pytest session runs
+q_join_salted over the standard fixtures too, so a memo key that failed
+to distinguish input relations would leak this fixture's hot set into
+theirs (or vice versa) and diverge one of the two parity checks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import run_parity
+
+SRC = "/root/testdata/sf0.001"
+
+#: One hot key (2000 rows — sampled detection at fraction 0.1 estimates
+#: ~2000 >= the query's threshold of 64), 49 cold keys at ~5 rows each
+#: (estimated <= ~20, stays cold), plus NULL-key and orphan-key rows.
+HOT_KEY = 1
+N_HOT = 2000
+COLD_KEYS = range(2, 51)
+N_COLD = 5
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _lineitem_rows() -> list[tuple]:
+    rows: list[tuple] = []
+
+    def li(okey, ln, price, disc):
+        # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        #  l_extendedprice, l_discount, l_tax, l_returnflag,
+        #  l_linestatus, l_shipdate)
+        return (
+            okey,
+            (ln * 7 + 3) % 200,
+            (ln * 11 + 1) % 40,
+            ln,
+            float(ln % 50 + 1),
+            price,
+            disc,
+            0.04,
+            "N",
+            "O",
+            dt.datetime(2024, 3, 1) + dt.timedelta(days=ln % 90),
+        )
+
+    for i in range(N_HOT):
+        rows.append(li(HOT_KEY, i + 1, 100.0 + (i % 97) * 1.25, (i % 10) / 100.0))
+    for k in COLD_KEYS:
+        for i in range(N_COLD):
+            rows.append(li(k, i + 1, 250.0 + k * 2.5, (i % 5) / 100.0))
+    # NULL join key: pruned by the inner join on both engines, on
+    # whichever salted leg it lands (the cold leg, by construction).
+    rows.append(li(None, 1, 999.0, 0.0))
+    # NULL measure columns under a hot key and a cold key: the decimal
+    # sum must agree with DuckDB that NULL terms vanish while the row
+    # still counts toward n_items.
+    rows.append(li(HOT_KEY, N_HOT + 1, None, 0.05))
+    rows.append(li(2, N_COLD + 1, 300.0, None))
+    # Orphan lineitem key with no matching order: inner-join drop.
+    rows.append(li(9999, 1, 500.0, 0.01))
+    return rows
+
+
+def _orders_rows() -> list[tuple]:
+    rows = [
+        (
+            k,
+            k * 3 % 100,
+            "O",
+            1000.0 + k,
+            dt.datetime(2024, 1, 1) + dt.timedelta(days=int(k) % 365),
+            _PRIORITIES[int(k) % len(_PRIORITIES)],
+        )
+        for k in [HOT_KEY, *COLD_KEYS]
+    ]
+    # Orphan order with no lineitems: inner-join drop.
+    rows.append((8888, 1, "F", 50.0, dt.datetime(2024, 6, 1), "5-LOW"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def adversarial_skew_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_adv_skew")
+    for t in TABLES:
+        if t in ("lineitem", "orders"):
+            continue
+        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+    li = _lineitem_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in li], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in li], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in li], pa.float64()),
+                "l_discount": pa.array([r[6] for r in li], pa.float64()),
+                "l_tax": pa.array([r[7] for r in li], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in li], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in li], pa.string()),
+                "l_shipdate": pa.array([r[10] for r in li], pa.timestamp("us")),
+            }
+        ),
+        table_path(str(root), "lineitem"),
+    )
+    o = _orders_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in o], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in o], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in o], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in o], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in o], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in o], pa.string()),
+            }
+        ),
+        table_path(str(root), "orders"),
+    )
+    return str(root)
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+def test_salted_join_parity_with_hot_key(spark, adversarial_skew_sf) -> None:
+    from aws_data_warehouse_lambda_spark.functions import skew
+
+    skew.reset_hot_set_cache()
+    run_parity(
+        spark,
+        adversarial_skew_sf,
+        "q_join_salted",
+        _QUERIES["q_join_salted"],
+        _ORACLES["q_join_salted"],
+    )
+    # Detection on THIS input must actually have found the hot key —
+    # otherwise the test silently degraded to the plain-join path the
+    # standard fixtures already cover.
+    hot_sets = list(skew._HOT_SET_CACHE.values())
+    assert any(HOT_KEY in hs for hs in hot_sets), (
+        "crafted hot key was not detected; the salted leg never ran"
+    )
+
+
+def test_salted_join_parity_memoized_second_run(spark, adversarial_skew_sf) -> None:
+    """Second parity pass WITHOUT a cache reset: the memoized hot set
+    must reproduce the identical (still-correct) result."""
+    run_parity(
+        spark,
+        adversarial_skew_sf,
+        "q_join_salted",
+        _QUERIES["q_join_salted"],
+        _ORACLES["q_join_salted"],
+    )
