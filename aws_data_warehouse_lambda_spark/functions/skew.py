@@ -56,13 +56,21 @@ HOT_KEY_COL = "__hot_key"
 #: lists (<= MAX_HOT_LITERALS), so the memo pins no executor memory.
 _HOT_SET_CACHE: dict[tuple[str, int, int, float], list] = {}
 _HOT_SET_LOCK = threading.Lock()
+#: Bumped by every reset. A detection that STARTED before a reset must
+#: not write its (possibly stale) result after the reset completed —
+#: salted_join captures the generation before detecting and stores
+#: only if it is unchanged, so reset_hot_set_cache() cannot be undone
+#: by an in-flight scan.
+_HOT_SET_GEN = 0
 
 
 def reset_hot_set_cache() -> None:
     """Drop every memoized hot set (e.g. after overwriting an input
     path in place — none in-repo — or for honest cold timing)."""
+    global _HOT_SET_GEN
     with _HOT_SET_LOCK:
         _HOT_SET_CACHE.clear()
+        _HOT_SET_GEN += 1
 
 #: Upper bound on the driver-side hot-key literal list. Genuine skew
 #: means a RARE heavy tail — tens to low thousands of keys; a detection
@@ -170,6 +178,7 @@ def salted_join(
         for k in [k for k in _HOT_SET_CACHE if k[0] != app_id]:
             _HOT_SET_CACHE.pop(k, None)
         hot_set = _HOT_SET_CACHE.get(cache_key)
+        gen = _HOT_SET_GEN
     if hot_set is None:
         hot_rows = (
             hot_keys(
@@ -191,7 +200,8 @@ def salted_join(
             )
         hot_set = [r[HOT_KEY_COL] for r in hot_rows]
         with _HOT_SET_LOCK:
-            _HOT_SET_CACHE[cache_key] = hot_set
+            if gen == _HOT_SET_GEN:  # no reset raced this detection
+                _HOT_SET_CACHE[cache_key] = hot_set
     if not hot_set:
         # No detected skew: the plain join, zero overhead beyond the
         # sampled detection scan.

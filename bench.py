@@ -31,7 +31,11 @@ def _cpu_ticks() -> tuple[int, int] | None:
         return None
     if not parts or parts[0] != "cpu":
         return None
-    vals = [int(x) for x in parts[1:]]
+    # Fields 0-7 only (user nice system idle iowait irq softirq steal):
+    # guest/guest_nice are already accounted inside user/nice, so
+    # summing them would double-count guest time and under-report
+    # steal% on a host running KVM guests.
+    vals = [int(x) for x in parts[1:9]]
     steal = vals[7] if len(vals) > 7 else 0
     return steal, sum(vals)
 
@@ -127,6 +131,16 @@ def main() -> None:
     import gc
 
     def one_run(name: str) -> float:
+        # DATA relations reset per run; STATISTICS caches stay warm.
+        # The dedup memos hold computed relations — the work under
+        # measurement — so every run must pay them. The table-SCHEMA
+        # cache and the salted join's detected-hot-set memo
+        # (functions/skew.py) are metastore-style statistics a
+        # long-lived session computes once, so they stay, exactly like
+        # a warmed metastore on a production cluster: q_join_salted's
+        # run 1 pays the detection job (~0.3s at sf0.1) and the median
+        # reports the memoized steady state (the cold cost stays
+        # visible in the run-1-inflated spread).
         reset_shared_relations()
         # Drop lingering localCheckpoint RDD blocks from prior runs:
         # Spark's ContextCleaner frees them only when Python GC collects
@@ -156,12 +170,18 @@ def main() -> None:
         # quiet host. Steal inflates wall times roughly uniformly
         # (observed ~1.6x at ~30% st), so a sweep with steal_pct >> 0
         # discounts that sweep's contribution to the medians.
+        # Load is sampled after EVERY run and the sweep reports the
+        # MAX: a sweep lasts minutes, so a co-tenant burst early in it
+        # would decay out of a single end-of-sweep 1-min average.
+        load_samples: list[float] = []
         for _ in range(N_RUNS):
             s0 = _cpu_ticks()
             for name in qnames:
                 allruns[name].append(one_run(name))
+                load_samples.append(os.getloadavg()[0])
             sweep_steal.append(_steal_pct(s0, _cpu_ticks()))
-            sweep_load.append(round(os.getloadavg()[0], 1))
+            sweep_load.append(round(max(load_samples), 1))
+            load_samples.clear()
 
         def noisy(runs: list[float]) -> bool:
             s = sorted(runs)
@@ -171,12 +191,16 @@ def main() -> None:
         # run count (N_RUNS or MAX_RUNS) and the median is a true
         # observed median — a 4-run exit would report the 62.5th pct.
         still = [n for n in qnames if noisy(allruns[n])]
-        for _ in range(MAX_RUNS - N_RUNS):
-            s0 = _cpu_ticks()
-            for name in still:
-                allruns[name].append(one_run(name))
-            sweep_steal.append(_steal_pct(s0, _cpu_ticks()))
-            sweep_load.append(round(os.getloadavg()[0], 1))
+        if still:  # no zero-work sweeps: sampling /proc/stat over a
+            # microsecond interval quantizes to garbage steal%
+            for _ in range(MAX_RUNS - N_RUNS):
+                s0 = _cpu_ticks()
+                for name in still:
+                    allruns[name].append(one_run(name))
+                    load_samples.append(os.getloadavg()[0])
+                sweep_steal.append(_steal_pct(s0, _cpu_ticks()))
+                sweep_load.append(round(max(load_samples), 1))
+                load_samples.clear()
         med: dict[str, float] = {}
         spread: dict[str, float] = {}
         for name in qnames:
@@ -228,12 +252,12 @@ def main() -> None:
                 # a window and nothing in the JSON could show it).
                 "steal_pct_per_sweep": sweep_steal,
                 "steal_pct_max": max((s for s in sweep_steal if s is not None), default=None),
-                # 1-min load average at each sweep end: catches
-                # CO-TENANT and self-inflicted CPU contention, which
-                # steal% cannot see (steal is hypervisor-level only).
-                # The bench alone keeps load ~<= the local core count;
-                # load far above it means another process shared the
-                # sweep.
+                # MAX of the 1-min load average sampled after every
+                # run in the sweep: catches CO-TENANT and
+                # self-inflicted CPU contention, which steal% cannot
+                # see (steal is hypervisor-level only). The bench
+                # alone keeps load ~<= the local core count; load far
+                # above it means another process shared the sweep.
                 "loadavg_per_sweep": sweep_load,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

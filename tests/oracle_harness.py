@@ -47,7 +47,12 @@ def _canon_cell(v, nan_means_null: bool = False) -> str:
     if isinstance(v, bool):
         return str(bool(v))
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+        # Elements of list columns keep the pre-r5 NaN==NULL merge: a
+        # NULL element of a float list is rendered NaN or None at each
+        # engine's whim (Arrow float children vs object lists), there
+        # is no element dtype to consult, and no oracle emits boolean
+        # or string lists where a true NaN could hide.
+        return "[" + ",".join(_canon_cell(x, True) for x in v) + "]"
     return str(v)
 
 

@@ -12,11 +12,16 @@ pruned by the inner join on BOTH legs and engines), NULL discount /
 extendedprice (decimal-exact sum must agree on NULL handling), and an
 orphan order key on each side (inner-join drop).
 
-The memoized hot set (functions/skew.py _HOT_SET_CACHE, r5) is also
-exercised cross-fixture here: the same pytest session runs
-q_join_salted over the standard fixtures too, so a memo key that failed
-to distinguish input relations would leak this fixture's hot set into
-theirs (or vice versa) and diverge one of the two parity checks.
+Cross-fixture memo isolation (functions/skew.py _HOT_SET_CACHE, r5) is
+checked only in one direction, and only by the explicit assert below:
+a leak can never diverge a PARITY check, because any hot set — leaked,
+stale, or empty — yields the identical join result by salted_join's
+own contract. What the assert pins is that detection on THIS input
+found the crafted key, i.e. the standard fixtures' empty hot set did
+not leak in and silently degrade this test to the plain-join path the
+other suites already cover. (A leak in the opposite direction would
+only salt the unskewed fixtures spuriously — a perf effect no
+correctness gate can see.)
 """
 
 from __future__ import annotations

@@ -137,6 +137,40 @@ def test_hot_set_memoized_per_session(spark, monkeypatch) -> None:
     skew.reset_hot_set_cache()
 
 
+def test_reset_during_detection_is_not_undone(spark, monkeypatch) -> None:
+    """A reset that lands while a detection scan is in flight must win:
+    the in-flight call may still USE its (pre-reset) hot set for its
+    own plan, but must not write it back into the post-reset cache."""
+    from aws_data_warehouse_lambda_spark.functions import skew
+
+    skew.reset_hot_set_cache()
+    events = _skewed_events(spark)
+    users = load_table(spark, SF, "events").select(F.col("user_id")).distinct()
+    real_hot_keys = skew.hot_keys
+
+    def resetting_hot_keys(*a, **kw):
+        out = real_hot_keys(*a, **kw)
+        skew.reset_hot_set_cache()  # race: reset lands mid-detection
+        return out
+
+    monkeypatch.setattr(skew, "hot_keys", resetting_hot_keys)
+    e, u = events.alias("e"), users.alias("u")
+    joined = salted_join(
+        e,
+        u,
+        big_key=F.col("e.user_id"),
+        small_key=F.col("u.user_id"),
+        distribute_by=F.col("e.event_id"),
+        hot_row_threshold=100,
+    )
+    assert joined.count() > 0  # the call itself still works
+    assert not skew._HOT_SET_CACHE, (
+        "a detection that started before reset_hot_set_cache() wrote "
+        "its stale hot set back after the reset"
+    )
+    skew.reset_hot_set_cache()
+
+
 def test_salted_join_refuses_unbounded_hot_set(spark) -> None:
     """A threshold low enough that 'hot' stops being rare must fail
     loudly (plan-bloat / driver-OOM guard), not silently collect an
