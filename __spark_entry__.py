@@ -89,6 +89,42 @@ _DRIVER_FIRST = [
     "q_stream_sessionize",
     "q_stream_session_window",
     "q_stream_tumbling",
+    # --- beyond the ~50-row driver window: PRE-STAGED r6 ROTATION ---
+    # Everything below carries an r3 driver row that will be the
+    # oldest in the ledger once r5's window lands; if the driver reads
+    # past 50 they get rows a round early, and r6's reorder is a
+    # no-op.
+    "q_cdc_compact",
+    "q_incremental_scan",
+    "q_upsert_scan",
+    "q_full_scan",
+    "q_coerce_types",
+    "q_catalog_tables",
+    "q_catalog_columns",
+    "q_revenue_by_nation",
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_join_broadcast",
+    "q_join_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_fuzzy_join",
+    "q_sort_limit",
+    "q_rollup",
+    "q_percentiles",
+    "q_approx_distinct",
+    "q_hll_mergeable",
+    "q_exists_subquery",
+    "q_in_subquery",
+    "q_scalar_subquery",
+    "q_lateral_topk",
+    "q_unpivot",
+    "q_time_spine_gapfill",
+    "q_spine_forward_fill",
+    "q_pii_redact",
+    "q_frame_sample",
 ]
 
 
