@@ -69,11 +69,18 @@ _SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
 #: tables (two threads may race to infer the same schema; the double
 #: write is idempotent).
 _SCHEMA_CACHE_LOCK = threading.Lock()
+#: Bumped by every invalidation: an inference that STARTED before an
+#: invalidate must not write its (possibly stale) schema back after
+#: the invalidate completed — the same reset-undone race fixed on the
+#: salted join's hot-set memo (functions/skew.py _HOT_SET_GEN).
+_SCHEMA_CACHE_GEN = 0
 
 
 def invalidate_schema_cache() -> None:
+    global _SCHEMA_CACHE_GEN
     with _SCHEMA_CACHE_LOCK:
         _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE_GEN += 1
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -83,10 +90,12 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
         for k in [k for k in _SCHEMA_CACHE if k[0] != app_id]:
             _SCHEMA_CACHE.pop(k, None)
         schema = _SCHEMA_CACHE.get(key)
+        gen = _SCHEMA_CACHE_GEN
     if schema is None:
         schema = spark.read.parquet(path).schema
         with _SCHEMA_CACHE_LOCK:
-            _SCHEMA_CACHE[key] = schema
+            if gen == _SCHEMA_CACHE_GEN:  # no invalidate raced this read
+                _SCHEMA_CACHE[key] = schema
     return spark.read.schema(schema).parquet(path)
 
 

@@ -29,6 +29,14 @@ def _cpu_ticks() -> tuple[int, int] | None:
             parts = f.readline().split()
     except OSError:
         return None
+    return _parse_cpu_line(parts)
+
+
+def _parse_cpu_line(parts: list[str]) -> tuple[int, int] | None:
+    """Split /proc/stat 'cpu ...' fields -> (steal, total). Separated
+    from the file read so the field arithmetic is unit-testable with
+    synthetic lines (a guest-free host cannot exercise the guest
+    exclusion otherwise)."""
     if not parts or parts[0] != "cpu":
         return None
     # Fields 0-7 only (user nice system idle iowait irq softirq steal):
@@ -173,15 +181,17 @@ def main() -> None:
         # Load is sampled after EVERY run and the sweep reports the
         # MAX: a sweep lasts minutes, so a co-tenant burst early in it
         # would decay out of a single end-of-sweep 1-min average.
-        load_samples: list[float] = []
-        for _ in range(N_RUNS):
+        def one_sweep(qs: list[str]) -> None:
             s0 = _cpu_ticks()
-            for name in qnames:
+            load_samples: list[float] = []
+            for name in qs:
                 allruns[name].append(one_run(name))
                 load_samples.append(os.getloadavg()[0])
             sweep_steal.append(_steal_pct(s0, _cpu_ticks()))
             sweep_load.append(round(max(load_samples), 1))
-            load_samples.clear()
+
+        for _ in range(N_RUNS):
+            one_sweep(qnames)
 
         def noisy(runs: list[float]) -> bool:
             s = sorted(runs)
@@ -194,13 +204,7 @@ def main() -> None:
         if still:  # no zero-work sweeps: sampling /proc/stat over a
             # microsecond interval quantizes to garbage steal%
             for _ in range(MAX_RUNS - N_RUNS):
-                s0 = _cpu_ticks()
-                for name in still:
-                    allruns[name].append(one_run(name))
-                    load_samples.append(os.getloadavg()[0])
-                sweep_steal.append(_steal_pct(s0, _cpu_ticks()))
-                sweep_load.append(round(max(load_samples), 1))
-                load_samples.clear()
+                one_sweep(still)
         med: dict[str, float] = {}
         spread: dict[str, float] = {}
         for name in qnames:

@@ -175,9 +175,24 @@ def test_salted_join_parity_with_hot_key(spark, adversarial_skew_sf) -> None:
     )
 
 
-def test_salted_join_parity_memoized_second_run(spark, adversarial_skew_sf) -> None:
-    """Second parity pass WITHOUT a cache reset: the memoized hot set
-    must reproduce the identical (still-correct) result."""
+def test_salted_join_parity_memoized_second_run(
+    spark, adversarial_skew_sf, monkeypatch
+) -> None:
+    """Parity through the WARM memo, self-contained: warm the hot set
+    for this input first, then prove the parity pass ran zero detection
+    scans (a memo-key bug that silently re-detects every call would
+    otherwise keep this test green while the memo does nothing)."""
+    from aws_data_warehouse_lambda_spark.functions import skew
+
+    _QUERIES["q_join_salted"](spark, adversarial_skew_sf).count()  # warm
+    calls = {"n": 0}
+    real_hot_keys = skew.hot_keys
+
+    def counting_hot_keys(*a, **kw):
+        calls["n"] += 1
+        return real_hot_keys(*a, **kw)
+
+    monkeypatch.setattr(skew, "hot_keys", counting_hot_keys)
     run_parity(
         spark,
         adversarial_skew_sf,
@@ -185,3 +200,4 @@ def test_salted_join_parity_memoized_second_run(spark, adversarial_skew_sf) -> N
         _QUERIES["q_join_salted"],
         _ORACLES["q_join_salted"],
     )
+    assert calls["n"] == 0, "parity pass re-ran detection despite the memo"

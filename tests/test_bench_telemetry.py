@@ -31,10 +31,19 @@ def test_cpu_ticks_shape_and_monotone() -> None:
     sum(i * i for i in range(200_000))
     b = bench._cpu_ticks()
     assert b[1] >= a[1] and b[0] >= a[0]
-    # guest fields are excluded: total is the sum of at most 8 fields,
-    # so a re-read's delta equals the delta of those 8 (weak sanity:
-    # parse the line ourselves and compare)
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    assert parts[0] == "cpu"
-    assert b[1] <= sum(int(x) for x in parts[1:9]) + 10_000
+
+
+def test_parse_cpu_line_excludes_guest_fields() -> None:
+    """Synthetic /proc/stat line with NONZERO guest fields: on a
+    guest-free host the live read can never exercise the exclusion, so
+    this pin is what actually keeps the double-counting bug out."""
+    #        user nice sys idle iow irq sirq steal guest gnice
+    parts = ["cpu", "100", "10", "50", "800", "5", "3", "2", "30", "500", "400"]
+    out = bench._parse_cpu_line(parts)
+    assert out == (30, 100 + 10 + 50 + 800 + 5 + 3 + 2 + 30)
+    # steal% over an interval on that basis
+    later = ["cpu", "200", "10", "50", "1600", "5", "3", "2", "130", "900", "800"]
+    assert bench._steal_pct(out, bench._parse_cpu_line(later)) == 10.0
+    # malformed lines
+    assert bench._parse_cpu_line([]) is None
+    assert bench._parse_cpu_line(["intr", "1"]) is None
