@@ -366,3 +366,32 @@ def test_schema_cache_keeps_self_joins_unambiguous(spark) -> None:
     assert not tb._SCHEMA_CACHE
     # Repopulates transparently on next load.
     assert tb.load_table(spark, SF, "nation").count() == a.count()
+
+
+def test_schema_cache_concurrent_load_and_invalidate(spark) -> None:
+    """The r4-ADVICE race, driven for real: concurrent load_table calls
+    (driver-side threads, e.g. foreachBatch builders) interleaved with
+    invalidations must neither raise ('dictionary changed size during
+    iteration' — the pre-lock failure) nor hand any thread a wrong
+    schema. Correctness assert: every returned DataFrame carries its
+    own table's columns."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aws_data_warehouse_lambda_spark.sources import tables as tb
+
+    expected = {
+        t: set(tb.load_table(spark, SF, t).columns)
+        for t in ("nation", "region", "customer", "supplier")
+    }
+
+    def worker(i: int) -> None:
+        t = ["nation", "region", "customer", "supplier"][i % 4]
+        for _ in range(15):
+            df = tb.load_table(spark, SF, t)
+            assert set(df.columns) == expected[t]
+            if i % 4 == 0:
+                tb.invalidate_schema_cache()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for f in [pool.submit(worker, i) for i in range(8)]:
+            f.result()  # re-raises any worker assertion/race error
