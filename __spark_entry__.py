@@ -26,74 +26,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # THE 26 QUERIES WITH PRE-r3 DRIVER ROWS (VERDICT r4 task #1: close
-    # the staleness ledger for good). r1-vintage first — the two window
-    # queries sit in a module edited in r4 (NULL-order pins) and again
-    # in r5 (range-frame oracle NULLS FIRST), so their r1 rows certify
-    # code that no longer exists:
-    "q_window_ranks",
-    "q_window_range_frame",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_intersect_all",
-    "q_except_all",
-    # r2-vintage in r4-edited operators/scalars.py:
-    "q_array_funcs",
-    "q_date_funcs",
-    "q_math_case",
-    "q_null_semantics",
-    # remaining r2-vintage rows:
-    "q_union_all_counts",
-    "q_pivot_event_types",
-    "q_dedup_exact",
-    "q_text_langid",
-    "q_token_stats",
-    "q_ngram_topk",
-    "q_tfidf",
-    "q_text_fingerprint",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_histogram",
-    "q_pandas_udf_grouped_agg",
-    "q_repetition",
-    "q_split_assign",
-    "q_embedding_centroids",
-    # CODE CHANGED IN r5: memoized hot-set salted join (functions/
-    # skew.py), per-row-id as-of grouping (operators/joins.py):
-    "q_join_salted",
-    "q_join_asof",
-    "q_join_asof_pandas",
-    # Perf-watch family (graded weak/watch in r4): keep fresh rows
-    # landing while the shared-relation pipeline is under tuning:
-    "q_dedup_keep_list",
-    "q_dedup_clusters",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_containment",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    "q_boilerplate_spans",
-    "q_contamination",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    "q_kmeans_iter",
-    "q_sim_topk_bruteforce",
-    "q_sim_lsh_bucketed",
-    "q_sim_ivf",
-    # Streaming family (STREAM_STATE_PARTITIONS measurement re-pinned
-    # this round; code unchanged, rows r3/r4 — fill the window tail):
-    "q_stream_stream_join",
-    "q_stream_sliding",
-    "q_stream_dedup",
-    "q_stream_sessionize",
-    "q_stream_session_window",
-    "q_stream_tumbling",
-    # --- beyond the ~50-row driver window: PRE-STAGED r6 ROTATION ---
-    # Everything below carries an r3 driver row that will be the
-    # oldest in the ledger once r5's window lands; if the driver reads
-    # past 50 they get rows a round early, and r6's reorder is a
-    # no-op.
+    # r6 WINDOW (50). First: the one genuine r5-churn item without a
+    # fresh row — q_window_frames' oracle gained its NULLS FIRST pin in
+    # r5 (operators/windows.py:189) AFTER its r4 driver row (VERDICT r5
+    # task #1):
+    "q_window_frames",
+    # THE 31 r3-VINTAGE ROWS (VERDICT r5 task #1: close the rotation —
+    # after this window every query has a row newer than its last
+    # code-or-oracle churn). Module bodies unchanged since r3:
     "q_cdc_compact",
     "q_incremental_scan",
     "q_upsert_scan",
@@ -125,6 +65,48 @@ _DRIVER_FIRST = [
     "q_spine_forward_fill",
     "q_pii_redact",
     "q_frame_sample",
+    # CODE TOUCHED IN r6 (CC-fixpoint job collapse in operators/dedup.py,
+    # splits guard rework in operators/text.py, hot-set cache hardening
+    # in functions/skew.py) — fresh rows must land on the churn:
+    "q_dedup_keep_list",
+    "q_dedup_clusters",
+    "q_graph_pagerank",
+    "q_join_salted",
+    "q_ngram_topk",
+    # OLDEST REMAINING (r4 rows) in modules that churned in r5 —
+    # windows.py / scalars.py / curation.py / multimodal.py /
+    # python_udfs.py all had r5 edits elsewhere in the file:
+    "q_window_lag_lead",
+    "q_window_running",
+    "q_string_funcs",
+    "q_json_extract",
+    "q_json_agg",
+    "q_map_funcs",
+    "q_variant_extract",
+    "q_quality_filter",
+    "q_multimodal_features",
+    "q_embedding_quantize",
+    "q_udtf_chunks",
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_iterator",
+    # --- beyond the ~50-row driver window: PRE-STAGED r7 ROTATION ---
+    # The 15 remaining r4-vintage rows; if the driver reads past 50
+    # they get rows a round early, and r7's reorder is a no-op.
+    "q_conditional_agg",
+    "q_count_distinct",
+    "q_cube",
+    "q_funnel_steps",
+    "q_grouping_sets",
+    "q_min_max_exact",
+    "q_multi_distinct",
+    "q_percentiles_exact",
+    "q_stats_moments",
+    "q_topk_per_group",
+    "q_text_quality",
+    "q_sessionize",
+    "q_session_window",
+    "q_sliding_window",
+    "q_tumbling_window",
 ]
 
 
