@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import threading
 
+from pyspark import SparkContext
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -162,7 +163,8 @@ def salted_join(
     # collecting an unbounded set — a mis-tuned threshold (low enough
     # that "hot" stops being rare) must degrade loudly, not OOM the
     # driver or bloat the plan with a million-element IN-list.
-    app_id = big.sparkSession.sparkContext.applicationId
+    sc = big.sparkSession.sparkContext
+    app_id = sc.applicationId
     cache_key = (
         app_id,
         # semanticHash normalizes expression IDs, so two independently
@@ -174,8 +176,20 @@ def salted_join(
         hot_row_threshold,
         sample_fraction,
     )
+    # Prune entries of DEAD applications only. Keying the prune on the
+    # active SparkContext (not "anything != this caller's appId") means
+    # that if multiple sessions ever coexist in one process (Spark
+    # Connect; classic pyspark allows a single active context), they
+    # cannot thrash each other's memos into per-call re-detection.
+    live = {app_id}
+    active = SparkContext._active_spark_context
+    if active is not None:
+        try:
+            live.add(active.applicationId)
+        except Exception:  # context stopping mid-check
+            pass
     with _HOT_SET_LOCK:
-        for k in [k for k in _HOT_SET_CACHE if k[0] != app_id]:
+        for k in [k for k in _HOT_SET_CACHE if k[0] not in live]:
             _HOT_SET_CACHE.pop(k, None)
         hot_set = _HOT_SET_CACHE.get(cache_key)
         gen = _HOT_SET_GEN
@@ -199,9 +213,18 @@ def salted_join(
                 "AQE skew-join handling for mild, widespread skew"
             )
         hot_set = [r[HOT_KEY_COL] for r in hot_rows]
-        with _HOT_SET_LOCK:
-            if gen == _HOT_SET_GEN:  # no reset raced this detection
-                _HOT_SET_CACHE[cache_key] = hot_set
+        # Memoize an EMPTY hot set only when the input actually had
+        # rows. Detection over an empty relation (a plan built before
+        # its source data exists — e.g. an empty first foreachBatch
+        # batch) proves nothing about data arriving later at the same
+        # path, and a cached empty set would silently disable salting
+        # for the rest of the session. The emptiness probe is a
+        # limit-1 job and runs only on this cache-miss, no-hot-keys
+        # branch.
+        if hot_set or not big.where(big_key.isNotNull()).isEmpty():
+            with _HOT_SET_LOCK:
+                if gen == _HOT_SET_GEN:  # no reset raced this detection
+                    _HOT_SET_CACHE[cache_key] = hot_set
     if not hot_set:
         # No detected skew: the plain join, zero overhead beyond the
         # sampled detection scan.

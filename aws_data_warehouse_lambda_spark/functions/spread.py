@@ -1,0 +1,37 @@
+"""Small-scan spreading: repartition a scan that has fewer input splits
+than cores.
+
+Narrow-expensive pipelines (shingle expansion, bigram explode + map-side
+partial agg) inherit the scan's partitioning, and a small corpus arrives
+as ONE parquet row group = one input split — the whole expansion would
+serialize on a single core while the rest idle (measured 3.6s
+single-task vs ~0.5s spread for q_ngram_topk at sf0.1; 5x the
+end-to-end cost for the dedup shingle relation). At corpus scale the
+scan already has >= cores splits and the branch never fires, so no
+shuffle of text bytes is ever added at 100 TB.
+
+Shared by ``operators/dedup.py`` (shingle relation) and
+``operators/text.py`` (bigram top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_if_few_splits(df: DataFrame) -> DataFrame:
+    """Return ``df`` repartitioned to ``defaultParallelism`` when its
+    scan has fewer splits than cores, else ``df`` unchanged.
+
+    Plan-time check, no job: ``df.rdd.getNumPartitions()`` only forces
+    physical planning. Classic-API-only — under Spark Connect there is
+    no ``sparkContext``/``.rdd``, so the guard degrades to a no-op
+    (it is a fixture-scale perf aid; a Connect deployment reads
+    corpus-scale data where the branch is dead anyway).
+    """
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        splits = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: classic accessors unavailable
+        return df
+    return df.repartition(par) if splits < par else df

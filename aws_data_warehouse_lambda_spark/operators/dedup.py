@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread_if_few_splits
 from ..functions.porthash import h60, h60_sql, perm, perm_sql
 from ..functions.vectors import DOT_SQL as _DOT_SQL
 from ..functions.vectors import dot as _dot
@@ -122,20 +123,11 @@ def _doc_shingle_arrays(
             sf_dir,
             lambda: _doc_shingle_arrays(spark, sf_dir, persist=False),
         )
-    docs = load_table(spark, sf_dir, "documents")
     # The shingle-hash projection is the CPU-heavy step of every sketch
     # pipeline (~6us per shingle: higher-order transform + md5 + conv
-    # run interpreted, outside whole-stage codegen). A small corpus
-    # arrives as ONE parquet row group = one input split, so the whole
-    # projection would run on a single core while the rest idle —
-    # measured 5x the end-to-end arrays cost at sf0.1. When the scan
-    # has fewer splits than cores, redistribute the raw rows first
-    # (plan-time check, no job); at corpus scale the scan already has
-    # >= cores splits and this branch never fires — no shuffle of text
-    # bytes is ever added at 100 TB.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # run interpreted, outside whole-stage codegen) — spread a
+    # single-split fixture scan before it (functions/spread.py).
+    docs = spread_if_few_splits(load_table(spark, sf_dir, "documents"))
     shs = F.array_sort(F.array_distinct(F.transform(_shingles(F.col("text")), h60)))
     return docs.select("doc_id", shs.alias("shs"), F.size(shs).alias("n"))
 

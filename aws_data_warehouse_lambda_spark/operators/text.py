@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.porthash import h60, h60_sql
+from ..functions.spread import spread_if_few_splits
 from ..sources.tables import load_table
 from .registry import query
 
@@ -223,17 +224,7 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate detection. The explode multiplies rows ~word-count x, but
     partial aggregation collapses them map-side before the one shuffle;
     the final top-k is TakeOrderedAndProject (each task keeps k rows)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Same plan-time guard as dedup._doc_shingle_arrays: a small corpus
-    # arrives as ONE parquet row group = one input split, so the
-    # bigram expansion + map-side partial agg would serialize on a
-    # single core (measured 3.6s single-task vs ~0.5s spread at sf0.1).
-    # At corpus scale the scan already has >= cores splits and this
-    # branch never fires — no shuffle of text bytes is ever added at
-    # 100 TB.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = spread_if_few_splits(load_table(spark, sf_dir, "documents"))
     w = F.split(F.lower(F.col("text")), " ")
     pairs = F.when(
         F.size(w) >= 2,

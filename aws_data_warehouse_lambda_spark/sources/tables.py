@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import threading
 
+from pyspark import SparkContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -86,8 +87,19 @@ def invalidate_schema_cache() -> None:
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, os.path.normpath(path))
+    # Prune DEAD applications' entries only (keyed on the active
+    # context, not "anything != this caller") so coexisting sessions
+    # could never thrash each other's memos — same hardening as the
+    # hot-set cache prune in functions/skew.py.
+    live = {app_id}
+    active = SparkContext._active_spark_context
+    if active is not None:
+        try:
+            live.add(active.applicationId)
+        except Exception:  # context stopping mid-check
+            pass
     with _SCHEMA_CACHE_LOCK:
-        for k in [k for k in _SCHEMA_CACHE if k[0] != app_id]:
+        for k in [k for k in _SCHEMA_CACHE if k[0] not in live]:
             _SCHEMA_CACHE.pop(k, None)
         schema = _SCHEMA_CACHE.get(key)
         gen = _SCHEMA_CACHE_GEN

@@ -43,9 +43,15 @@ def _parse_cpu_line(parts: list[str]) -> tuple[int, int] | None:
     # guest/guest_nice are already accounted inside user/nice, so
     # summing them would double-count guest time and under-report
     # steal% on a host running KVM guests.
-    vals = [int(x) for x in parts[1:9]]
-    steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    try:
+        vals = [int(x) for x in parts[1:9]]
+    except ValueError:
+        # Malformed /proc/stat field: telemetry degrades to the
+        # documented "None = not measurable", never crashes the bench.
+        return None
+    if len(vals) < 8:  # truncated line: no steal field to read
+        return None
+    return vals[7], sum(vals)
 
 
 def _steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None) -> float | None:
@@ -232,6 +238,36 @@ def main() -> None:
     tail = {n: med_all[n] for n in tail_names}
     tail_spreads = {n: spread_all[n] for n in tail_names}
 
+    # FULL-SURFACE SWEEP (VERDICT r5 #2): one timed run of EVERY
+    # registered query. The headline/tail structure cannot see a
+    # regression on the other ~90 queries — r5's ad-hoc version of this
+    # sweep caught q_ngram_topk silently serializing its bigram scan on
+    # a single core (3.6s vs 0.9s), invisible to every other gate
+    # (correctness unaffected, headline unaffected). One run per query
+    # is smoke-grade timing, but the regression class this hunts
+    # (serialization, lost pushdown, accidental recompute) shows up as
+    # integer multiples, well above single-run noise. Queries already
+    # timed above contribute their MEDIANS (strictly better data);
+    # steal%/load are sampled per ~20-query chunk so a host noise
+    # window is localizable to the chunk it landed on.
+    # SPARK_GRAFT_FULL_SWEEP=0 skips it for quick local iteration; the
+    # driver's plain `python bench.py` always includes it.
+    full_sweep: dict[str, float] = {}
+    full_sweep_steal: list[float | None] = []
+    full_sweep_load: list[float] = []
+    if os.environ.get("SPARK_GRAFT_FULL_SWEEP", "1") != "0":
+        rest = [n for n in queries if n not in med_all]
+        CHUNK = 20
+        for i in range(0, len(rest), CHUNK):
+            s0 = _cpu_ticks()
+            loads: list[float] = []
+            for name in rest[i : i + CHUNK]:
+                full_sweep[name] = round(one_run(name), 3)
+                loads.append(os.getloadavg()[0])
+            full_sweep_steal.append(_steal_pct(s0, _cpu_ticks()))
+            full_sweep_load.append(round(max(loads), 1))
+        full_sweep.update(med_all)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     print(
@@ -263,6 +299,15 @@ def main() -> None:
                 # alone keeps load ~<= the local core count; load far
                 # above it means another process shared the sweep.
                 "loadavg_per_sweep": sweep_load,
+                # One run of every registered query (headline/tail keep
+                # their medians) — the whole-surface regression smoke
+                # that HEADLINE/TAIL structurally cannot provide.
+                # Emitted empty when SPARK_GRAFT_FULL_SWEEP=0.
+                "full_sweep": full_sweep,
+                "full_sweep_total": round(sum(full_sweep.values()), 3),
+                "full_sweep_stat": "single_run_except_headline_tail_medians",
+                "full_sweep_steal_pct_per_chunk": full_sweep_steal,
+                "full_sweep_loadavg_per_chunk": full_sweep_load,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

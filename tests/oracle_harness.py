@@ -11,6 +11,7 @@ import datetime as _dt
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
@@ -78,7 +79,10 @@ def _nan_means_null(s: pd.Series) -> bool:
         # from the rendering artifact (an all-NULL boolean column
         # arrives as all-None from Spark but all-NaN from DuckDB on
         # the degenerate single-row fixtures).
-        return not non_null or all(isinstance(v, bool) for v in non_null)
+        # np.bool_ included: if either engine's pandas path ever
+        # yields numpy bools in an object column, the merge must not
+        # silently turn off (DuckDB currently returns Python bools).
+        return not non_null or all(isinstance(v, (bool, np.bool_)) for v in non_null)
     return False
 
 

@@ -47,3 +47,13 @@ def test_parse_cpu_line_excludes_guest_fields() -> None:
     # malformed lines
     assert bench._parse_cpu_line([]) is None
     assert bench._parse_cpu_line(["intr", "1"]) is None
+
+
+def test_parse_cpu_line_malformed_field_degrades_to_none() -> None:
+    """A non-integer field in /proc/stat's cpu line (hypervisor quirk,
+    truncated read) must yield the documented 'None = not measurable',
+    never a ValueError that kills the whole bench run."""
+    import bench
+
+    assert bench._parse_cpu_line(["cpu", "1", "2", "x", "4", "5", "6", "7", "8"]) is None
+    assert bench._parse_cpu_line(["cpu"]) is None

@@ -395,3 +395,16 @@ def test_schema_cache_concurrent_load_and_invalidate(spark) -> None:
     with ThreadPoolExecutor(max_workers=8) as pool:
         for f in [pool.submit(worker, i) for i in range(8)]:
             f.result()  # re-raises any worker assertion/race error
+
+
+def test_spread_if_few_splits(spark) -> None:
+    """The shared small-scan guard (functions/spread.py): spreads a
+    below-parallelism scan to defaultParallelism, leaves an
+    already-spread relation untouched (no shuffle added at scale)."""
+    from aws_data_warehouse_lambda_spark.functions.spread import spread_if_few_splits
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(1000, numPartitions=1)
+    assert spread_if_few_splits(one).rdd.getNumPartitions() == par
+    wide = spark.range(1000, numPartitions=par + 3)
+    assert spread_if_few_splits(wide) is wide

@@ -200,3 +200,48 @@ def test_salted_join_refuses_unbounded_hot_set(spark) -> None:
             )
     finally:
         skew.MAX_HOT_LITERALS = orig
+
+
+def test_empty_input_hot_set_not_memoized(spark) -> None:
+    """An empty input at detection time must NOT cache an empty hot set
+    for the session: a foreachBatch-style caller whose first batch is
+    empty would otherwise silently lose salting for every later batch.
+    Once the same path has rows, detection re-runs and memoizes."""
+    from aws_data_warehouse_lambda_spark.functions import skew
+
+    skew.reset_hot_set_cache()
+    events = _skewed_events(spark)
+    empty = events.where(F.lit(False))
+    users = (
+        load_table(spark, SF, "events")
+        .select(F.col("user_id")).distinct()
+        .withColumn("segment", F.pmod("user_id", F.lit(3)))
+    )
+    e, u = empty.alias("e"), users.alias("u")
+    out = salted_join(
+        e,
+        u,
+        big_key=F.col("e.user_id"),
+        small_key=F.col("u.user_id"),
+        distribute_by=F.col("e.event_id"),
+        hot_row_threshold=100,
+    )
+    assert out.count() == 0
+    assert not skew._HOT_SET_CACHE, (
+        "detection over an empty input memoized an empty hot set — "
+        "later data at the same path would never be salt-protected"
+    )
+    # A NON-empty unskewed input's empty hot set IS memoized (the
+    # plain-path fast case must stay one detection per session).
+    unskewed = load_table(spark, SF, "events").select("event_id", "user_id")
+    u2 = users.alias("u2")
+    salted_join(
+        unskewed.alias("e2"),
+        u2,
+        big_key=F.col("e2.user_id"),
+        small_key=F.col("u2.user_id"),
+        distribute_by=F.col("e2.event_id"),
+        hot_row_threshold=10**9,
+    ).count()
+    assert any(v == [] for v in skew._HOT_SET_CACHE.values())
+    skew.reset_hot_set_cache()
