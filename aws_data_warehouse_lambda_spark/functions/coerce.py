@@ -43,9 +43,48 @@ def timestamp_to_str(col: Column | str) -> Column:
 
 
 def decimal_to_str(col: Column | str) -> Column:
-    """Decimal -> exact string (src/db_extractor_full.py:77)."""
+    """Decimal -> exact string, reproducing the reference's
+    ``str(Decimal)`` (src/db_extractor_full.py:77) INCLUDING its
+    scientific-notation rule.
+
+    pg8000 hands the encoder ``Decimal(<pg numeric text>)``, and
+    ``Decimal.__str__`` (IBM decimal spec to-scientific-string) prints
+    PLAIN notation only while ``exponent <= 0 and adjusted >= -6``
+    where ``adjusted = exponent + len(coefficient) - 1``; smaller
+    magnitudes — and zero at a nonzero scale — go scientific:
+    ``str(Decimal('0.000000000000000001')) == '1E-18'``,
+    ``str(Decimal('0.000000000000000000')) == '0E-18'``. Spark's
+    decimal->string cast is always plain, so the rule is restated here
+    as column expressions over the cast text (the fixed-scale cast
+    makes per-row fraction length == the column scale). Found by the
+    live-Postgres round-trip (tests/test_postgres_live.py) — for
+    scale <= 6 columns (every oracle-checked user of this function)
+    plain and spec notation coincide, so this only changes the JSON
+    compat sink's fidelity for tiny-magnitude high-scale decimals."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("string")
+    plain = c.cast("string")
+    frac_len = F.length(F.regexp_extract(plain, r"\.(\d+)$", 1))  # == scale
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(plain, "^-", ""), r"\.", ""),
+        "^0+",
+        "",
+    )
+    is_zero = F.length(stripped) == 0
+    n = F.when(is_zero, F.lit(1)).otherwise(F.length(stripped))
+    cdig = F.when(is_zero, F.lit("0")).otherwise(stripped)
+    sci_exp = frac_len + 1 - n  # adjusted = -(sci_exp), negative here
+    sci = F.concat(
+        F.when(plain.startswith("-"), F.lit("-")).otherwise(F.lit("")),
+        cdig.substr(F.lit(1), F.lit(1)),
+        F.when(n > 1, F.concat(F.lit("."), cdig.substr(F.lit(2), n - 1))).otherwise(
+            F.lit("")
+        ),
+        F.lit("E-"),
+        sci_exp.cast("string"),
+    )
+    # Plain iff scale == 0 (exponent 0 -> adjusted >= 0) or enough
+    # significant digits that adjusted >= -6 (n - 1 - scale >= -6).
+    return F.when((frac_len == 0) | (n >= frac_len - 5), plain).otherwise(sci)
 
 
 def coerce_for_json(df: DataFrame, uuid_columns: frozenset[str] = frozenset()) -> DataFrame:

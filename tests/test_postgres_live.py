@@ -1,0 +1,251 @@
+"""Live PostgreSQL validation of the Postgres-side assumptions Derby
+cannot check.
+
+The container (r6) ships PostgreSQL server binaries (initdb/pg_ctl/
+psql) but still no JDBC driver jar and no Python driver, so the JDBC
+*wire* path stays covered by tests/test_jdbc_derby.py. What a real
+server CAN newly prove, and this file pins:
+
+ * the CDC dbtable subqueries built by ``JdbcSource.table_query``
+   (sources/jdbc.py) are valid Postgres SQL and return the same
+   insert-only / upsert row sets the reference's scans produce
+   (ref src/db_extractor_full.py:370-408);
+ * ``SESSION_INIT`` (``SET statement_timeout = '600s'``, ref :365) is
+   accepted Postgres syntax — Derby had to substitute ``VALUES 1``;
+ * real ``information_schema`` catalog output, filtered through the
+   verbatim reference exclusion lists (plans/discovery.py), keeps/drops
+   the right tables (ref :456-492);
+ * the text formats Postgres actually emits for uuid / numeric(31,18) /
+   timestamp / date round-trip through Spark into the coercion layer
+   (functions/coerce.py) and reproduce the reference encoder's
+   ``UUID.hex`` / ``str(datetime)`` / ``str(Decimal)`` strings
+   (ref :74-78).
+
+The server runs as OS user ``nobody`` (Postgres refuses root) on a
+private unix socket — no TCP, no network. Skipped wholesale when the
+binaries are absent (pre-r6 containers).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import re
+import shutil
+import subprocess
+import uuid as uuidlib
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+
+from aws_data_warehouse_lambda_spark.functions.coerce import (
+    decimal_to_str,
+    timestamp_to_str,
+    uuid_to_hex,
+)
+from aws_data_warehouse_lambda_spark.plans.cdc import ScanPlan
+from aws_data_warehouse_lambda_spark.plans.discovery import (
+    DATA_EXCLUSIONS,
+    sanitize_identifier,
+)
+from aws_data_warehouse_lambda_spark.sources.jdbc import SESSION_INIT, JdbcSource
+
+pytestmark = pytest.mark.skipif(
+    not (shutil.which("pg_ctl") and shutil.which("psql") and shutil.which("su")),
+    reason="PostgreSQL server binaries not in this container",
+)
+
+PG_USER = "nobody"
+WATERMARK = "2024-01-10 00:00:00.000000"
+
+
+def _as_nobody(cmd: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        ["su", PG_USER, "-s", "/bin/sh", "-c", cmd],
+        capture_output=True,
+        text=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg():
+    """A throwaway Postgres cluster on a unix socket, torn down after
+    the module. initdb's default local auth is trust, so root's psql
+    can connect as ``nobody`` over the socket. The cluster lives in a
+    directly-under-/tmp dir (NOT pytest's tmp_path: its root-owned 0700
+    parents are untraversable for the ``nobody`` server process)."""
+    import pathlib
+    import tempfile
+
+    base_str = tempfile.mkdtemp(prefix="pglive-", dir="/tmp")
+    base = pathlib.Path(base_str)
+    base.chmod(0o777)
+    data = base / "data"
+    r = _as_nobody(f"initdb -D {data} >/dev/null 2>&1 && echo OK")
+    if "OK" not in r.stdout:
+        pytest.skip(f"initdb unavailable: {r.stderr.strip()[:200]}")
+    r = _as_nobody(
+        f"pg_ctl -D {data} -l {base}/log -w "
+        f"-o '-c listen_addresses= -c unix_socket_directories={base}' start"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"postgres failed to start: {r.stderr.strip()[:200]}")
+    try:
+        yield str(base)  # the socket directory doubles as the "host"
+    finally:
+        _as_nobody(f"pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _psql(pg_dir: str, sql: str) -> str:
+    """Run SQL via psql, return raw CSV (header included); raise on any
+    SQL error so a bad generated query fails the test loudly."""
+    r = subprocess.run(
+        ["psql", "-h", pg_dir, "-U", PG_USER, "-d", "postgres",
+         "-v", "ON_ERROR_STOP=1", "--csv", "-c", sql],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, f"psql failed for {sql!r}: {r.stderr}"
+    return r.stdout
+
+
+def _rows(pg_dir: str, sql: str) -> list[dict[str, str]]:
+    out = _psql(pg_dir, sql)
+    # A leading utility statement (SET ...) prints its bare command tag
+    # before the CSV block; drop tag lines, keep the CSV (whose header
+    # may be a single bare column name — don't over-strip).
+    lines = out.splitlines()
+    while lines and re.match(r"^(SET|CREATE|INSERT|DROP)\b", lines[0]):
+        lines.pop(0)
+    return list(csv.DictReader(io.StringIO("\n".join(lines))))
+
+
+@pytest.fixture(scope="module")
+def cdc_table(pg):
+    _psql(
+        pg,
+        """
+        CREATE TABLE public.events_cdc (
+            id integer PRIMARY KEY,
+            name text,
+            created_at timestamp,
+            updated_at timestamp
+        );
+        INSERT INTO public.events_cdc VALUES
+          (1, 'old-untouched', '2024-01-01 08:00:00', '2024-01-01 08:00:00'),
+          (2, 'old-updated',   '2024-01-02 09:00:00', '2024-01-20 12:30:00.5'),
+          (3, 'new-insert',    '2024-01-15 10:00:00', '2024-01-15 10:00:00');
+        """,
+    )
+    return pg
+
+
+def test_generated_cdc_queries_execute_on_postgres(cdc_table) -> None:
+    """The exact dbtable subquery strings Spark would push (incl. the
+    validated-then-interpolated watermark literal) are valid Postgres
+    SQL with the reference's CDC row semantics — same expectations as
+    the Derby round-trip, now on the engine the reference targets."""
+    src = JdbcSource(url="jdbc:postgresql://unused/db", user=PG_USER, schema="public")
+    expected = {
+        ScanPlan.FULL: {"1", "2", "3"},
+        ScanPlan.INSERT_ONLY: {"3"},         # created_at > watermark
+        ScanPlan.UPSERT: {"2", "3"},         # created OR updated > watermark
+    }
+    for plan, want in expected.items():
+        dbtable = src.table_query("events_cdc", plan, WATERMARK)
+        # Spark wraps dbtable as `SELECT * FROM (subquery) AS src`; the
+        # sessionInitStatement runs first on the same connection.
+        rows = _rows(cdc_table, f"{SESSION_INIT}; SELECT * FROM {dbtable}")
+        assert {r["id"] for r in rows} == want, plan
+
+
+def test_information_schema_discovery_with_reference_exclusions(cdc_table) -> None:
+    """Real catalog output through the verbatim 8-entry exclusion list:
+    excluded reference tables (created here to prove the filter fires on
+    live catalog rows) drop, the CDC table survives, and sanitization
+    matches Postgres's already-lowercase identifier folding."""
+    _psql(cdc_table, 'CREATE TABLE public.move (id int); '
+                     'CREATE TABLE public.schema_migration (id int); '
+                     'CREATE TABLE public."WeIrD-Name" (id int);')
+    rows = _rows(
+        cdc_table,
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = 'public' AND table_type = 'BASE TABLE'",
+    )
+    names = {r["table_name"] for r in rows}
+    assert {"events_cdc", "move", "schema_migration", "WeIrD-Name"} <= names
+    kept = sorted(
+        n for n in names
+        if sanitize_identifier(n) and sanitize_identifier(n) not in DATA_EXCLUSIONS
+    )
+    assert "move" not in kept and "schema_migration" not in kept
+    assert "events_cdc" in kept and "WeIrD-Name" in kept  # raw name kept
+
+
+def test_postgres_text_formats_feed_coercion_layer(cdc_table, spark) -> None:
+    """Round-trip: values born in Postgres -> its own text rendering ->
+    Spark typed columns -> functions/coerce.py, compared against the
+    reference encoder's output (UUID.hex / str(datetime) / str(Decimal))
+    computed from the same values in Python. Pins the real-server facts
+    the coercion layer assumes: canonical lowercase-hyphen uuid text,
+    trailing-zero-TRIMMED timestamp fractions (unlike str(datetime)'s
+    fixed 6 digits — exactly why timestamp_to_str rebuilds the fraction),
+    and scale-preserving numeric(31,18) text."""
+    u = "A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11"  # uppercase in, PG folds out
+    _psql(
+        cdc_table,
+        f"""
+        CREATE TABLE public.coercion_probe (
+            id integer,
+            u uuid,
+            d numeric(31,18),
+            ts timestamp,
+            dt date
+        );
+        INSERT INTO public.coercion_probe VALUES
+          (1, '{u}', 1.5,                         '2024-01-01 08:00:00',        '2024-01-01'),
+          (2, '{u}', 9999999999999.123456789012345678, '2024-01-02 09:00:00.5',  '2024-02-29'),
+          (3, '{u}', 0.000000000000000001,        '2024-01-15 10:00:00.000123', '1900-01-01');
+        """,
+    )
+    raw = _rows(cdc_table, "SELECT * FROM public.coercion_probe ORDER BY id")
+    # Fact pins on the raw Postgres text itself:
+    assert raw[0]["u"] == u.lower(), "uuid text is canonical lowercase-hyphen"
+    assert raw[0]["ts"] == "2024-01-01 08:00:00", "no .000000 on whole seconds"
+    assert raw[1]["ts"] == "2024-01-02 09:00:00.5", "PG trims fraction zeros"
+    assert raw[0]["d"] == "1.500000000000000000", "numeric text keeps scale"
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame(
+            [(r["id"], r["u"], r["d"], r["ts"], r["dt"]) for r in raw],
+            "id string, u string, d string, ts string, dt string",
+        )
+        .select(
+            "id",
+            "u",
+            F.col("d").cast("decimal(31,18)").alias("d"),
+            F.to_timestamp("ts").alias("ts"),
+            F.to_date("dt").alias("dt"),
+        )
+        .select(
+            "id",
+            uuid_to_hex("u").alias("u_hex"),
+            decimal_to_str("d").alias("d_str"),
+            timestamp_to_str("ts").alias("ts_str"),
+            F.date_format("dt", "yyyy-MM-dd").alias("dt_str"),
+        )
+    )
+    got = {r["id"]: r.asDict() for r in df.collect()}
+    for r in raw:
+        want_hex = uuidlib.UUID(r["u"]).hex                      # ref :75
+        want_ts = str(datetime.fromisoformat(r["ts"]))           # ref :76
+        want_d = str(Decimal(r["d"]))                            # ref :77
+        g = got[r["id"]]
+        assert g["u_hex"] == want_hex
+        assert g["ts_str"] == want_ts
+        assert g["d_str"] == want_d
+        assert g["dt_str"] == r["dt"]
