@@ -510,24 +510,31 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, *, distinct: bool = True) -> DataFrame:
     """Large-star round: every node connects its strictly-larger
     neighbors to the minimum of its closed neighborhood.
 
     One groupBy-min + one join; emitted edges always point high->low
     (``src > dst``), so the edge set shrinks toward a star per component.
+
+    ``distinct=False`` skips the trailing dedup exchange: a canonical
+    small-star round consuming this output dedups in its OWN final
+    distinct anyway, so the intermediate exchange is pure cost — one
+    full shuffle of the edge relation saved per alternating round, at
+    any scale (duplicates only inflate the small-star join's input by
+    the multi-path emission factor, bounded by the symmetrized degree).
     """
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.select("src", F.least("src", "mn").alias("m"))
-    return (
+    out = (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _small_star(edges: DataFrame, *, canonical: bool = False) -> DataFrame:
@@ -539,9 +546,13 @@ def _small_star(edges: DataFrame, *, canonical: bool = False) -> DataFrame:
     al. (MR connected components), converging in O(log^2 n) rounds even
     for path graphs — plain min-label propagation needs O(diameter).
 
-    ``canonical=True`` asserts the input is already distinct high->low
-    directed edges (exactly what :func:`_large_star` emits) and skips
-    the normalization pass — one shuffle less per alternating round.
+    ``canonical=True`` asserts the input is already high->low directed
+    edges (exactly what :func:`_large_star` emits) and skips the
+    normalization pass — one shuffle less per alternating round.
+    Duplicate input edges are fine on this path: the groupBy-min is
+    duplicate-insensitive and the final distinct dedups the join
+    output, which is what lets the feeding large-star round skip its
+    own dedup exchange (``_large_star(distinct=False)``).
     """
     if canonical:
         d = edges
@@ -571,16 +582,24 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
     Components in MapReduce and Beyond"): each round is two shuffle
     joins + two groupBy-mins, and the round count is O(log^2 n) in the
     WORST case (a giant path component), independent of diameter — the
-    property that makes it the 100 TB path. Fixpoint = the canonical
-    high->low edge set stops changing (count + order-insensitive
-    bit_xor-of-xxhash64 checksum — the edge set is distinct, so xor is
-    a sound set signature and cannot overflow under ANSI mode — both
-    computed in one aggregate pass). The fixpoint is checked EVERY
-    round: near-dup graphs are star-like and converge in 1-2 rounds, so
-    checking per round halves the star-round work for the common case;
-    on a pathological graph the extra cost is one tiny aggregate job
-    per round for O(log^2 n) rounds. The per-round lineage cut is a
-    LAZY localCheckpoint materialized by the signature action.
+    property that makes it the 100 TB path.
+
+    Convergence is detected STRUCTURALLY, not by change-tracking: the
+    round function's fixpoints are exactly the high->low star forests
+    (each src carries one edge, no dst is itself a src — a star forest
+    reproduces itself through both star rounds, and any chain or
+    multi-dst node is rewritten by the next large-star). The test runs
+    as ONE action per round — a left join of the round's edges against
+    their own distinct srcs feeding a single aggregate (row count,
+    distinct-src count, dst-hits-src count) — and recognizes the star
+    forest THE ROUND IT APPEARS, where the previous signature-compare
+    (count + bit_xor checksum vs last round) needed one more full star
+    round just to observe "unchanged". Per round that saves the
+    confirmation round's Catalyst planning + execution, which profiling
+    shows is the bulk of fixture-scale CC cost (planning ~0.5s/round vs
+    ~0.1s execution); on a 1000-executor graph it saves a full
+    two-shuffle round. The per-round lineage cut is a LAZY
+    localCheckpoint materialized by the convergence action.
     """
     # Materialize the input ONCE and derive both the node set and the
     # iteration's edge set from the checkpoint: `pairs` is typically an
@@ -601,18 +620,26 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
         .distinct()
     )
     edges = base.where(F.col("src") != F.col("dst"))
-    prev_sig = None
     for r in range(max_rounds):
         edges = _small_star(
-            _large_star(edges), canonical=True
+            _large_star(edges, distinct=False), canonical=True
         ).localCheckpoint(eager=False)
-        cnt, chk = edges.agg(
-            F.count(F.lit(1)), F.bit_xor(F.xxhash64("src", "dst"))
-        ).first()
-        sig = (cnt, chk)
-        if sig == prev_sig:
+        # Star-forest test (see docstring): rows == distinct srcs (one
+        # edge per node) AND no dst is itself a src (no chains). The
+        # srcs relation is distinct, so the left join matches at most
+        # once per row and count(s) counts chain edges exactly.
+        e, d = edges.alias("e"), edges.select("src").distinct().alias("d")
+        cnt, nsrc, chains = (
+            e.join(d, F.col("e.dst") == F.col("d.src"), "left")
+            .agg(
+                F.count(F.lit(1)),
+                F.count_distinct(F.col("e.src")),
+                F.count(F.col("d.src")),
+            )
+            .first()
+        )
+        if cnt == nsrc and chains == 0:
             break
-        prev_sig = sig
     else:
         # A non-converged edge set is NOT a star forest: the final join
         # would silently emit multiple labels per node (docs in several

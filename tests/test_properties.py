@@ -294,3 +294,22 @@ def test_timestamp_coercion_matches_python_str(spark, stamps) -> None:
     df = spark.createDataFrame([(t,) for t in stamps], "t timestamp")
     got = [r[0] for r in df.select(timestamp_to_str("t")).collect()]
     assert got == [str(t) for t in stamps]
+
+
+def test_connected_components_long_path_and_empty(spark) -> None:
+    """Deterministic worst-ish cases for the STRUCTURAL convergence
+    detector (star-forest test): a 61-node path needs several
+    alternating rounds (diameter 60 >> round count, the O(log^2 n)
+    claim), and an empty edge set must converge in the very first
+    round (previously the signature-compare needed a confirmation
+    round even for zero edges)."""
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(60)], "src long, dst long")
+    labels = {r.node: r.label for r in connected_components(path).collect()}
+    assert labels == {n: 0 for n in range(61)}
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
