@@ -73,6 +73,7 @@ _DRIVER_FIRST = [
     "q_graph_pagerank",
     "q_join_salted",
     "q_ngram_topk",
+    "q_dedup_simhash",
     # OLDEST REMAINING (r4 rows) in modules that churned in r5 —
     # windows.py / scalars.py / curation.py / multimodal.py /
     # python_udfs.py all had r5 edits elsewhere in the file:
@@ -88,10 +89,10 @@ _DRIVER_FIRST = [
     "q_embedding_quantize",
     "q_udtf_chunks",
     "q_pandas_udf_scalar",
-    "q_pandas_udf_iterator",
     # --- beyond the ~50-row driver window: PRE-STAGED r7 ROTATION ---
-    # The 15 remaining r4-vintage rows; if the driver reads past 50
+    # The 16 remaining r4-vintage rows; if the driver reads past 50
     # they get rows a round early, and r7's reorder is a no-op.
+    "q_pandas_udf_iterator",
     "q_conditional_agg",
     "q_count_distinct",
     "q_cube",

@@ -904,24 +904,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-sum by ±2, so near-identical docs land within Hamming<=3 while
     unrelated docs sit near the binomial mean of 16. The 4x8-bit band
     join has recall 1 for Hamming<=3 (pigeonhole) while keeping the join
-    linear in collisions. SimHash is a per-doc reduce (one shuffle) +
-    one banded join — the cheapest sketch here at 100 TB.
+    linear in collisions.
+
+    Signatures are computed DOC-LOCALLY on the packed shingle arrays —
+    the same shape as the minhash signatures: per bit k the ±1 sum over
+    the set equals ``2*|{x : bit k set}| - n``, a size-of-filter array
+    expression, so there is no exploded per-shingle relation and ZERO
+    shuffles before the banding join (the r6 full-surface sweep caught
+    the previous explode -> 32-sum groupBy shape costing ~2.5s of the
+    query's 3.5s at sf0.1; the fold form reuses the shared persisted
+    arrays relation and the banding join unchanged). Empty-shingle docs
+    are excluded exactly as the exploded form excluded them implicitly
+    (no rows to aggregate), mirroring the oracle's ``sh`` CTE.
     """
-    sh = _shingle_hashes(spark, sf_dir)
-    hc = F.col("sh")
-    bits = sh.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(hc, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{k}")
-            for k in range(SIMHASH_BITS)
-        ]
-    )
-    sig_expr = " + ".join(
-        f"(CASE WHEN s{k} >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {k})"
+    arr = _doc_shingle_arrays(spark, sf_dir, persist=True)
+    ones = [
+        F.size(F.filter("shs", lambda x: x.bitwiseAND(F.lit(1 << k)) != 0))
         for k in range(SIMHASH_BITS)
+    ]
+    # bit k of sig = 1 iff s_k >= 0 iff 2*ones_k >= n.
+    sig_col = None
+    for k in range(SIMHASH_BITS):
+        bit = F.when(ones[k] * 2 >= F.col("n"), F.lit(1 << k)).otherwise(F.lit(0))
+        sig_col = bit if sig_col is None else sig_col + bit
+    sig = arr.where(F.col("n") > 0).select(
+        "doc_id", sig_col.cast("bigint").alias("sig")
     )
-    sig = bits.select("doc_id", F.expr(f"CAST({sig_expr} AS BIGINT)").alias("sig"))
     nib = sig.select(
         "doc_id",
         "sig",
@@ -940,9 +948,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bn"),
     ).select("doc_id", "sig", "bn.band", "bn.nib")
     # EAGER checkpoint before the self-join, same reason as the minhash
-    # banding join: both sides descend from the un-persisted 32-column
-    # bit-sum aggregate, so without a barrier it runs once per side (and
-    # once more single-streamed if AQE broadcasts a side). 4 rows/doc.
+    # banding join: both sides descend from the un-persisted 32-bit-fold
+    # signature projection, so without a barrier it runs once per side
+    # (and once more single-streamed if AQE broadcasts a side). 4
+    # rows/doc.
     nib = nib.localCheckpoint()
     a, b = nib.alias("a"), nib.alias("b")
     cand = (
