@@ -139,9 +139,27 @@ def _shingle_hashes(
     :func:`_doc_shingle_arrays` for consumers that need cross-doc
     per-shingle relations (document frequency, contamination overlap).
     ``persist`` caches the compact arrays relation; the explode itself
-    is a free narrow op on top of it."""
-    arr = _doc_shingle_arrays(spark, sf_dir, persist=persist)
-    return arr.select("doc_id", F.explode("shs").alias("sh"))
+    is a free narrow op on top of it.
+
+    The unpersisted path inlines the shingle chain INTO the explode
+    instead of exploding the aliased ``shs`` column: exploding an
+    attribute lets InferFiltersFromGenerate add ``size(shs) > 0 AND
+    shs IS NOT NULL``, and pushing that filter through the projection
+    re-instantiates the whole per-shingle md5 chain inside the Filter —
+    the chain then runs 3x per document (measured 2.0s vs 0.3s for the
+    bare exploded scan at sf0.1; found via the r6 full-surface sweep on
+    q_dedup_simhash's old shape). Inline generator children are exempt
+    from the inference (SPARK-36715 limits it to cheap/attribute
+    children), and the persisted path is safe because the cache
+    boundary stops the pushdown — pinned by
+    tests/test_plans.py::test_exploded_shingles_have_no_rehashing_filter.
+    """
+    if persist:
+        arr = _doc_shingle_arrays(spark, sf_dir, persist=True)
+        return arr.select("doc_id", F.explode("shs").alias("sh"))
+    docs = spread_if_few_splits(load_table(spark, sf_dir, "documents"))
+    shs = F.array_sort(F.array_distinct(F.transform(_shingles(F.col("text")), h60)))
+    return docs.select("doc_id", F.explode(shs).alias("sh"))
 
 
 #: Memoized persisted relations, keyed on (spark appId, sf_dir). The
