@@ -1,0 +1,28 @@
+"""Shared application-liveness probe for per-process session caches.
+
+Three session caches key entries on the Spark applicationId (the
+table-schema cache in ``sources/tables.py``, the salted join's hot-set
+memo in ``functions/skew.py``, and the dedup family's persisted-relation
+memos in ``operators/dedup.py``). Each prunes dead applications' entries
+on access; the prune must evict only applications that are actually
+GONE — keying it on "anything != this caller's appId" would let two
+coexisting sessions (Spark Connect; classic pyspark allows a single
+active context) thrash each other's memos into per-call recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark import SparkContext
+
+
+def live_app_ids(app_id: str) -> set[str]:
+    """The caller's appId plus the active SparkContext's (if any) —
+    the set of applications whose cache entries must survive a prune."""
+    live = {app_id}
+    active = SparkContext._active_spark_context
+    if active is not None:
+        try:
+            live.add(active.applicationId)
+        except Exception:  # context stopping mid-check
+            pass
+    return live

@@ -36,9 +36,10 @@ from __future__ import annotations
 
 import threading
 
-from pyspark import SparkContext
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .apps import live_app_ids
 
 SALT_COL = "__salt"
 HOT_KEY_COL = "__hot_key"
@@ -141,10 +142,12 @@ def salted_join(
     synchronously (a bounded ``collect()``, see inline note). The
     result is memoized in :data:`_HOT_SET_CACHE` for the session, so
     repeated calls on the same input — a query surface re-planning per
-    invocation, a foreachBatch loop — pay detection once. Callers that
-    must build plans before source data exists should not use this
-    function (detection would see the empty input and cache an empty
-    hot set).
+    invocation, a foreachBatch loop — pay detection once. An EMPTY
+    detection result is memoized only when the input actually had rows:
+    a plan built before its source data exists (an empty first
+    foreachBatch batch) re-detects on a later call instead of silently
+    losing salting for the session, at the cost of re-running detection
+    on every call until data appears.
     """
     # Collect the hot set to a DRIVER-SIDE literal: the relation is
     # bounded by construction (at most |big| / hot_row_threshold keys —
@@ -176,18 +179,10 @@ def salted_join(
         hot_row_threshold,
         sample_fraction,
     )
-    # Prune entries of DEAD applications only. Keying the prune on the
-    # active SparkContext (not "anything != this caller's appId") means
-    # that if multiple sessions ever coexist in one process (Spark
-    # Connect; classic pyspark allows a single active context), they
-    # cannot thrash each other's memos into per-call re-detection.
-    live = {app_id}
-    active = SparkContext._active_spark_context
-    if active is not None:
-        try:
-            live.add(active.applicationId)
-        except Exception:  # context stopping mid-check
-            pass
+    # Prune entries of DEAD applications only (functions/apps.py: keyed
+    # on the active context, so coexisting sessions cannot thrash each
+    # other's memos into per-call re-detection).
+    live = live_app_ids(app_id)
     with _HOT_SET_LOCK:
         for k in [k for k in _HOT_SET_CACHE if k[0] not in live]:
             _HOT_SET_CACHE.pop(k, None)

@@ -38,9 +38,12 @@ shuffle key is high-cardinality. Production swap: h60 -> xxhash64.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.apps import live_app_ids
 from ..functions.spread import spread_if_few_splits
 from ..functions.porthash import h60, h60_sql, perm, perm_sql
 from ..functions.vectors import DOT_SQL as _DOT_SQL
@@ -153,6 +156,10 @@ def _shingle_hashes(
     children), and the persisted path is safe because the cache
     boundary stops the pushdown — pinned by
     tests/test_plans.py::test_exploded_shingles_have_no_rehashing_filter.
+    (All in-repo consumers currently pass ``persist=True``; the
+    unpersisted branch is the safe default shape for future one-shot
+    callers, kept because the trap it dodges is invisible at review
+    time.)
     """
     if persist:
         arr = _doc_shingle_arrays(spark, sf_dir, persist=True)
@@ -175,23 +182,52 @@ _ZDF_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _ALL_CACHES = (_ARRAYS_CACHE, _ZDF_CACHE, _PAIRS_CACHE, _LABELS_CACHE)
+#: Same lock + generation pattern as the schema / hot-set caches
+#: (sources/tables.py, functions/skew.py): dict bookkeeping is
+#: serialized while plan construction runs OUTSIDE the lock, and a
+#: build that STARTED before reset_shared_relations() must not
+#: re-insert its (now-unpersistable-by-reset) relation afterwards.
+_MEMO_LOCK = threading.Lock()
+_MEMO_GEN = 0
 
 
 def _memo(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
     import os
 
     app_id = spark.sparkContext.applicationId
-    for key in [k for k in cache if k[0] != app_id]:
-        cache.pop(key)  # plans bound to a dead context — drop
+    live = live_app_ids(app_id)  # functions/apps.py: dead apps only
     # normpath: 'dir' and 'dir/' must hit the same entry, or each path
     # spelling pins its own persisted copy of the relation.
     key = (app_id, os.path.normpath(sf_dir))
-    cached = cache.get(key)
+    with _MEMO_LOCK:
+        for k in [k for k in cache if k[0] not in live]:
+            cache.pop(k)  # plans bound to a dead context — drop
+        cached = cache.get(key)
+        gen = _MEMO_GEN
     if cached is None:
         from pyspark import StorageLevel
 
         cached = build().persist(StorageLevel.MEMORY_AND_DISK)
-        cache[key] = cached
+        with _MEMO_LOCK:
+            if gen == _MEMO_GEN:
+                # Two racing builders: keep the first stored entry and
+                # release this thread's duplicate so only one persisted
+                # copy stays pinned.
+                winner = cache.setdefault(key, cached)
+                if winner is not cached:
+                    try:
+                        cached.unpersist()
+                    except Exception:
+                        pass
+                    cached = winner
+            else:
+                # A reset landed mid-build: hand the caller this
+                # un-memoized relation but drop its persistence pin so
+                # the reset's release semantics hold.
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass
     return cached
 
 
@@ -199,13 +235,16 @@ def reset_shared_relations() -> None:
     """Unpersist and clear every memoized dedup relation. Two callers:
     the bench (so each timed run pays the full pipeline cost) and any
     long-lived session that wants the pinned memory back."""
-    for cache in _ALL_CACHES:
-        for df in cache.values():
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped — nothing to release
-        cache.clear()
+    global _MEMO_GEN
+    with _MEMO_LOCK:
+        for cache in _ALL_CACHES:
+            for df in cache.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped — nothing to release
+            cache.clear()
+        _MEMO_GEN += 1
 
 
 def _doc_annotated_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,10 +12,11 @@ from __future__ import annotations
 import os
 import threading
 
-from pyspark import SparkContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions.apps import live_app_ids
 
 #: The ten driver fixture tables (TESTDATA.md:13-15).
 TABLES: tuple[str, ...] = (
@@ -87,17 +88,9 @@ def invalidate_schema_cache() -> None:
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, os.path.normpath(path))
-    # Prune DEAD applications' entries only (keyed on the active
-    # context, not "anything != this caller") so coexisting sessions
-    # could never thrash each other's memos — same hardening as the
-    # hot-set cache prune in functions/skew.py.
-    live = {app_id}
-    active = SparkContext._active_spark_context
-    if active is not None:
-        try:
-            live.add(active.applicationId)
-        except Exception:  # context stopping mid-check
-            pass
+    # Prune DEAD applications' entries only (functions/apps.py) so
+    # coexisting sessions could never thrash each other's memos.
+    live = live_app_ids(app_id)
     with _SCHEMA_CACHE_LOCK:
         for k in [k for k in _SCHEMA_CACHE if k[0] not in live]:
             _SCHEMA_CACHE.pop(k, None)

@@ -427,3 +427,48 @@ def test_exploded_shingles_have_no_rehashing_filter(spark) -> None:
     for line in plan.splitlines():
         if line.strip().startswith("Condition"):
             assert "md5" not in line, f"md5 chain inside a Filter:\n{line[:300]}"
+
+
+def test_dedup_memo_concurrent_build_and_reset(spark) -> None:
+    """The dedup relation memo under real driver-side thread pressure:
+    concurrent q_dedup-family builds interleaved with
+    reset_shared_relations() must neither raise nor let a build that
+    started before a reset re-insert its entry afterwards (the same
+    generation-counter contract as the schema and hot-set caches).
+    Correctness assert: every thread's relation computes the right
+    rows, and after a final reset the caches are empty."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aws_data_warehouse_lambda_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    dedup.reset_shared_relations()
+    n_docs = dedup._doc_shingle_arrays(spark, sf, persist=True).count()
+
+    def worker(i: int) -> None:
+        for _ in range(4):
+            arr = dedup._doc_shingle_arrays(spark, sf, persist=True)
+            assert arr.count() == n_docs
+            if i % 2 == 0:
+                dedup.reset_shared_relations()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for f in [pool.submit(worker, i) for i in range(8)]:
+            f.result()
+    dedup.reset_shared_relations()
+    assert all(not c for c in dedup._ALL_CACHES)
+
+    # Deterministic reset-undone race (same shape as the skew test):
+    # a build in flight when the reset lands must not re-insert, and
+    # its returned relation must still be usable by its caller.
+    def racing_build():
+        out = dedup._doc_shingle_arrays(spark, sf, persist=False)
+        dedup.reset_shared_relations()  # race: reset lands mid-build
+        return out
+
+    arr = dedup._memo(dedup._ARRAYS_CACHE, spark, sf, racing_build)
+    assert arr.count() == n_docs  # the in-flight caller still works
+    assert not dedup._ARRAYS_CACHE, (
+        "a build that started before reset_shared_relations() "
+        "re-inserted its entry after the reset"
+    )

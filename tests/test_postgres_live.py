@@ -82,18 +82,20 @@ def pg():
     base = pathlib.Path(base_str)
     base.chmod(0o777)
     data = base / "data"
-    r = _as_nobody(f"initdb -D {data} >/dev/null 2>&1 && echo OK")
-    if "OK" not in r.stdout:
-        pytest.skip(f"initdb unavailable: {r.stderr.strip()[:200]}")
-    r = _as_nobody(
-        f"pg_ctl -D {data} -l {base}/log -w "
-        f"-o '-c listen_addresses= -c unix_socket_directories={base}' start"
-    )
-    if r.returncode != 0:
-        pytest.skip(f"postgres failed to start: {r.stderr.strip()[:200]}")
     try:
+        r = _as_nobody(f"initdb -D {data} >/dev/null 2>&1 && echo OK")
+        if "OK" not in r.stdout:
+            pytest.skip(f"initdb unavailable: {r.stderr.strip()[:200]}")
+        r = _as_nobody(
+            f"pg_ctl -D {data} -l {base}/log -w "
+            f"-o '-c listen_addresses= -c unix_socket_directories={base}' start"
+        )
+        if r.returncode != 0:
+            pytest.skip(f"postgres failed to start: {r.stderr.strip()[:200]}")
         yield str(base)  # the socket directory doubles as the "host"
     finally:
+        # Also runs when a skip above fires: an initialized-but-unused
+        # cluster dir must not accumulate under /tmp run over run.
         _as_nobody(f"pg_ctl -D {data} -m immediate stop")
         shutil.rmtree(base, ignore_errors=True)
 
