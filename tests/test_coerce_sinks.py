@@ -101,3 +101,55 @@ def test_jdbc_reader_options():
     assert "created_at > '2024-01-01" in opts["dbtable"]
     assert "OR updated_at >" in opts["dbtable"]
     assert opts["numPartitions"] == "32"  # the 100TB lever the reference lacks
+
+
+def test_decimal_to_str_matches_python_decimal_str_broadly(spark) -> None:
+    """decimal_to_str reproduces str(Decimal(<fixed-scale text>)) — the
+    reference encoder's exact output (ref src/db_extractor_full.py:77)
+    — across the plain/scientific boundary (adjusted exponent -6), zero
+    at every scale, negatives, and max-precision values at scales 0-18.
+    One Spark batch for all cases; the expected strings come from
+    Python's Decimal itself, so this is a spec-conformance check of the
+    column-expression restatement, not a golden file."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.functions.coerce import decimal_to_str
+
+    cases: list[tuple[int, str]] = []
+
+    def add(scale: int, text: str) -> None:
+        cases.append((scale, text))
+
+    for scale in (0, 1, 2, 6, 7, 10, 18):
+        q = Decimal(1).scaleb(-scale)
+        for raw in (
+            "0", "1", "-1", "123456", "-987654", "0.5", "-0.5",
+            "1e-18", "-1e-18", "1e-7", "-1e-7", "1e-6", "2.5e-7",
+            "0.000001", "0.0000009999", "9999999999999.123456789",
+            "-0.00000012345", "42", "-42.000001",
+        ):
+            try:
+                v = Decimal(raw).quantize(q)
+            except Exception:
+                continue  # value not representable at this scale
+            if v == 0 and v.is_signed():
+                # Decimal('-0') is unreachable on the real path:
+                # Postgres normalizes '-0'::numeric to 0 and Spark
+                # decimals have no signed zero, so the encoder can
+                # never see one.
+                continue
+            add(scale, format(v, "f"))
+    rows = [(i, s, t) for i, (s, t) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id int, scale int, txt string")
+    out = {}
+    for scale in sorted({s for s, _ in cases}):
+        part = df.where(F.col("scale") == scale).select(
+            "id",
+            decimal_to_str(F.col("txt").cast(f"decimal(38,{scale})")).alias("got"),
+        )
+        out.update({r["id"]: r["got"] for r in part.collect()})
+    for i, (scale, text) in enumerate(cases):
+        want = str(Decimal(text))
+        assert out[i] == want, f"scale={scale} text={text}: {out[i]!r} != {want!r}"
