@@ -255,10 +255,20 @@ def main() -> None:
     full_sweep: dict[str, float] = {}
     full_sweep_steal: list[float | None] = []
     full_sweep_load: list[float] = []
+    full_sweep_skipped: list[str] = []
     if os.environ.get("SPARK_GRAFT_FULL_SWEEP", "1") != "0":
+        # Wall-clock budget: an external runner that kills the whole
+        # bench on a timeout would lose the ENTIRE artifact (the one
+        # JSON line prints last), so the sweep self-truncates LOUDLY
+        # instead — dropped queries are listed, never silently absent.
+        budget_s = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_S", "900"))
+        sweep_t0 = time.perf_counter()
         rest = [n for n in queries if n not in med_all]
         CHUNK = 20
         for i in range(0, len(rest), CHUNK):
+            if time.perf_counter() - sweep_t0 > budget_s:
+                full_sweep_skipped = rest[i:]
+                break
             s0 = _cpu_ticks()
             loads: list[float] = []
             for name in rest[i : i + CHUNK]:
@@ -308,6 +318,11 @@ def main() -> None:
                 "full_sweep_stat": "single_run_except_headline_tail_medians",
                 "full_sweep_steal_pct_per_chunk": full_sweep_steal,
                 "full_sweep_loadavg_per_chunk": full_sweep_load,
+                # Queries dropped by the sweep's wall-clock budget
+                # (SPARK_GRAFT_SWEEP_BUDGET_S, default 900s). Empty on
+                # a normal run; non-empty = the artifact is partial and
+                # says so (no silent caps).
+                "full_sweep_skipped": full_sweep_skipped,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
