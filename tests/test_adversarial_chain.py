@@ -1,0 +1,118 @@
+"""Chain-of-near-dups parity: the crafted edge for the r6 CC rewrite.
+
+The r6 structural-convergence change (operators/dedup.py
+connected_components: star-forest detection, dedup-exchange skip) is
+property-tested on synthetic edge lists; this fixture drives the SAME
+code through the FULL pipeline — corpus -> shingles -> PPJoin referee
+-> alternating-star CC -> cluster/keep-list artifacts -> DuckDB
+recursive-closure oracle — on the graph shape that stresses it most: a
+CHAIN, where every doc is >= 0.8 Jaccard with its neighbors but < 0.8
+with anything two steps away, so the cluster exists ONLY through
+transitivity and the star rounds must actually contract a path (the
+near-dup fixtures elsewhere produce star-like graphs that converge in
+one round).
+
+Construction: sliding windows over a unique-token sequence. With
+window L words and stride s, adjacent windows share L-2-s of their
+L-2 shingles: J(d) = (L-2-d*s)/(L-2+d*s). L-2=90, s=9 gives
+J(1)=81/99~0.818 (>= 0.8) and J(2)=72/108~0.667 (< 0.8). Two chains
+(12 and 5 docs), an exact-duplicate pair, and isolated singletons pin
+multi-cluster labeling, keeper = min doc_id through transitivity, and
+untouched non-members.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.operators import dedup
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import run_parity
+
+SRC = "/root/testdata/sf0.001"
+
+_L, _S = 92, 9  # window words, stride words
+
+
+def _chain(vocab_prefix: str, n_docs: int) -> list[str]:
+    words = [f"{vocab_prefix}{i:04d}" for i in range(_L + (n_docs - 1) * _S)]
+    return [" ".join(words[i * _S : i * _S + _L]) for i in range(n_docs)]
+
+
+_TEXTS: list[tuple[int, str]] = []
+for i, t in enumerate(_chain("a", 12)):
+    _TEXTS.append((i, t))  # 12-doc chain -> one cluster, keeper 0
+for i, t in enumerate(_chain("b", 5)):
+    _TEXTS.append((100 + i, t))  # second chain -> cluster keeper 100
+_TEXTS.append((200, "identical twin document body for the exact pair"))
+_TEXTS.append((201, "identical twin document body for the exact pair"))
+_TEXTS.append((300, " ".join(f"s{i:03d}" for i in range(90))))  # singleton
+_TEXTS.append((301, " ".join(f"t{i:03d}" for i in range(90))))  # singleton
+
+#: Every consumer of the near-dup pair graph, plus the sketches whose
+#: banding must keep recall on chain-adjacent pairs.
+_CHAIN_QUERIES = [
+    "q_dedup_ngram_jaccard",
+    "q_dedup_containment",
+    "q_dedup_clusters",
+    "q_dedup_keep_list",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_exact",
+    "q_graph_degree",
+    "q_graph_pagerank",
+]
+
+
+@pytest.fixture(scope="module")
+def chain_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_chain")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in _TEXTS], pa.int64()),
+            "text": pa.array([d[1] for d in _TEXTS], pa.string()),
+            "lang": pa.array(["en"] * len(_TEXTS), pa.string()),
+            "source": pa.array(["chain"] * len(_TEXTS), pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in _TEXTS], pa.int64()),
+        }
+    )
+    pq.write_table(docs, table_path(str(root), "documents"))
+    yield str(root)
+    dedup.reset_shared_relations()  # drop relations pinned on the tmp dir
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _CHAIN_QUERIES)
+def test_chain_parity(spark, chain_sf, name) -> None:
+    run_parity(spark, chain_sf, name, _QUERIES[name], _ORACLES[name])
+
+
+def test_chain_clusters_are_transitive(spark, chain_sf) -> None:
+    """Direct semantic pin (independent of the oracle): the 12-chain is
+    ONE cluster with keeper 0 even though doc 0 and doc 11 share almost
+    nothing, the 5-chain keeps 100, the exact pair keeps 200, and the
+    singletons keep themselves."""
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in _QUERIES["q_dedup_keep_list"](spark, chain_sf).collect()
+    }
+    for i in range(12):
+        assert rows[i] == (0, i == 0), (i, rows[i])
+    for i in range(100, 105):
+        assert rows[i] == (100, i == 100), (i, rows[i])
+    assert rows[200] == (200, True) and rows[201] == (200, False)
+    assert rows[300] == (300, True) and rows[301] == (301, True)
