@@ -261,21 +261,32 @@ def main() -> None:
         # bench on a timeout would lose the ENTIRE artifact (the one
         # JSON line prints last), so the sweep self-truncates LOUDLY
         # instead — dropped queries are listed, never silently absent.
-        budget_s = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_S", "900"))
+        try:
+            budget_s = float(os.environ.get("SPARK_GRAFT_SWEEP_BUDGET_S", "900"))
+        except ValueError:
+            # A malformed override must not kill the bench after the
+            # headline medians are already paid for — same degrade
+            # philosophy as the /proc/stat telemetry.
+            budget_s = 900.0
         sweep_t0 = time.perf_counter()
         rest = [n for n in queries if n not in med_all]
         CHUNK = 20
         for i in range(0, len(rest), CHUNK):
-            if time.perf_counter() - sweep_t0 > budget_s:
-                full_sweep_skipped = rest[i:]
-                break
             s0 = _cpu_ticks()
             loads: list[float] = []
-            for name in rest[i : i + CHUNK]:
+            for j, name in enumerate(rest[i : i + CHUNK]):
+                # Per-QUERY budget check: a single hung query may
+                # overshoot by its own runtime, never by a whole chunk.
+                if time.perf_counter() - sweep_t0 > budget_s:
+                    full_sweep_skipped = rest[i + j :]
+                    break
                 full_sweep[name] = round(one_run(name), 3)
                 loads.append(os.getloadavg()[0])
-            full_sweep_steal.append(_steal_pct(s0, _cpu_ticks()))
-            full_sweep_load.append(round(max(loads), 1))
+            if loads:
+                full_sweep_steal.append(_steal_pct(s0, _cpu_ticks()))
+                full_sweep_load.append(round(max(loads), 1))
+            if full_sweep_skipped:
+                break
         full_sweep.update(med_all)
 
     total = round(sum(timings.values()), 3)

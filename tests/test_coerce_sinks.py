@@ -108,9 +108,11 @@ def test_decimal_to_str_matches_python_decimal_str_broadly(spark) -> None:
     reference encoder's exact output (ref src/db_extractor_full.py:77)
     — across the plain/scientific boundary (adjusted exponent -6), zero
     at every scale, negatives, and max-precision values at scales 0-18.
-    One Spark batch for all cases; the expected strings come from
-    Python's Decimal itself, so this is a spec-conformance check of the
-    column-expression restatement, not a golden file."""
+    One Spark job per distinct scale (the cast's decimal TYPE differs
+    per scale, so the cases cannot share one column); the expected
+    strings come from Python's Decimal itself, so this is a
+    spec-conformance check of the column-expression restatement, not a
+    golden file."""
     from decimal import Decimal
 
     from pyspark.sql import functions as F
@@ -118,10 +120,6 @@ def test_decimal_to_str_matches_python_decimal_str_broadly(spark) -> None:
     from aws_data_warehouse_lambda_spark.functions.coerce import decimal_to_str
 
     cases: list[tuple[int, str]] = []
-
-    def add(scale: int, text: str) -> None:
-        cases.append((scale, text))
-
     for scale in (0, 1, 2, 6, 7, 10, 18):
         q = Decimal(1).scaleb(-scale)
         for raw in (
@@ -140,7 +138,7 @@ def test_decimal_to_str_matches_python_decimal_str_broadly(spark) -> None:
                 # decimals have no signed zero, so the encoder can
                 # never see one.
                 continue
-            add(scale, format(v, "f"))
+            cases.append((scale, format(v, "f")))
     rows = [(i, s, t) for i, (s, t) in enumerate(cases)]
     df = spark.createDataFrame(rows, "id int, scale int, txt string")
     out = {}
