@@ -26,72 +26,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # r6 WINDOW (50). First: the one genuine r5-churn item without a
-    # fresh row — q_window_frames' oracle gained its NULLS FIRST pin in
-    # r5 (operators/windows.py:189) AFTER its r4 driver row (VERDICT r5
-    # task #1):
-    "q_window_frames",
-    # THE 31 r3-VINTAGE ROWS (VERDICT r5 task #1: close the rotation —
-    # after this window every query has a row newer than its last
-    # code-or-oracle churn). Module bodies unchanged since r3:
-    "q_cdc_compact",
-    "q_incremental_scan",
-    "q_upsert_scan",
-    "q_full_scan",
-    "q_coerce_types",
-    "q_catalog_tables",
-    "q_catalog_columns",
-    "q_revenue_by_nation",
-    "q_pricing_summary",
-    "q_shipping_priority",
-    "q_join_broadcast",
-    "q_join_outer",
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
-    "q_fuzzy_join",
-    "q_sort_limit",
-    "q_rollup",
-    "q_percentiles",
-    "q_approx_distinct",
-    "q_hll_mergeable",
-    "q_exists_subquery",
-    "q_in_subquery",
-    "q_scalar_subquery",
-    "q_lateral_topk",
-    "q_unpivot",
-    "q_time_spine_gapfill",
-    "q_spine_forward_fill",
-    "q_pii_redact",
-    "q_frame_sample",
-    # CODE TOUCHED IN r6 (CC-fixpoint job collapse in operators/dedup.py,
-    # splits guard rework in operators/text.py, hot-set cache hardening
-    # in functions/skew.py) — fresh rows must land on the churn:
-    "q_dedup_keep_list",
-    "q_dedup_clusters",
-    "q_graph_pagerank",
-    "q_join_salted",
-    "q_ngram_topk",
-    "q_dedup_simhash",
-    # OLDEST REMAINING (r4 rows) in modules that churned in r5 —
-    # windows.py / scalars.py / curation.py / multimodal.py /
-    # python_udfs.py all had r5 edits elsewhere in the file:
-    "q_window_lag_lead",
-    "q_window_running",
-    "q_string_funcs",
-    "q_json_extract",
-    "q_json_agg",
-    "q_map_funcs",
-    "q_variant_extract",
-    "q_quality_filter",
-    "q_multimodal_features",
-    "q_embedding_quantize",
-    "q_udtf_chunks",
-    "q_pandas_udf_scalar",
-    # --- beyond the ~50-row driver window: PRE-STAGED r7 ROTATION ---
-    # The 16 remaining r4-vintage rows; if the driver reads past 50
-    # they get rows a round early, and r7's reorder is a no-op.
+    # r7 WINDOW (50). First: the 16 r4-vintage rows pre-staged by r6
+    # (VERDICT r6 task #2) — the only rows that would otherwise be 3
+    # rounds stale; q_pandas_udf_iterator leads:
     "q_pandas_udf_iterator",
     "q_conditional_agg",
     "q_count_distinct",
@@ -108,6 +45,67 @@ _DRIVER_FIRST = [
     "q_session_window",
     "q_sliding_window",
     "q_tumbling_window",
+    # CODE TOUCHED IN r7 (shared _shingle_hash_set helper in
+    # operators/dedup.py feeds every shingle consumer; spread-guard
+    # except narrowed in functions/spread.py; live_app_ids getattr
+    # guard in functions/apps.py feeds the hot-set/schema/dedup-memo
+    # caches) — fresh rows must land on the churn:
+    "q_dedup_ngram_jaccard",
+    "q_dedup_containment",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    "q_dedup_keep_list",
+    "q_contamination",
+    "q_graph_degree",
+    "q_graph_pagerank",
+    "q_ngram_topk",
+    "q_join_salted",
+    # OLDEST REMAINING (r5 rows) — memo-cache consumers first (they
+    # share the apps.py liveness path), then streaming / setops /
+    # asof / windows / text:
+    "q_dedup_exact",
+    "q_dedup_embedding",
+    "q_kmeans_iter",
+    "q_sim_topk_bruteforce",
+    "q_sim_lsh_bucketed",
+    "q_sim_ivf",
+    "q_stream_dedup",
+    "q_stream_session_window",
+    "q_stream_sessionize",
+    "q_stream_sliding",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_union",
+    "q_union_all_counts",
+    "q_except",
+    "q_except_all",
+    "q_intersect",
+    "q_intersect_all",
+    "q_join_asof",
+    "q_join_asof_pandas",
+    "q_window_ranks",
+    "q_window_range_frame",
+    "q_tfidf",
+    # --- beyond the ~50-row driver window: PRE-STAGED r8 ROTATION ---
+    # The 16 remaining r5-vintage rows; if the driver reads past 50
+    # they get rows a round early, and r8's reorder is a no-op.
+    "q_array_funcs",
+    "q_boilerplate_spans",
+    "q_date_funcs",
+    "q_embedding_centroids",
+    "q_histogram",
+    "q_math_case",
+    "q_null_semantics",
+    "q_pandas_udf_grouped_agg",
+    "q_pivot_event_types",
+    "q_repetition",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_split_assign",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_token_stats",
 ]
 
 

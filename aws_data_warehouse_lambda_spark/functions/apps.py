@@ -19,7 +19,10 @@ def live_app_ids(app_id: str) -> set[str]:
     """The caller's appId plus the active SparkContext's (if any) —
     the set of applications whose cache entries must survive a prune."""
     live = {app_id}
-    active = SparkContext._active_spark_context
+    # _active_spark_context is a private attribute: getattr-guarded so
+    # a pyspark rename/removal degrades to {app_id} instead of raising
+    # AttributeError on every cache access in all three caches.
+    active = getattr(SparkContext, "_active_spark_context", None)
     if active is not None:
         try:
             live.add(active.applicationId)

@@ -27,11 +27,15 @@ def spread_if_few_splits(df: DataFrame) -> DataFrame:
     physical planning. Classic-API-only — under Spark Connect there is
     no ``sparkContext``/``.rdd``, so the guard degrades to a no-op
     (it is a fixture-scale perf aid; a Connect deployment reads
-    corpus-scale data where the branch is dead anyway).
-    """
+    corpus-scale data where the branch is dead anyway). Only the
+    Connect-shaped errors are caught: a genuine failure in ``df``
+    (e.g. an analysis error) must surface HERE, with this frame's
+    context, not later at action time."""
     try:
         par = df.sparkSession.sparkContext.defaultParallelism
         splits = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: classic accessors unavailable
+    except (AttributeError, NotImplementedError):
+        # Spark Connect: classic accessors unavailable. Connect raises
+        # PySparkNotImplementedError, a NotImplementedError subclass.
         return df
     return df.repartition(par) if splits < par else df

@@ -97,6 +97,15 @@ def _shingles(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _shingle_hash_set(text: Column) -> Column:
+    """The per-doc shingle-hash SET expression (sorted distinct
+    array<long>), shared by :func:`_doc_shingle_arrays` and the
+    inline-explode path of :func:`_shingle_hashes` so the two can
+    never silently drift (the plan-pin test checks only the Filter
+    trap, not expression equality)."""
+    return F.array_sort(F.array_distinct(F.transform(_shingles(text), h60)))
+
+
 def _doc_shingle_arrays(
     spark: SparkSession, sf_dir: str, *, persist: bool = False
 ) -> DataFrame:
@@ -131,7 +140,7 @@ def _doc_shingle_arrays(
     # run interpreted, outside whole-stage codegen) — spread a
     # single-split fixture scan before it (functions/spread.py).
     docs = spread_if_few_splits(load_table(spark, sf_dir, "documents"))
-    shs = F.array_sort(F.array_distinct(F.transform(_shingles(F.col("text")), h60)))
+    shs = _shingle_hash_set(F.col("text"))
     return docs.select("doc_id", shs.alias("shs"), F.size(shs).alias("n"))
 
 
@@ -165,8 +174,9 @@ def _shingle_hashes(
         arr = _doc_shingle_arrays(spark, sf_dir, persist=True)
         return arr.select("doc_id", F.explode("shs").alias("sh"))
     docs = spread_if_few_splits(load_table(spark, sf_dir, "documents"))
-    shs = F.array_sort(F.array_distinct(F.transform(_shingles(F.col("text")), h60)))
-    return docs.select("doc_id", F.explode(shs).alias("sh"))
+    return docs.select(
+        "doc_id", F.explode(_shingle_hash_set(F.col("text"))).alias("sh")
+    )
 
 
 #: Memoized persisted relations, keyed on (spark appId, sf_dir). The

@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (the driver captures only the LAST ~2000 stdout chars):
+  line N-1: the bulky full_sweep block (one timing per registered
+            query) — also written to BENCH_full_sweep_r{N}.json;
+  line N:   the compact line of record ``{"metric": ..., "value":
+            total_sec, "unit": "sec", "queries": {name: sec}, ...}``,
+            unit-pinned to < FINAL_LINE_MAX chars.
 
 Each query is executed once after a warm-up pass of the smallest query to
 amortize JVM/codegen startup; timing covers plan + execution to a driver-side
@@ -13,11 +18,69 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# The external driver keeps only the LAST ~2000 chars of stdout, so the
+# FINAL printed line must stay comfortably under that window no matter
+# how wide the floats get (BENCH_r06 lesson: printing the 110-entry
+# full_sweep dict on the same line pushed the headline medians and the
+# steal attestation off the front of the capture -> parsed: null).
+FINAL_LINE_MAX = 1900
+# Skip-list names shown inline on the final line; the full list always
+# rides the bulk line and the on-disk artifact. 3, not 5: at 5 a
+# worst-case result (max-width floats + long query names) serialized
+# to 1901 chars — exactly over the pin.
+SKIPPED_INLINE_MAX = 3
+
+# Keys that only ever appear on the bulk line / on-disk artifact —
+# anything whose size grows with the number of registered queries.
+_BULK_ONLY = (
+    "full_sweep",
+    "full_sweep_steal_pct_per_chunk",
+    "full_sweep_loadavg_per_chunk",
+)
+
+
+def _split_result(result: dict) -> tuple[dict, dict]:
+    """Split the complete result dict into (bulk, final) payloads.
+
+    ``bulk`` carries the whole-surface sweep (one entry per registered
+    query) and its per-chunk telemetry; it is printed as its OWN stdout
+    line well before the final line and also written to a per-round
+    file, so truncation of the driver's tail capture can never destroy
+    it. ``final`` is the compact line of record: headline/tail medians,
+    spreads, steal/load attestation, and the full-sweep SUMMARY
+    (total + skipped count + a capped name sample)."""
+    bulk = {"record": "full_sweep"}
+    bulk.update({k: result[k] for k in result if k.startswith("full_sweep")})
+    final = {k: v for k, v in result.items() if k not in _BULK_ONLY}
+    skipped = result.get("full_sweep_skipped", [])
+    final["full_sweep_skipped_n"] = len(skipped)
+    # Cap the inline list: a budget-truncated sweep could skip ~100
+    # names (~2KB) and evict the headline block exactly like r6 did.
+    final["full_sweep_skipped"] = skipped[:SKIPPED_INLINE_MAX]
+    return bulk, final
+
+
+def _artifact_path(repo_dir: str) -> str:
+    """Per-round on-disk home for the complete result dict: the driver
+    records BENCH_r{N}.json at round end, so the next round number is
+    1 + the highest one already present (1 on a fresh tree)."""
+    rounds = [0]
+    try:
+        names = os.listdir(repo_dir)
+    except OSError:
+        names = []
+    for f in names:
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            rounds.append(int(m.group(1)))
+    return os.path.join(repo_dir, f"BENCH_full_sweep_r{max(rounds) + 1:02d}.json")
 
 
 def _cpu_ticks() -> tuple[int, int] | None:
@@ -291,53 +354,67 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "runs_per_query": N_RUNS,
-                "max_runs_noisy": MAX_RUNS,
-                "stat": "median",
-                "queries": timings,
-                "spread": spreads,
-                "tail": tail,
-                "tail_spread": tail_spreads,
-                "tail_total": round(sum(tail.values()), 3),
-                # Hypervisor steal% sampled around each interleaved
-                # sweep (None = not measurable on this platform). A
-                # sweep with steal >> 0 ran inside a host noise window
-                # and its runs inflate the medians — discount absolutes
-                # accordingly (r4's artifact was ~1.6x inflated by such
-                # a window and nothing in the JSON could show it).
-                "steal_pct_per_sweep": sweep_steal,
-                "steal_pct_max": max((s for s in sweep_steal if s is not None), default=None),
-                # MAX of the 1-min load average sampled after every
-                # run in the sweep: catches CO-TENANT and
-                # self-inflicted CPU contention, which steal% cannot
-                # see (steal is hypervisor-level only). The bench
-                # alone keeps load ~<= the local core count; load far
-                # above it means another process shared the sweep.
-                "loadavg_per_sweep": sweep_load,
-                # One run of every registered query (headline/tail keep
-                # their medians) — the whole-surface regression smoke
-                # that HEADLINE/TAIL structurally cannot provide.
-                # Emitted empty when SPARK_GRAFT_FULL_SWEEP=0.
-                "full_sweep": full_sweep,
-                "full_sweep_total": round(sum(full_sweep.values()), 3),
-                "full_sweep_stat": "single_run_except_headline_tail_medians",
-                "full_sweep_steal_pct_per_chunk": full_sweep_steal,
-                "full_sweep_loadavg_per_chunk": full_sweep_load,
-                # Queries dropped by the sweep's wall-clock budget
-                # (SPARK_GRAFT_SWEEP_BUDGET_S, default 900s). Empty on
-                # a normal run; non-empty = the artifact is partial and
-                # says so (no silent caps).
-                "full_sweep_skipped": full_sweep_skipped,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "runs_per_query": N_RUNS,
+        "max_runs_noisy": MAX_RUNS,
+        "stat": "median",
+        "queries": timings,
+        "spread": spreads,
+        "tail": tail,
+        "tail_spread": tail_spreads,
+        "tail_total": round(sum(tail.values()), 3),
+        # Hypervisor steal% sampled around each interleaved
+        # sweep (None = not measurable on this platform). A
+        # sweep with steal >> 0 ran inside a host noise window
+        # and its runs inflate the medians — discount absolutes
+        # accordingly (r4's artifact was ~1.6x inflated by such
+        # a window and nothing in the JSON could show it).
+        "steal_pct_per_sweep": sweep_steal,
+        "steal_pct_max": max((s for s in sweep_steal if s is not None), default=None),
+        # MAX of the 1-min load average sampled after every
+        # run in the sweep: catches CO-TENANT and
+        # self-inflicted CPU contention, which steal% cannot
+        # see (steal is hypervisor-level only). The bench
+        # alone keeps load ~<= the local core count; load far
+        # above it means another process shared the sweep.
+        "loadavg_per_sweep": sweep_load,
+        # One run of every registered query (headline/tail keep
+        # their medians) — the whole-surface regression smoke
+        # that HEADLINE/TAIL structurally cannot provide.
+        # Emitted empty when SPARK_GRAFT_FULL_SWEEP=0.
+        "full_sweep": full_sweep,
+        "full_sweep_total": round(sum(full_sweep.values()), 3),
+        "full_sweep_stat": "single_run_except_headline_tail_medians",
+        "full_sweep_steal_pct_per_chunk": full_sweep_steal,
+        "full_sweep_loadavg_per_chunk": full_sweep_load,
+        # Queries dropped by the sweep's wall-clock budget
+        # (SPARK_GRAFT_SWEEP_BUDGET_S, default 900s). Empty on
+        # a normal run; non-empty = the artifact is partial and
+        # says so (no silent caps).
+        "full_sweep_skipped": full_sweep_skipped,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    bulk, final = _split_result(result)
+    # Order of durability: (1) the bulk line prints FIRST so tail
+    # truncation eats it before the final line; (2) the complete dict
+    # is ALSO written to a round-numbered file the driver's commit
+    # sweeps up; (3) the compact final line — the line of record — is
+    # printed LAST and is unit-pinned to fit the capture window.
+    print(json.dumps(bulk), flush=True)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    path = _artifact_path(repo_dir)
+    try:
+        with open(path, "w") as fh:
+            json.dump(result, fh)
+            fh.write("\n")
+        final["artifact"] = os.path.basename(path)
+    except OSError:
+        # Read-only checkout: stdout lines remain the full record.
+        final["artifact"] = None
+    print(json.dumps(final), flush=True)
     spark.stop()
 
 

@@ -57,3 +57,100 @@ def test_parse_cpu_line_malformed_field_degrades_to_none() -> None:
 
     assert bench._parse_cpu_line(["cpu", "1", "2", "x", "4", "5", "6", "7", "8"]) is None
     assert bench._parse_cpu_line(["cpu"]) is None
+
+
+def _worst_case_result() -> dict:
+    """Adversarial result dict: every float at max realistic width
+    (99999.999 — five digits of seconds would already mean a dead
+    host), the full 110-query sweep populated, AND a budget-truncated
+    run that skipped ~100 long-named queries. This is the shape that
+    destroyed BENCH_r06 when it rode the final line."""
+    import bench
+
+    wide = 99999.999
+    headline = {n: wide for n in bench.HEADLINE}
+    tail = {n: wide for n in bench.TAIL}
+    sweep = {f"q_very_long_query_name_number_{i:03d}": wide for i in range(110)}
+    skipped = [f"q_very_long_query_name_number_{i:03d}" for i in range(100)]
+    return {
+        "metric": "headline_queries_total",
+        "value": wide,
+        "unit": "sec",
+        "runs_per_query": 3,
+        "max_runs_noisy": 5,
+        "stat": "median",
+        "queries": headline,
+        "spread": dict(headline),
+        "tail": tail,
+        "tail_spread": dict(tail),
+        "tail_total": wide,
+        "steal_pct_per_sweep": [99.99] * 5,
+        "steal_pct_max": 99.99,
+        "loadavg_per_sweep": [999.9] * 5,
+        "full_sweep": sweep,
+        "full_sweep_total": wide,
+        "full_sweep_stat": "single_run_except_headline_tail_medians",
+        "full_sweep_steal_pct_per_chunk": [99.99] * 6,
+        "full_sweep_loadavg_per_chunk": [999.9] * 6,
+        "full_sweep_skipped": skipped,
+        "sf": 0.1,
+    }
+
+
+def test_final_line_fits_driver_capture_window() -> None:
+    """The r6 artifact defect: the driver keeps only the last ~2000
+    stdout chars, and the single printed line was ~4.5KB, so the head
+    (headline medians, steal attestation) was truncated -> parsed:
+    null. Pin: the FINAL line serialized from a worst-case result must
+    stay under FINAL_LINE_MAX (< the capture window with margin), even
+    after the artifact-filename field is added."""
+    import json
+
+    import bench
+
+    bulk, final = bench._split_result(_worst_case_result())
+    final["artifact"] = "BENCH_full_sweep_r99.json"
+    line = json.dumps(final)
+    assert len(line) < bench.FINAL_LINE_MAX, len(line)
+    # and the window itself must be under the driver's capture size
+    assert bench.FINAL_LINE_MAX <= 2000
+
+
+def test_split_result_partitions_without_loss() -> None:
+    """Every key of the full result must be recoverable from the two
+    lines: bulky full-sweep keys on the bulk line, everything else on
+    the final line, skipped list capped inline but counted exactly."""
+    import bench
+
+    result = _worst_case_result()
+    bulk, final = bench._split_result(result)
+    # bulk carries the full sweep and its telemetry verbatim
+    assert bulk["full_sweep"] == result["full_sweep"]
+    assert bulk["full_sweep_skipped"] == result["full_sweep_skipped"]
+    assert bulk["full_sweep_steal_pct_per_chunk"] == result["full_sweep_steal_pct_per_chunk"]
+    # final keeps the headline block intact
+    assert final["queries"] == result["queries"]
+    assert final["steal_pct_per_sweep"] == result["steal_pct_per_sweep"]
+    # the bulky dict never leaks onto the final line
+    assert "full_sweep" not in final
+    assert "full_sweep_steal_pct_per_chunk" not in final
+    # skipped: exact count, capped sample, sample is a prefix
+    assert final["full_sweep_skipped_n"] == 100
+    assert final["full_sweep_skipped"] == result["full_sweep_skipped"][: bench.SKIPPED_INLINE_MAX]
+    # summary scalars stay on the line of record
+    assert final["full_sweep_total"] == result["full_sweep_total"]
+    # input result is not mutated (main() writes it to disk afterwards)
+    assert len(result["full_sweep_skipped"]) == 100
+
+
+def test_artifact_path_is_next_round(tmp_path) -> None:
+    import bench
+
+    # fresh tree -> round 1
+    assert bench._artifact_path(str(tmp_path)).endswith("BENCH_full_sweep_r01.json")
+    (tmp_path / "BENCH_r06.json").write_text("{}")
+    (tmp_path / "BENCH_r04.json").write_text("{}")
+    (tmp_path / "BENCH_rXX.json").write_text("{}")  # non-numeric ignored
+    assert bench._artifact_path(str(tmp_path)).endswith("BENCH_full_sweep_r07.json")
+    # unreadable dir degrades to round 1, never raises
+    assert bench._artifact_path(str(tmp_path / "nope")).endswith("BENCH_full_sweep_r01.json")

@@ -410,6 +410,32 @@ def test_spread_if_few_splits(spark) -> None:
     assert spread_if_few_splits(wide) is wide
 
 
+def test_spread_guard_swallows_only_connect_errors() -> None:
+    """The Connect no-op branch must catch ONLY the Connect-shaped
+    errors (AttributeError / NotImplementedError incl. pyspark's
+    PySparkNotImplementedError subclass); a genuine failure in the
+    DataFrame must surface here with the guard's context, not later at
+    action time (ADVICE r6)."""
+    import pytest
+
+    from aws_data_warehouse_lambda_spark.functions.spread import spread_if_few_splits
+
+    class ConnectLike:
+        @property
+        def sparkSession(self):
+            raise NotImplementedError("no sparkContext under Connect")
+
+    class Broken:
+        @property
+        def sparkSession(self):
+            raise ValueError("analysis failure inside df")
+
+    fake = ConnectLike()
+    assert spread_if_few_splits(fake) is fake
+    with pytest.raises(ValueError, match="analysis failure"):
+        spread_if_few_splits(Broken())
+
+
 def test_exploded_shingles_have_no_rehashing_filter(spark) -> None:
     """Exploding the shingle relation must not let
     InferFiltersFromGenerate re-instantiate the md5 shingle chain into
@@ -427,6 +453,29 @@ def test_exploded_shingles_have_no_rehashing_filter(spark) -> None:
     for line in plan.splitlines():
         if line.strip().startswith("Condition"):
             assert "md5" not in line, f"md5 chain inside a Filter:\n{line[:300]}"
+
+
+def test_shingle_paths_agree(spark) -> None:
+    """The packed-array path (_doc_shingle_arrays -> explode) and the
+    inline-explode path (_shingle_hashes persist=False) must produce
+    the SAME (doc_id, sh) row set: both now build on the shared
+    _shingle_hash_set expression (ADVICE r6 — the two copies of the
+    chain could silently drift, and the plan-pin above checks only the
+    Filter trap, not expression equality)."""
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        _doc_shingle_arrays,
+        _shingle_hashes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inline = _shingle_hashes(spark, sf)  # persist=False inline path
+    packed = _doc_shingle_arrays(spark, sf, persist=False).select(
+        "doc_id", F.explode("shs").alias("sh")
+    )
+    assert inline.exceptAll(packed).isEmpty()
+    assert packed.exceptAll(inline).isEmpty()
 
 
 def test_dedup_memo_concurrent_build_and_reset(spark) -> None:
