@@ -37,13 +37,13 @@ FINAL_LINE_MAX = 1900
 # to 1901 chars — exactly over the pin.
 SKIPPED_INLINE_MAX = 3
 
-# Keys that only ever appear on the bulk line / on-disk artifact —
-# anything whose size grows with the number of registered queries.
-_BULK_ONLY = (
-    "full_sweep",
-    "full_sweep_steal_pct_per_chunk",
-    "full_sweep_loadavg_per_chunk",
-)
+# full_sweep_* keys allowed on the FINAL line — bounded summary
+# scalars only. This is a WHITELIST, not a blocklist: any future
+# full_sweep_* key defaults to bulk-only, so a new size-growing block
+# cannot silently re-create the r6 overflow (a blocklist would need
+# updating in lockstep with main()'s result dict and the pin test's
+# hand-copied replica, neither of which would notice the new key).
+_FINAL_SUMMARY = ("full_sweep_total", "full_sweep_stat")
 
 
 def _split_result(result: dict) -> tuple[dict, dict]:
@@ -58,7 +58,11 @@ def _split_result(result: dict) -> tuple[dict, dict]:
     (total + skipped count + a capped name sample)."""
     bulk = {"record": "full_sweep"}
     bulk.update({k: result[k] for k in result if k.startswith("full_sweep")})
-    final = {k: v for k, v in result.items() if k not in _BULK_ONLY}
+    final = {
+        k: v
+        for k, v in result.items()
+        if not k.startswith("full_sweep") or k in _FINAL_SUMMARY
+    }
     skipped = result.get("full_sweep_skipped", [])
     final["full_sweep_skipped_n"] = len(skipped)
     # Cap the inline list: a budget-truncated sweep could skip ~100
@@ -404,16 +408,36 @@ def main() -> None:
     # sweeps up; (3) the compact final line — the line of record — is
     # printed LAST and is unit-pinned to fit the capture window.
     print(json.dumps(bulk), flush=True)
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    path = _artifact_path(repo_dir)
-    try:
-        with open(path, "w") as fh:
-            json.dump(result, fh)
-            fh.write("\n")
-        final["artifact"] = os.path.basename(path)
-    except OSError:
-        # Read-only checkout: stdout lines remain the full record.
-        final["artifact"] = None
+    final["artifact"] = None
+    # The file exists to preserve the full sweep: a quick-iteration
+    # run (SPARK_GRAFT_FULL_SWEEP=0, empty dict) must never overwrite
+    # the round's record. A budget-truncated sweep still writes — it
+    # may BE the round's record, and full_sweep_skipped in the content
+    # declares the truncation loudly.
+    if full_sweep:
+        # Label the data so a mislabeled file (a round whose driver
+        # never landed BENCH_r{N}.json leaves the next round writing
+        # under the stale number) is detectable from the content.
+        result["written_unix"] = round(time.time(), 1)
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        path = _artifact_path(repo_dir)
+        tmp = path + ".tmp"
+        try:
+            # Temp-write + atomic rename: an OSError mid-dump (ENOSPC)
+            # must not leave truncated JSON under the artifact name
+            # for the driver's commit sweep to preserve.
+            with open(tmp, "w") as fh:
+                json.dump(result, fh)
+                fh.write("\n")
+            os.replace(tmp, path)
+            final["artifact"] = os.path.basename(path)
+        except OSError:
+            # Read-only checkout / full disk: stdout lines remain the
+            # full record.
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
     print(json.dumps(final), flush=True)
     spark.stop()
 

@@ -143,6 +143,27 @@ def test_split_result_partitions_without_loss() -> None:
     assert len(result["full_sweep_skipped"]) == 100
 
 
+def test_future_full_sweep_keys_default_to_bulk_only() -> None:
+    """The final-line selector is a WHITELIST of bounded summary
+    scalars (_FINAL_SUMMARY): a future size-growing full_sweep_* key
+    (e.g. a per-query spread dict) must land on the bulk line and stay
+    OFF the pinned final line automatically — otherwise it would
+    re-create the exact r6 overflow, and the worst-case pin test could
+    not catch it because its result replica wouldn't contain the new
+    key (r7 review finding)."""
+    import json
+
+    import bench
+
+    result = _worst_case_result()
+    result["full_sweep_spread"] = {f"q_future_{i:03d}": 99999.999 for i in range(110)}
+    bulk, final = bench._split_result(result)
+    assert "full_sweep_spread" not in final
+    assert bulk["full_sweep_spread"] == result["full_sweep_spread"]
+    final["artifact"] = "BENCH_full_sweep_r99.json"
+    assert len(json.dumps(final)) < bench.FINAL_LINE_MAX
+
+
 def test_artifact_path_is_next_round(tmp_path) -> None:
     import bench
 

@@ -25,16 +25,19 @@ def test_driver_window_ordering():
     names = list(entrymod.queries())
     assert names[: len(entrymod._DRIVER_FIRST)] == entrymod._DRIVER_FIRST
     # The list may exceed the ~50-row driver window — entries past it
-    # pre-stage the NEXT round's rotation — but the must-check set
-    # (r5: the 26 pre-r3-row queries plus the r5-changed salted/as-of
-    # queries) must all sit INSIDE the window. The must-check tier is
-    # everything before the perf-watch tier, which starts at
-    # q_dedup_keep_list.
-    changed_tier = entrymod._DRIVER_FIRST.index("q_dedup_keep_list")
-    assert changed_tier <= 50, (
-        "this round's must-check queries overflow the driver window — "
-        "trim the first tier to what actually changed"
+    # pre-stage the NEXT round's rotation — but the must-check tiers
+    # (stale-row rotation + this round's churn) must all sit INSIDE
+    # the window. Pin the BOUNDARY itself, not a single member's
+    # index: the r6 version asserted index('q_dedup_keep_list') <= 50,
+    # which went vacuous the moment a rotation moved that query deep
+    # into the window (r7 review finding). The window is exactly 50;
+    # the first pre-staged next-round entry must sit at position 50.
+    WINDOW = 50
+    assert entrymod._DRIVER_FIRST[WINDOW] == "q_array_funcs", (
+        "the pre-staged next-round tier must start exactly at the "
+        "50-row driver window boundary — update this pin when rotating"
     )
+    assert len(entrymod._DRIVER_FIRST) == len(set(entrymod._DRIVER_FIRST))
     assert len(entrymod._DRIVER_FIRST) <= len(names)
     # no drops: reordering must preserve the full registry
     assert len(names) == len(set(names))
