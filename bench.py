@@ -67,8 +67,60 @@ def _split_result(result: dict) -> tuple[dict, dict]:
     final["full_sweep_skipped_n"] = len(skipped)
     # Cap the inline list: a budget-truncated sweep could skip ~100
     # names (~2KB) and evict the headline block exactly like r6 did.
-    final["full_sweep_skipped"] = skipped[:SKIPPED_INLINE_MAX]
+    # Named _sample, NOT full_sweep_skipped: the same key carrying the
+    # full list on one channel and a 3-name prefix on another would
+    # invite a consumer to under-read how partial the artifact is.
+    final["full_sweep_skipped_sample"] = skipped[:SKIPPED_INLINE_MAX]
     return bulk, final
+
+
+# Final-line keys that must SURVIVE line reduction — the data a judge
+# needs to read the round from the line of record alone. Everything
+# else is recoverable from the bulk line / disk artifact.
+_FINAL_CORE = frozenset(
+    {
+        "metric", "value", "unit", "stat", "runs_per_query",
+        "max_runs_noisy", "queries", "tail", "tail_total",
+        "steal_pct_max", "full_sweep_total", "full_sweep_stat",
+        "full_sweep_skipped_n", "artifact", "sf", "reduced",
+    }
+)
+# Preferred drop order when the line must shrink; after these, any
+# remaining non-core key goes, largest serialized first.
+_DROP_TO_FIT = (
+    "full_sweep_skipped_sample",
+    "loadavg_per_sweep",
+    "steal_pct_per_sweep",
+    "tail_spread",
+    "spread",
+)
+
+
+def _final_line(final: dict) -> str:
+    """Serialize the final line, enforcing the capture-window pin AT
+    RUNTIME: the unit test's worst-case replica cannot know about keys
+    a future round adds to main()'s result dict, so if the line ever
+    exceeds FINAL_LINE_MAX, secondary blocks are dropped (recorded in
+    a ``reduced`` list; the data survives on the disk artifact) rather
+    than letting the driver's tail capture truncate the head again."""
+    final = dict(final)
+    line = json.dumps(final)
+    if len(line) < FINAL_LINE_MAX:
+        return line
+    order = [k for k in _DROP_TO_FIT if k in final]
+    order += sorted(
+        (k for k in final if k not in _FINAL_CORE and k not in order),
+        key=lambda k: -len(json.dumps(final[k])),
+    )
+    dropped: list[str] = []
+    for k in order:
+        del final[k]
+        dropped.append(k)
+        final["reduced"] = dropped
+        line = json.dumps(final)
+        if len(line) < FINAL_LINE_MAX:
+            break
+    return line
 
 
 def _artifact_path(repo_dir: str) -> str:
@@ -416,8 +468,13 @@ def main() -> None:
     # declares the truncation loudly.
     if full_sweep:
         # Label the data so a mislabeled file (a round whose driver
-        # never landed BENCH_r{N}.json leaves the next round writing
-        # under the stale number) is detectable from the content.
+        # never landed BENCH_r{N}.json leaves the next round writing —
+        # and clobbering — under the stale number) is detectable from
+        # the content. The clobber itself is an accepted residual:
+        # same-name overwrite IS the designed within-round behavior
+        # (builder runs first, the driver's run is the record), and a
+        # round that lost BENCH_r{N}.json had no number of record
+        # anyway.
         result["written_unix"] = round(time.time(), 1)
         repo_dir = os.path.dirname(os.path.abspath(__file__))
         path = _artifact_path(repo_dir)
@@ -438,7 +495,7 @@ def main() -> None:
                 os.unlink(tmp)
             except OSError:
                 pass
-    print(json.dumps(final), flush=True)
+    print(_final_line(final), flush=True)
     spark.stop()
 
 

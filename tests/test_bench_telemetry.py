@@ -134,13 +134,46 @@ def test_split_result_partitions_without_loss() -> None:
     # the bulky dict never leaks onto the final line
     assert "full_sweep" not in final
     assert "full_sweep_steal_pct_per_chunk" not in final
-    # skipped: exact count, capped sample, sample is a prefix
+    # skipped: exact count, capped sample under a DISTINCT name (the
+    # full-list key must never appear inline with a truncated payload)
     assert final["full_sweep_skipped_n"] == 100
-    assert final["full_sweep_skipped"] == result["full_sweep_skipped"][: bench.SKIPPED_INLINE_MAX]
+    assert "full_sweep_skipped" not in final
+    assert (
+        final["full_sweep_skipped_sample"]
+        == result["full_sweep_skipped"][: bench.SKIPPED_INLINE_MAX]
+    )
     # summary scalars stay on the line of record
     assert final["full_sweep_total"] == result["full_sweep_total"]
     # input result is not mutated (main() writes it to disk afterwards)
     assert len(result["full_sweep_skipped"]) == 100
+
+
+def test_final_line_reducer_enforces_pin_on_unknown_keys() -> None:
+    """Runtime enforcement of the capture-window pin: the worst-case
+    replica below cannot contain keys a FUTURE round adds to main()'s
+    result dict, so _final_line must shrink an oversized line by dropping
+    non-core blocks (recorded in `reduced`) — otherwise a new per-query
+    dict that is not named full_sweep_* would re-enter the r6
+    truncation through an untested path (r7 review pass 2)."""
+    import json
+
+    import bench
+
+    bulk, final = bench._split_result(_worst_case_result())
+    final["artifact"] = "BENCH_full_sweep_r99.json"
+    # a future, size-growing, non-full_sweep block lands on the line
+    final["queries_p95"] = {f"q_future_{i:03d}": 99999.999 for i in range(110)}
+    line = bench._final_line(final)
+    assert len(line) < bench.FINAL_LINE_MAX, len(line)
+    out = json.loads(line)
+    # the offending block was dropped and the reduction is declared
+    assert "queries_p95" in out["reduced"]
+    # core keys survive any reduction
+    for k in ("metric", "value", "queries", "steal_pct_max", "full_sweep_total"):
+        assert k in out, k
+    # an already-fitting line passes through untouched
+    del final["queries_p95"]
+    assert json.loads(bench._final_line(final)).get("reduced") is None
 
 
 def test_future_full_sweep_keys_default_to_bulk_only() -> None:
