@@ -478,6 +478,61 @@ def test_shingle_paths_agree(spark) -> None:
     assert packed.exceptAll(inline).isEmpty()
 
 
+def test_dedup_memo_isolates_sf_dirs(spark) -> None:
+    """The dedup relation memo is keyed on (appId, sf_dir): concurrent
+    builds against DIFFERENT corpora must each get their own relation,
+    never the other's (a key regression here — e.g. keying on appId
+    alone — would be silent cross-corpus data corruption, which no
+    single-sf test or the oracle gate can see). Also pins the
+    normpath rule: 'dir' and 'dir/' share one entry."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from aws_data_warehouse_lambda_spark.operators import dedup
+
+    from pyspark.sql import functions as F
+
+    def checksum(df):
+        # content-sensitive probe: row count alone cannot distinguish
+        # the fixtures (both corpora hold 500 documents)
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)).alias("c"), F.sum("n").alias("s")
+            ).collect()[0]
+        )
+
+    sfa, sfb = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    # ground truth from the un-memoized path
+    expected = {
+        sf: checksum(dedup._doc_shingle_arrays(spark, sf, persist=False))
+        for sf in (sfa, sfb)
+    }
+    assert expected[sfa] != expected[sfb]  # distinct corpora, or the test is vacuous
+    dedup.reset_shared_relations()
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = {
+                sf: [
+                    pool.submit(
+                        lambda s=sf: checksum(
+                            dedup._doc_shingle_arrays(spark, s, persist=True)
+                        )
+                    )
+                    for _ in range(2)
+                ]
+                for sf in (sfa, sfb)
+            }
+            for sf, fs in futs.items():
+                for f in fs:
+                    assert f.result() == expected[sf]
+        # both corpora cached under distinct keys; trailing-slash
+        # spelling resolves to the existing entry, not a third copy
+        assert len(dedup._ARRAYS_CACHE) == 2
+        dedup._doc_shingle_arrays(spark, sfa + "/", persist=True)
+        assert len(dedup._ARRAYS_CACHE) == 2
+    finally:
+        dedup.reset_shared_relations()
+
+
 def test_dedup_memo_concurrent_build_and_reset(spark) -> None:
     """The dedup relation memo under real driver-side thread pressure:
     concurrent q_dedup-family builds interleaved with
