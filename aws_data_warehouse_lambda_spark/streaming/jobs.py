@@ -49,15 +49,32 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation the batch loader applies (sources/tables.py) kicks in;
     with the current timestamp[us] fixtures this is a no-op branch.
     """
-    # The file source wants a directory; the fixture is a single file, so
-    # stream the sf_dir with a glob pinned to the events table.
-    disk_schema = _read_parquet(spark, table_path(sf_dir, "events")).schema
-    raw = (
-        spark.readStream.schema(disk_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    # LAYOUT-INSENSITIVE source path. The r1-r7 shape — .load(sf_dir)
+    # with pathGlobFilter="events.parquet" — silently drained ZERO rows
+    # the moment the events table was written as a DIRECTORY of
+    # part-*.parquet (every distributed writer's output shape):
+    # pathGlobFilter matches LEAF file names only, and no part file is
+    # named events.parquet. The converse — .load(<table path>) — fails
+    # on the single-file layout ("Option 'basePath' must be a
+    # directory"). So branch on the actual layout, detected from the
+    # schema probe's inputFiles() (public API, Connect-safe — no
+    # Hadoop FileSystem py4j calls): a directory table's files continue
+    # PAST the table path; a single-file table IS the path. Found by
+    # the r8 events-layout parity fixture (tests/test_adversarial_layout).
+    path = table_path(sf_dir, "events")
+    probe = _read_parquet(spark, path)
+    disk_schema = probe.schema
+    files = probe.inputFiles()
+    is_single_file = bool(files) and files[0].rstrip("/").endswith(
+        "/" + path.rsplit("/", 1)[-1]
     )
+    src = spark.readStream.schema(disk_schema).format("parquet")
+    if is_single_file:
+        raw = src.option(
+            "pathGlobFilter", path.rsplit("/", 1)[-1]
+        ).load(sf_dir)
+    else:
+        raw = src.load(path)
     ts_type = disk_schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

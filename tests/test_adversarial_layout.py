@@ -13,6 +13,17 @@ oracle gate (the driver reads the same single-file layout every time).
 At 100 TB both layouts are NORMAL: small dimension tables arrive as
 one file, big fact tables as thousands of parts with many row groups.
 
+Two perturbed tables (VERDICT r7 #3 added `events`):
+
+- ``documents`` drives the shingle/band dedup pipelines and the
+  single-pass text aggregates (the spread-guard + persisted-relation
+  machinery);
+- ``events`` drives the stateful batch sessionizers AND the Structured
+  Streaming jobs — per-split partial-state bugs (a session that
+  "closes" at a part-file boundary, a dedup watermark applied per
+  input split) live precisely in these consumers, which the
+  documents-only axis could never touch.
+
 Spark-vs-Spark parity (not DuckDB): the reference result is the same
 query over the standard layout, so any divergence is a layout
 sensitivity by construction.
@@ -20,6 +31,7 @@ sensitivity by construction.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pyarrow.parquet as pq
@@ -45,51 +57,79 @@ _DOC_QUERIES = [
     "q_text_quality",
 ]
 
+#: Event-centric queries with cross-row state: the batch sessionizers
+#: (gap-based + session_window + tumbling assignment) and the stateful
+#: streaming jobs (dropDuplicates watermark state,
+#: applyInPandasWithState sessionization). These carry partial state
+#: ACROSS rows, so "state resets at an input-split boundary" is the
+#: exact bug shape this axis exists for (VERDICT r7 #3).
+_EVENT_QUERIES = [
+    "q_sessionize",
+    "q_session_window",
+    "q_tumbling_window",
+    "q_stream_dedup",
+    "q_stream_sessionize",
+]
 
-def _clone_with_documents(root, make_documents) -> str:
-    """Copy every table from SRC, then let ``make_documents`` replace
-    the documents table with an alternate physical layout."""
+
+def _copy_table(src: str, dst: str) -> None:
+    """Copy a fixture table whether it is a single parquet file or a
+    directory of part-files (ADVICE r7: copyfile alone raises
+    IsADirectoryError the day any fixture table is regenerated as a
+    multi-part directory, breaking the module at fixture time instead
+    of flagging the real change)."""
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copyfile(src, dst)
+
+
+def _clone_with(root, table: str, make_table) -> str:
+    """Copy every table from SRC, then let ``make_table`` replace the
+    named table with an alternate physical layout."""
     for t in TABLES:
-        if t != "documents":
-            shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
-    make_documents(table_path(SRC, "documents"), table_path(str(root), "documents"))
+        if t != table:
+            _copy_table(table_path(SRC, t), table_path(str(root), t))
+    make_table(table_path(SRC, table), table_path(str(root), table))
     return str(root)
+
+
+def _shard(src: str, dst: str) -> None:
+    """Rewrite one parquet file as a DIRECTORY of 64 tiny part-files
+    (the many-parts shape of any distributed writer's output)."""
+    tbl = pq.read_table(src)
+    os.makedirs(dst)
+    n = 64
+    step = max(1, (tbl.num_rows + n - 1) // n)
+    for i, off in enumerate(range(0, tbl.num_rows, step)):
+        pq.write_table(tbl.slice(off, step), f"{dst}/part-{i:05d}.parquet")
+
+
+def _regroup(src: str, dst: str) -> None:
+    """Rewrite one parquet file with ~7-row row groups (a pathological
+    writer config; row-group boundaries drive Spark's split planning
+    and parquet's predicate/row-group pruning)."""
+    pq.write_table(pq.read_table(src), dst, row_group_size=7)
 
 
 @pytest.fixture(scope="module")
 def sharded_sf(tmp_path_factory) -> str:
-    """documents as a DIRECTORY of 64 tiny part-files (the many-parts
-    shape of any distributed writer's output)."""
-
-    def shard(src: str, dst: str) -> None:
-        tbl = pq.read_table(src)
-        import os
-
-        os.makedirs(dst)
-        n = 64
-        step = max(1, (tbl.num_rows + n - 1) // n)
-        for i, off in enumerate(range(0, tbl.num_rows, step)):
-            pq.write_table(
-                tbl.slice(off, step), f"{dst}/part-{i:05d}.parquet"
-            )
-
-    return _clone_with_documents(
-        tmp_path_factory.mktemp("sf_sharded"), shard
-    )
+    return _clone_with(tmp_path_factory.mktemp("sf_sharded"), "documents", _shard)
 
 
 @pytest.fixture(scope="module")
 def tiny_rowgroups_sf(tmp_path_factory) -> str:
-    """documents as ONE file with ~7-row row groups (a pathological
-    writer config; row-group boundaries drive Spark's split planning
-    and parquet's predicate/row-group pruning)."""
+    return _clone_with(tmp_path_factory.mktemp("sf_rowgroups"), "documents", _regroup)
 
-    def regroup(src: str, dst: str) -> None:
-        pq.write_table(pq.read_table(src), dst, row_group_size=7)
 
-    return _clone_with_documents(
-        tmp_path_factory.mktemp("sf_rowgroups"), regroup
-    )
+@pytest.fixture(scope="module")
+def sharded_events_sf(tmp_path_factory) -> str:
+    return _clone_with(tmp_path_factory.mktemp("sf_ev_sharded"), "events", _shard)
+
+
+@pytest.fixture(scope="module")
+def tiny_rowgroups_events_sf(tmp_path_factory) -> str:
+    return _clone_with(tmp_path_factory.mktemp("sf_ev_rowgroups"), "events", _regroup)
 
 
 def _rows(spark, name: str, sf_dir: str) -> list[tuple]:
@@ -101,6 +141,11 @@ def _rows(spark, name: str, sf_dir: str) -> list[tuple]:
 def baseline_rows(spark):
     # One standard-layout reference per query, shared by both layouts.
     return {n: _rows(spark, n, SRC) for n in _DOC_QUERIES}
+
+
+@pytest.fixture(scope="module")
+def baseline_event_rows(spark):
+    return {n: _rows(spark, n, SRC) for n in _EVENT_QUERIES}
 
 
 @pytest.mark.parametrize("name", _DOC_QUERIES)
@@ -115,3 +160,17 @@ def test_tiny_row_groups_match_single_file(
     spark, tiny_rowgroups_sf, baseline_rows, name
 ) -> None:
     assert _rows(spark, name, tiny_rowgroups_sf) == baseline_rows[name]
+
+
+@pytest.mark.parametrize("name", _EVENT_QUERIES)
+def test_events_many_part_files_match_single_file(
+    spark, sharded_events_sf, baseline_event_rows, name
+) -> None:
+    assert _rows(spark, name, sharded_events_sf) == baseline_event_rows[name]
+
+
+@pytest.mark.parametrize("name", _EVENT_QUERIES)
+def test_events_tiny_row_groups_match_single_file(
+    spark, tiny_rowgroups_events_sf, baseline_event_rows, name
+) -> None:
+    assert _rows(spark, name, tiny_rowgroups_events_sf) == baseline_event_rows[name]
