@@ -58,10 +58,16 @@ def _split_result(result: dict) -> tuple[dict, dict]:
     (total + skipped count + a capped name sample)."""
     bulk = {"record": "full_sweep"}
     bulk.update({k: result[k] for k in result if k.startswith("full_sweep")})
+    # Per-sweep canary detail rides the bulk line (and the disk
+    # artifact); the line of record carries only the median canary_s —
+    # the worst-case width budget has no room for another 5-float list.
+    if "canary_per_sweep" in result:
+        bulk["canary_per_sweep"] = result["canary_per_sweep"]
     final = {
         k: v
         for k, v in result.items()
-        if not k.startswith("full_sweep") or k in _FINAL_SUMMARY
+        if (not k.startswith("full_sweep") or k in _FINAL_SUMMARY)
+        and k != "canary_per_sweep"
     }
     skipped = result.get("full_sweep_skipped", [])
     final["full_sweep_skipped_n"] = len(skipped)
@@ -83,6 +89,7 @@ _FINAL_CORE = frozenset(
         "max_runs_noisy", "queries", "tail", "tail_total",
         "steal_pct_max", "full_sweep_total", "full_sweep_stat",
         "full_sweep_skipped_n", "artifact", "sf", "reduced",
+        "canary_s",
     }
 )
 # Preferred drop order when the line must shrink; after these, any
@@ -94,6 +101,11 @@ _DROP_TO_FIT = (
     "tail_spread",
     "spread",
 )
+# Absolute-minimum line of record if even the core keys overflow the
+# capture window (e.g. the headline/tail registries grow until the
+# `queries` dict alone exceeds the pin): the totals survive, the
+# per-query data lives on the disk artifact.
+_FINAL_MINIMAL = ("metric", "value", "unit", "sf", "tail_total", "artifact")
 
 
 def _final_line(final: dict) -> str:
@@ -119,8 +131,20 @@ def _final_line(final: dict) -> str:
         final["reduced"] = dropped
         line = json.dumps(final)
         if len(line) < FINAL_LINE_MAX:
-            break
-    return line
+            return line
+    # Every droppable key is gone and the _FINAL_CORE keys alone still
+    # overflow the window (ADVICE r7): returning the oversized line
+    # would re-open the r6 tail-capture truncation, so fall back to a
+    # hand-built minimal line — totals + artifact pointer — and say so
+    # on stderr. The full data is on the bulk line / disk artifact.
+    print(
+        f"bench: final line still {len(line)} chars after dropping "
+        f"{dropped}; emitting minimal line of record",
+        file=sys.stderr,
+    )
+    minimal = {k: final[k] for k in _FINAL_MINIMAL if k in final}
+    minimal["reduced"] = "minimal"
+    return json.dumps(minimal)
 
 
 def _artifact_path(repo_dir: str) -> str:
@@ -237,6 +261,23 @@ def main() -> None:
     # Warm-up: run the flagship once to pay JVM/codegen/parquet-footer costs.
     queries[names[0]](spark, SF_DIR).count()
 
+    # FIXED-OVERHEAD CANARY (VERDICT r7 #2): a constant no-scan query
+    # timed at the start of every sweep. It does zero data work, so its
+    # wall time IS the per-query fixed overhead — Py4J round-trip,
+    # Catalyst planning of a trivial plan, job submit/schedule — the
+    # component that host state (steal, co-tenant load, scheduler
+    # pressure) inflates uniformly across all queries. The r6->r7 drift
+    # forensics had to INFER that overhead from the pattern of drift on
+    # untouched sub-second queries; canary_s measures it directly, so
+    # future adjudication is mechanical: if canary_s moved with the
+    # drift, it's the host; if canary_s is flat, suspect the code.
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        return round(time.perf_counter() - t0, 4)
+
+    canary()  # untimed: pay Range codegen once, like the query warm-up
+
     N_RUNS = 3
     MAX_RUNS = 5
 
@@ -308,6 +349,7 @@ def main() -> None:
         # would decay out of a single end-of-sweep 1-min average.
         def one_sweep(qs: list[str]) -> None:
             s0 = _cpu_ticks()
+            sweep_canary.append(canary())
             load_samples: list[float] = []
             for name in qs:
                 allruns[name].append(one_run(name))
@@ -350,6 +392,7 @@ def main() -> None:
     # tree). One schedule spreads any window across both groups.
     sweep_steal: list[float | None] = []
     sweep_load: list[float] = []
+    sweep_canary: list[float] = []
     tail_names = [n for n in TAIL if n in queries]
     med_all, spread_all = time_queries(names + tail_names)
     timings = {n: med_all[n] for n in names}
@@ -374,6 +417,7 @@ def main() -> None:
     full_sweep: dict[str, float] = {}
     full_sweep_steal: list[float | None] = []
     full_sweep_load: list[float] = []
+    full_sweep_canary: list[float] = []
     full_sweep_skipped: list[str] = []
     if os.environ.get("SPARK_GRAFT_FULL_SWEEP", "1") != "0":
         # Wall-clock budget: an external runner that kills the whole
@@ -392,6 +436,7 @@ def main() -> None:
         CHUNK = 20
         for i in range(0, len(rest), CHUNK):
             s0 = _cpu_ticks()
+            chunk_canary = canary()
             loads: list[float] = []
             for j, name in enumerate(rest[i : i + CHUNK]):
                 # Per-QUERY budget check: a single hung query may
@@ -404,6 +449,7 @@ def main() -> None:
             if loads:
                 full_sweep_steal.append(_steal_pct(s0, _cpu_ticks()))
                 full_sweep_load.append(round(max(loads), 1))
+                full_sweep_canary.append(chunk_canary)
             if full_sweep_skipped:
                 break
         full_sweep.update(med_all)
@@ -437,6 +483,16 @@ def main() -> None:
         # alone keeps load ~<= the local core count; load far
         # above it means another process shared the sweep.
         "loadavg_per_sweep": sweep_load,
+        # MEDIAN canary time (fixed-overhead attestation, VERDICT r7
+        # #2): the wall cost of a constant no-scan query timed at the
+        # start of every headline/tail sweep. Interpretation rule
+        # (SURVEY §6): round-over-round drift on untouched queries that
+        # moves WITH canary_s is host-state overhead — discount it;
+        # drift while canary_s stays flat is in the code — bisect it.
+        "canary_s": sorted(sweep_canary)[len(sweep_canary) // 2]
+        if sweep_canary
+        else None,
+        "canary_per_sweep": sweep_canary,
         # One run of every registered query (headline/tail keep
         # their medians) — the whole-surface regression smoke
         # that HEADLINE/TAIL structurally cannot provide.
@@ -446,6 +502,7 @@ def main() -> None:
         "full_sweep_stat": "single_run_except_headline_tail_medians",
         "full_sweep_steal_pct_per_chunk": full_sweep_steal,
         "full_sweep_loadavg_per_chunk": full_sweep_load,
+        "full_sweep_canary_per_chunk": full_sweep_canary,
         # Queries dropped by the sweep's wall-clock budget
         # (SPARK_GRAFT_SWEEP_BUDGET_S, default 900s). Empty on
         # a normal run; non-empty = the artifact is partial and

@@ -87,6 +87,9 @@ def _worst_case_result() -> dict:
         "steal_pct_per_sweep": [99.99] * 5,
         "steal_pct_max": 99.99,
         "loadavg_per_sweep": [999.9] * 5,
+        "canary_s": 9999.9999,
+        "canary_per_sweep": [9999.9999] * 5,
+        "full_sweep_canary_per_chunk": [9999.9999] * 6,
         "full_sweep": sweep,
         "full_sweep_total": wide,
         "full_sweep_stat": "single_run_except_headline_tail_medians",
@@ -134,6 +137,13 @@ def test_split_result_partitions_without_loss() -> None:
     # the bulky dict never leaks onto the final line
     assert "full_sweep" not in final
     assert "full_sweep_steal_pct_per_chunk" not in final
+    assert "full_sweep_canary_per_chunk" not in final
+    assert bulk["full_sweep_canary_per_chunk"] == result["full_sweep_canary_per_chunk"]
+    # the canary MEDIAN rides the line of record (VERDICT r7 #2); the
+    # per-sweep detail stays on the bulk line + disk artifact
+    assert final["canary_s"] == result["canary_s"]
+    assert "canary_per_sweep" not in final
+    assert bulk["canary_per_sweep"] == result["canary_per_sweep"]
     # skipped: exact count, capped sample under a DISTINCT name (the
     # full-list key must never appear inline with a truncated payload)
     assert final["full_sweep_skipped_n"] == 100
@@ -169,11 +179,36 @@ def test_final_line_reducer_enforces_pin_on_unknown_keys() -> None:
     # the offending block was dropped and the reduction is declared
     assert "queries_p95" in out["reduced"]
     # core keys survive any reduction
-    for k in ("metric", "value", "queries", "steal_pct_max", "full_sweep_total"):
+    for k in ("metric", "value", "queries", "steal_pct_max", "full_sweep_total", "canary_s"):
         assert k in out, k
     # an already-fitting line passes through untouched
     del final["queries_p95"]
     assert json.loads(bench._final_line(final)).get("reduced") is None
+
+
+def test_final_line_falls_back_to_minimal_when_core_overflows(capsys) -> None:
+    """ADVICE r7: if the _FINAL_CORE keys ALONE exceed the pin (e.g.
+    the headline registry grows until the `queries` dict no longer
+    fits), the reducer has nothing left to drop — it must emit a
+    minimal hand-built line (totals + artifact pointer) with a stderr
+    warning, never silently return an oversized line that the driver's
+    tail capture would truncate from the front."""
+    import json
+
+    import bench
+
+    bulk, final = bench._split_result(_worst_case_result())
+    final["artifact"] = "BENCH_full_sweep_r99.json"
+    # inflate a CORE key past the pin: no amount of dropping fixes this
+    final["queries"] = {f"q_future_headline_{i:03d}": 99999.999 for i in range(200)}
+    line = bench._final_line(final)
+    assert len(line) < bench.FINAL_LINE_MAX, len(line)
+    out = json.loads(line)
+    assert out["reduced"] == "minimal"
+    for k in ("metric", "value", "unit", "sf", "tail_total", "artifact"):
+        assert k in out, k
+    assert "queries" not in out  # the offending block is on disk only
+    assert "emitting minimal line" in capsys.readouterr().err
 
 
 def test_future_full_sweep_keys_default_to_bulk_only() -> None:
