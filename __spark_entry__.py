@@ -26,70 +26,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # r7 WINDOW (50). First: the 16 r4-vintage rows pre-staged by r6
-    # (VERDICT r6 task #2) — the only rows that would otherwise be 3
-    # rounds stale; q_pandas_udf_iterator leads:
-    "q_pandas_udf_iterator",
-    "q_conditional_agg",
-    "q_count_distinct",
-    "q_cube",
-    "q_funnel_steps",
-    "q_grouping_sets",
-    "q_min_max_exact",
-    "q_multi_distinct",
-    "q_percentiles_exact",
-    "q_stats_moments",
-    "q_topk_per_group",
-    "q_text_quality",
-    "q_sessionize",
-    "q_session_window",
-    "q_sliding_window",
-    "q_tumbling_window",
-    # CODE TOUCHED IN r7 (shared _shingle_hash_set helper in
-    # operators/dedup.py feeds every shingle consumer; spread-guard
-    # except narrowed in functions/spread.py; live_app_ids getattr
-    # guard in functions/apps.py feeds the hot-set/schema/dedup-memo
-    # caches) — fresh rows must land on the churn:
-    "q_dedup_ngram_jaccard",
-    "q_dedup_containment",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_clusters",
-    "q_dedup_keep_list",
-    "q_contamination",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    "q_ngram_topk",
-    "q_join_salted",
-    # OLDEST REMAINING (r5 rows) — memo-cache consumers first (they
-    # share the apps.py liveness path), then streaming / setops /
-    # asof / windows / text:
-    "q_dedup_exact",
-    "q_dedup_embedding",
-    "q_kmeans_iter",
-    "q_sim_topk_bruteforce",
-    "q_sim_lsh_bucketed",
-    "q_sim_ivf",
-    "q_stream_dedup",
-    "q_stream_session_window",
-    "q_stream_sessionize",
-    "q_stream_sliding",
-    "q_stream_stream_join",
-    "q_stream_tumbling",
-    "q_union",
-    "q_union_all_counts",
-    "q_except",
-    "q_except_all",
-    "q_intersect",
-    "q_intersect_all",
-    "q_join_asof",
-    "q_join_asof_pandas",
-    "q_window_ranks",
-    "q_window_range_frame",
-    "q_tfidf",
-    # --- beyond the ~50-row driver window: PRE-STAGED r8 ROTATION ---
-    # The 16 remaining r5-vintage rows; if the driver reads past 50
-    # they get rows a round early, and r8's reorder is a no-op.
+    # r8 WINDOW (50). First: the 16 r5-vintage rows pre-staged by r7
+    # (VERDICT r7 task #1) — the only rows that would otherwise be 3
+    # rounds stale; q_array_funcs leads:
     "q_array_funcs",
     "q_boilerplate_spans",
     "q_date_funcs",
@@ -106,6 +45,69 @@ _DRIVER_FIRST = [
     "q_text_fingerprint",
     "q_text_langid",
     "q_token_stats",
+    # CODE TOUCHED IN r8: streaming/jobs.py events_stream() is now
+    # layout-insensitive (the r1-r7 pathGlobFilter shape silently
+    # streamed ZERO rows when the events table is a directory of part
+    # files — found by the new events-layout parity fixture). The one
+    # source feeds all six streaming jobs, so fresh rows must land on
+    # all of them:
+    "q_stream_dedup",
+    "q_stream_sessionize",
+    "q_stream_session_window",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_stream_stream_join",
+    # The rest of the window: the 28 OLDEST of the 44 r6-vintage rows —
+    # scans/catalog/coercion first (the reference-parity core), then
+    # joins, aggregates/sketches, subqueries:
+    "q_window_frames",
+    "q_cdc_compact",
+    "q_incremental_scan",
+    "q_upsert_scan",
+    "q_full_scan",
+    "q_coerce_types",
+    "q_catalog_tables",
+    "q_catalog_columns",
+    "q_revenue_by_nation",
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_join_broadcast",
+    "q_join_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_fuzzy_join",
+    "q_sort_limit",
+    "q_rollup",
+    "q_percentiles",
+    "q_approx_distinct",
+    "q_hll_mergeable",
+    "q_exists_subquery",
+    "q_in_subquery",
+    "q_scalar_subquery",
+    "q_lateral_topk",
+    "q_unpivot",
+    # --- beyond the ~50-row driver window: PRE-STAGED r9 ROTATION ---
+    # The 16 remaining r6-vintage rows (event-time spines, windows,
+    # scalar fns, multimodal, UDFs); if the driver reads past 50 they
+    # get rows a round early, and r9's reorder starts from here.
+    "q_time_spine_gapfill",
+    "q_spine_forward_fill",
+    "q_pii_redact",
+    "q_frame_sample",
+    "q_window_lag_lead",
+    "q_window_running",
+    "q_string_funcs",
+    "q_json_extract",
+    "q_json_agg",
+    "q_map_funcs",
+    "q_variant_extract",
+    "q_quality_filter",
+    "q_multimodal_features",
+    "q_embedding_quantize",
+    "q_udtf_chunks",
+    "q_pandas_udf_scalar",
 ]
 
 
