@@ -174,3 +174,28 @@ def test_events_tiny_row_groups_match_single_file(
     spark, tiny_rowgroups_events_sf, baseline_event_rows, name
 ) -> None:
     assert _rows(spark, name, tiny_rowgroups_events_sf) == baseline_event_rows[name]
+
+
+@pytest.fixture(scope="module")
+def one_part_dir_events_sf(tmp_path_factory) -> str:
+    """events as a DIRECTORY containing exactly ONE part file — the
+    adversarial case for the streaming source's layout detection
+    (streaming/jobs.py events_stream): a single file and a
+    single-part directory both yield a one-element inputFiles() list,
+    and only the leaf name distinguishes them. Misclassifying the
+    directory as a file would re-trip the file source's
+    basePath-must-be-a-directory error; the converse would re-open the
+    zero-rows glob bug this module caught."""
+
+    def one_part(src: str, dst: str) -> None:
+        os.makedirs(dst)
+        shutil.copyfile(src, f"{dst}/part-00000.parquet")
+
+    return _clone_with(tmp_path_factory.mktemp("sf_ev_onepart"), "events", one_part)
+
+
+@pytest.mark.parametrize("name", ["q_stream_dedup", "q_stream_sessionize"])
+def test_events_single_part_directory_matches_single_file(
+    spark, one_part_dir_events_sf, baseline_event_rows, name
+) -> None:
+    assert _rows(spark, name, one_part_dir_events_sf) == baseline_event_rows[name]
