@@ -64,8 +64,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = table_path(sf_dir, "events")
     probe = _read_parquet(spark, path)
     disk_schema = probe.schema
+    # inputFiles() lists the table's files once per stream BUILD — not
+    # cached on purpose: the streaming source re-lists the path every
+    # micro-batch anyway (this probe is amortized noise next to that),
+    # and a cached layout would go stale if the table were compacted
+    # parts->single-file between builds, breaking the restart.
     files = probe.inputFiles()
-    is_single_file = bool(files) and files[0].rstrip("/").endswith(
+    # A multi-file table can only be a directory; with exactly one
+    # file, the leaf name disambiguates "IS the path" (single file)
+    # from "one part inside the path" (single-part directory) — both
+    # shapes are layout-parity-pinned in tests/test_adversarial_layout.
+    is_single_file = len(files) == 1 and files[0].rstrip("/").endswith(
         "/" + path.rsplit("/", 1)[-1]
     )
     src = spark.readStream.schema(disk_schema).format("parquet")

@@ -104,8 +104,14 @@ _DROP_TO_FIT = (
 # Absolute-minimum line of record if even the core keys overflow the
 # capture window (e.g. the headline/tail registries grow until the
 # `queries` dict alone exceeds the pin): the totals survive, the
-# per-query data lives on the disk artifact.
-_FINAL_MINIMAL = ("metric", "value", "unit", "sf", "tail_total", "artifact")
+# per-query data lives on the disk artifact. full_sweep_skipped_n
+# stays — a budget-truncated partial sweep must declare itself even on
+# the minimal line ("no silent caps", r8 review pass 1).
+_FINAL_MINIMAL = (
+    "metric", "value", "unit", "sf", "tail_total",
+    "full_sweep_total", "full_sweep_skipped_n",
+    "canary_s", "steal_pct_max", "artifact",
+)
 
 
 def _final_line(final: dict) -> str:
@@ -142,8 +148,11 @@ def _final_line(final: dict) -> str:
         f"{dropped}; emitting minimal line of record",
         file=sys.stderr,
     )
+    # Keep `reduced` list-typed like the drop path above — a consumer
+    # iterating reduced's entries must never walk the characters of a
+    # bare string (r8 review pass 2).
     minimal = {k: final[k] for k in _FINAL_MINIMAL if k in final}
-    minimal["reduced"] = "minimal"
+    minimal["reduced"] = ["minimal"]
     return json.dumps(minimal)
 
 
@@ -435,6 +444,13 @@ def main() -> None:
         rest = [n for n in queries if n not in med_all]
         CHUNK = 20
         for i in range(0, len(rest), CHUNK):
+            # Budget check BEFORE the chunk canary: a canary on an
+            # already-over-budget degraded host is a Spark job the
+            # budget exists to prevent, and its measurement would be
+            # discarded anyway (loads stays empty -> not appended).
+            if time.perf_counter() - sweep_t0 > budget_s:
+                full_sweep_skipped = rest[i:]
+                break
             s0 = _cpu_ticks()
             chunk_canary = canary()
             loads: list[float] = []

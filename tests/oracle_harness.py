@@ -17,6 +17,22 @@ import pandas as pd
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
 
+def copy_table(src: str, dst: str) -> None:
+    """Copy a fixture table whether it is a single parquet file or a
+    directory of part-files — the ONE clone helper every adversarial
+    fixture uses (ADVICE r7 / r8 review pass 2: copyfile alone raises
+    IsADirectoryError the day any fixture table is regenerated as a
+    multi-part directory, and the hardening must not live in just one
+    module's private helper)."""
+    import os
+    import shutil
+
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copyfile(src, dst)
+
+
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:

@@ -15,7 +15,6 @@ here long before a real corpus would hit it.
 
 from __future__ import annotations
 
-import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -26,7 +25,7 @@ import __spark_entry__ as entrymod
 from aws_data_warehouse_lambda_spark.operators import dedup
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import run_parity
+from .oracle_harness import copy_table, run_parity
 
 SRC = "/root/testdata/sf0.001"
 
@@ -88,7 +87,7 @@ def adversarial_sf(tmp_path_factory) -> str:
     for t in TABLES:
         if t == "documents":
             continue
-        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+        copy_table(table_path(SRC, t), table_path(str(root), t))
     docs = pa.table(
         {
             "doc_id": pa.array([d[0] for d in _DOCS], pa.int64()),

@@ -12,7 +12,6 @@ huge magnitudes — across the id ranges the similarity queries carve up
 
 from __future__ import annotations
 
-import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -22,7 +21,7 @@ import __spark_entry__ as entrymod
 
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import run_parity
+from .oracle_harness import copy_table, run_parity
 
 SRC = "/root/testdata/sf0.001"
 DIM = 64
@@ -75,7 +74,7 @@ def adversarial_emb_sf(tmp_path_factory) -> str:
     for t in TABLES:
         if t == "embeddings":
             continue
-        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+        copy_table(table_path(SRC, t), table_path(str(root), t))
     emb = pa.table(
         {
             "vec_id": pa.array([r[0] for r in _ROWS], pa.int64()),

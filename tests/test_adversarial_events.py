@@ -17,7 +17,6 @@ not just the batch twin's.
 from __future__ import annotations
 
 import datetime as dt
-import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -27,7 +26,7 @@ import __spark_entry__ as entrymod
 
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import run_parity
+from .oracle_harness import copy_table, run_parity
 
 SRC = "/root/testdata/sf0.001"
 
@@ -126,7 +125,7 @@ def adversarial_ev_sf(tmp_path_factory) -> str:
     for t in TABLES:
         if t == "events":
             continue
-        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+        copy_table(table_path(SRC, t), table_path(str(root), t))
     ev = pa.table(
         {
             "event_id": pa.array([e[0] for e in _E], pa.int64()),

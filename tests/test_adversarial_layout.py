@@ -40,6 +40,8 @@ import pytest
 from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
+from .oracle_harness import copy_table
+
 SRC = "/root/testdata/sf0.001"
 
 #: Document-centric queries whose plans contain the layout-sensitive
@@ -72,24 +74,13 @@ _EVENT_QUERIES = [
 ]
 
 
-def _copy_table(src: str, dst: str) -> None:
-    """Copy a fixture table whether it is a single parquet file or a
-    directory of part-files (ADVICE r7: copyfile alone raises
-    IsADirectoryError the day any fixture table is regenerated as a
-    multi-part directory, breaking the module at fixture time instead
-    of flagging the real change)."""
-    if os.path.isdir(src):
-        shutil.copytree(src, dst)
-    else:
-        shutil.copyfile(src, dst)
-
-
 def _clone_with(root, table: str, make_table) -> str:
-    """Copy every table from SRC, then let ``make_table`` replace the
-    named table with an alternate physical layout."""
+    """Copy every table from SRC (isdir-aware shared helper, ADVICE
+    r7), then let ``make_table`` replace the named table with an
+    alternate physical layout."""
     for t in TABLES:
         if t != table:
-            _copy_table(table_path(SRC, t), table_path(str(root), t))
+            copy_table(table_path(SRC, t), table_path(str(root), t))
     make_table(table_path(SRC, table), table_path(str(root), table))
     return str(root)
 

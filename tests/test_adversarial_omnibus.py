@@ -16,7 +16,6 @@ with no crafted variant); everything else is the adversarial build.
 
 from __future__ import annotations
 
-import shutil
 
 import pytest
 
@@ -25,7 +24,7 @@ import __spark_entry__ as entrymod
 from aws_data_warehouse_lambda_spark.operators import dedup
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import run_parity
+from .oracle_harness import copy_table, run_parity
 from .test_adversarial_documents import adversarial_sf  # noqa: F401
 from .test_adversarial_embeddings import adversarial_emb_sf  # noqa: F401
 from .test_adversarial_events import adversarial_ev_sf  # noqa: F401
@@ -65,7 +64,7 @@ def omnibus_sf(
     root = tmp_path_factory.mktemp("sf_adv_omnibus")
     for t in TABLES:
         src_dir = dirs.get(_CRAFTED.get(t, ""), SRC)
-        shutil.copyfile(table_path(src_dir, t), table_path(str(root), t))
+        copy_table(table_path(src_dir, t), table_path(str(root), t))
     yield str(root)
     dedup.reset_shared_relations()
 

@@ -10,7 +10,6 @@ p_brand rows probe levenshtein and distinct semantics.
 
 from __future__ import annotations
 
-import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -20,7 +19,7 @@ import __spark_entry__ as entrymod
 
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import run_parity
+from .oracle_harness import copy_table, run_parity
 
 SRC = "/root/testdata/sf0.001"
 
@@ -54,7 +53,7 @@ def adversarial_part_sf(tmp_path_factory) -> str:
     for t in TABLES:
         if t == "part":
             continue
-        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+        copy_table(table_path(SRC, t), table_path(str(root), t))
     pq.write_table(
         pa.table(
             {

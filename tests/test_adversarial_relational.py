@@ -16,7 +16,6 @@ sf0.001 originals so dimension joins resolve.
 from __future__ import annotations
 
 import datetime as dt
-import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -26,7 +25,7 @@ import __spark_entry__ as entrymod
 
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import run_parity
+from .oracle_harness import copy_table, run_parity
 
 SRC = "/root/testdata/sf0.001"
 
@@ -123,7 +122,7 @@ def adversarial_rel_sf(tmp_path_factory) -> str:
     for t in TABLES:
         if t in ("customer", "orders", "lineitem"):
             continue
-        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+        copy_table(table_path(SRC, t), table_path(str(root), t))
     pq.write_table(
         pa.table(
             {

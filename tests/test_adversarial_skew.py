@@ -27,7 +27,6 @@ correctness gate can see.)
 from __future__ import annotations
 
 import datetime as dt
-import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -37,7 +36,7 @@ import __spark_entry__ as entrymod
 
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import run_parity
+from .oracle_harness import copy_table, run_parity
 
 SRC = "/root/testdata/sf0.001"
 
@@ -114,7 +113,7 @@ def adversarial_skew_sf(tmp_path_factory) -> str:
     for t in TABLES:
         if t in ("lineitem", "orders"):
             continue
-        shutil.copyfile(table_path(SRC, t), table_path(str(root), t))
+        copy_table(table_path(SRC, t), table_path(str(root), t))
     li = _lineitem_rows()
     pq.write_table(
         pa.table(

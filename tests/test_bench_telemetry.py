@@ -204,9 +204,16 @@ def test_final_line_falls_back_to_minimal_when_core_overflows(capsys) -> None:
     line = bench._final_line(final)
     assert len(line) < bench.FINAL_LINE_MAX, len(line)
     out = json.loads(line)
-    assert out["reduced"] == "minimal"
-    for k in ("metric", "value", "unit", "sf", "tail_total", "artifact"):
+    # reduced stays LIST-typed like the drop path (uniform schema)
+    assert out["reduced"] == ["minimal"]
+    for k in (
+        "metric", "value", "unit", "sf", "tail_total",
+        "full_sweep_total", "full_sweep_skipped_n",
+        "canary_s", "steal_pct_max", "artifact",
+    ):
         assert k in out, k
+    # a partial sweep stays declared even on the minimal line
+    assert out["full_sweep_skipped_n"] == 100
     assert "queries" not in out  # the offending block is on disk only
     assert "emitting minimal line" in capsys.readouterr().err
 
