@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import os
+import shutil
 
 import duckdb
 import numpy as np
@@ -24,9 +26,6 @@ def copy_table(src: str, dst: str) -> None:
     IsADirectoryError the day any fixture table is regenerated as a
     multi-part directory, and the hardening must not live in just one
     module's private helper)."""
-    import os
-    import shutil
-
     if os.path.isdir(src):
         shutil.copytree(src, dst)
     else:
@@ -36,9 +35,15 @@ def copy_table(src: str, dst: str) -> None:
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
-        )
+        p = table_path(sf_dir, t)
+        if os.path.isdir(p):
+            # DuckDB's read_parquet wants a glob for a directory of
+            # part-files (the distributed-writer layout the r8 layout
+            # axis crafts); the bare directory path raises an IO error
+            # — same failure class as copy_table above, one level
+            # deeper in the harness.
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
 

@@ -200,3 +200,86 @@ def test_salted_join_parity_memoized_second_run(
         _ORACLES["q_join_salted"],
     )
     assert calls["n"] == 0, "parity pass re-ran detection despite the memo"
+
+
+# ---------------------------------------------------------------------------
+# Skew x layout: the one operator whose PHYSICAL PLAN legitimately
+# depends on the physical layout. Hot-key detection samples the big
+# side at fraction 0.1, and Bernoulli sampling is evaluated per
+# partition — resharding lineitem changes which rows the detection
+# scan sees, so the detected hot set (and with it the plan: which rows
+# ride the salted leg) may differ between layouts. The CONTRACT is
+# that any hot set yields the identical join result; these cases pin
+# that contract against the DuckDB oracle on both adversarial layouts
+# (64 part-files; 7-row row groups), completing the layout axis for
+# the skew machinery the documents/events fixtures never touch.
+#
+# The crafted cardinalities make the detection outcome itself
+# layout-proof, so the hot-leg assert stays valid: the hot key has
+# 2001 rows (sampled estimate 2000 +- ~130, always past the
+# threshold of 64), while a cold key's 5-6 rows estimate to at most
+# 60 < 64 even if EVERY row is sampled — no layout can flip either
+# side of the threshold.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skew_sharded_sf(tmp_path_factory, adversarial_skew_sf) -> str:
+    from .test_adversarial_layout import _shard
+
+    root = tmp_path_factory.mktemp("sf_adv_skew_sharded")
+    for t in TABLES:
+        if t != "lineitem":
+            copy_table(
+                table_path(adversarial_skew_sf, t), table_path(str(root), t)
+            )
+    _shard(
+        table_path(adversarial_skew_sf, "lineitem"),
+        table_path(str(root), "lineitem"),
+    )
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def skew_tiny_rowgroups_sf(tmp_path_factory, adversarial_skew_sf) -> str:
+    from .test_adversarial_layout import _regroup
+
+    root = tmp_path_factory.mktemp("sf_adv_skew_rowgroups")
+    for t in TABLES:
+        if t != "lineitem":
+            copy_table(
+                table_path(adversarial_skew_sf, t), table_path(str(root), t)
+            )
+    _regroup(
+        table_path(adversarial_skew_sf, "lineitem"),
+        table_path(str(root), "lineitem"),
+    )
+    return str(root)
+
+
+def _salted_parity_with_detection(spark, sf_dir: str) -> None:
+    from aws_data_warehouse_lambda_spark.functions import skew
+
+    skew.reset_hot_set_cache()
+    run_parity(
+        spark,
+        sf_dir,
+        "q_join_salted",
+        _QUERIES["q_join_salted"],
+        _ORACLES["q_join_salted"],
+    )
+    hot_sets = list(skew._HOT_SET_CACHE.values())
+    assert any(HOT_KEY in hs for hs in hot_sets), (
+        "crafted hot key was not detected on this layout; "
+        "the salted leg never ran"
+    )
+
+
+def test_salted_join_parity_many_part_files(spark, skew_sharded_sf) -> None:
+    _salted_parity_with_detection(spark, skew_sharded_sf)
+
+
+def test_salted_join_parity_tiny_row_groups(
+    spark, skew_tiny_rowgroups_sf
+) -> None:
+    _salted_parity_with_detection(spark, skew_tiny_rowgroups_sf)
