@@ -32,6 +32,42 @@ def copy_table(src: str, dst: str) -> None:
         shutil.copyfile(src, dst)
 
 
+def clone_sf(src_dir: str, root, table: str, make_table) -> str:
+    """Clone a full fixture directory from ``src_dir``, letting
+    ``make_table(src, dst)`` replace the named table (typically with an
+    alternate physical layout — see shard_table/regroup_table). The one
+    clone-with-replacement helper the layout-parity fixtures share."""
+    for t in TABLES:
+        if t != table:
+            copy_table(table_path(src_dir, t), table_path(str(root), t))
+    make_table(table_path(src_dir, table), table_path(str(root), table))
+    return str(root)
+
+
+def shard_table(src: str, dst: str) -> None:
+    """Rewrite one parquet file as a DIRECTORY of up to 64 tiny
+    part-files (the many-parts shape of any distributed writer's
+    output; ceil-division can merge the tail, e.g. 2249 rows -> 63
+    parts)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src)
+    os.makedirs(dst)
+    n = 64
+    step = max(1, (tbl.num_rows + n - 1) // n)
+    for i, off in enumerate(range(0, tbl.num_rows, step)):
+        pq.write_table(tbl.slice(off, step), f"{dst}/part-{i:05d}.parquet")
+
+
+def regroup_table(src: str, dst: str) -> None:
+    """Rewrite one parquet file with ~7-row row groups (a pathological
+    writer config; row-group boundaries drive Spark's split planning
+    and parquet's predicate/row-group pruning)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(pq.read_table(src), dst, row_group_size=7)
+
+
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -41,8 +77,10 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
             # part-files (the distributed-writer layout the r8 layout
             # axis crafts); the bare directory path raises an IO error
             # — same failure class as copy_table above, one level
-            # deeper in the harness.
-            p = f"{p}/*.parquet"
+            # deeper in the harness. ** matches zero or more
+            # subdirectories in DuckDB, so one pattern covers both the
+            # flat part-file layout and a future hive-partitioned one.
+            p = f"{p}/**/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 

@@ -1,5 +1,5 @@
 """Adversarial PARQUET LAYOUT parity: the same logical table stored as
-(a) 64 tiny part-files and (b) one file with many tiny row groups must
+(a) ~64 tiny part-files and (b) one file with many tiny row groups must
 produce bit-identical results to the standard single-file fixture.
 
 Why this axis: every other adversarial fixture perturbs VALUES; this
@@ -34,13 +34,11 @@ from __future__ import annotations
 import os
 import shutil
 
-import pyarrow.parquet as pq
 import pytest
 
 from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
-from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import copy_table
+from .oracle_harness import clone_sf, regroup_table, shard_table
 
 SRC = "/root/testdata/sf0.001"
 
@@ -74,53 +72,30 @@ _EVENT_QUERIES = [
 ]
 
 
-def _clone_with(root, table: str, make_table) -> str:
-    """Copy every table from SRC (isdir-aware shared helper, ADVICE
-    r7), then let ``make_table`` replace the named table with an
-    alternate physical layout."""
-    for t in TABLES:
-        if t != table:
-            copy_table(table_path(SRC, t), table_path(str(root), t))
-    make_table(table_path(SRC, table), table_path(str(root), table))
-    return str(root)
-
-
-def _shard(src: str, dst: str) -> None:
-    """Rewrite one parquet file as a DIRECTORY of 64 tiny part-files
-    (the many-parts shape of any distributed writer's output)."""
-    tbl = pq.read_table(src)
-    os.makedirs(dst)
-    n = 64
-    step = max(1, (tbl.num_rows + n - 1) // n)
-    for i, off in enumerate(range(0, tbl.num_rows, step)):
-        pq.write_table(tbl.slice(off, step), f"{dst}/part-{i:05d}.parquet")
-
-
-def _regroup(src: str, dst: str) -> None:
-    """Rewrite one parquet file with ~7-row row groups (a pathological
-    writer config; row-group boundaries drive Spark's split planning
-    and parquet's predicate/row-group pruning)."""
-    pq.write_table(pq.read_table(src), dst, row_group_size=7)
-
-
 @pytest.fixture(scope="module")
 def sharded_sf(tmp_path_factory) -> str:
-    return _clone_with(tmp_path_factory.mktemp("sf_sharded"), "documents", _shard)
+    return clone_sf(SRC, tmp_path_factory.mktemp("sf_sharded"), "documents", shard_table)
 
 
 @pytest.fixture(scope="module")
 def tiny_rowgroups_sf(tmp_path_factory) -> str:
-    return _clone_with(tmp_path_factory.mktemp("sf_rowgroups"), "documents", _regroup)
+    return clone_sf(
+        SRC, tmp_path_factory.mktemp("sf_rowgroups"), "documents", regroup_table
+    )
 
 
 @pytest.fixture(scope="module")
 def sharded_events_sf(tmp_path_factory) -> str:
-    return _clone_with(tmp_path_factory.mktemp("sf_ev_sharded"), "events", _shard)
+    return clone_sf(
+        SRC, tmp_path_factory.mktemp("sf_ev_sharded"), "events", shard_table
+    )
 
 
 @pytest.fixture(scope="module")
 def tiny_rowgroups_events_sf(tmp_path_factory) -> str:
-    return _clone_with(tmp_path_factory.mktemp("sf_ev_rowgroups"), "events", _regroup)
+    return clone_sf(
+        SRC, tmp_path_factory.mktemp("sf_ev_rowgroups"), "events", regroup_table
+    )
 
 
 def _rows(spark, name: str, sf_dir: str) -> list[tuple]:
@@ -182,7 +157,7 @@ def one_part_dir_events_sf(tmp_path_factory) -> str:
         os.makedirs(dst)
         shutil.copyfile(src, f"{dst}/part-00000.parquet")
 
-    return _clone_with(tmp_path_factory.mktemp("sf_ev_onepart"), "events", one_part)
+    return clone_sf(SRC, tmp_path_factory.mktemp("sf_ev_onepart"), "events", one_part)
 
 
 @pytest.mark.parametrize("name", ["q_stream_dedup", "q_stream_sessionize"])

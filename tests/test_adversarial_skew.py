@@ -36,7 +36,13 @@ import __spark_entry__ as entrymod
 
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import copy_table, run_parity
+from .oracle_harness import (
+    clone_sf,
+    copy_table,
+    regroup_table,
+    run_parity,
+    shard_table,
+)
 
 SRC = "/root/testdata/sf0.001"
 
@@ -155,23 +161,7 @@ _ORACLES = entrymod.oracle_sql()
 
 
 def test_salted_join_parity_with_hot_key(spark, adversarial_skew_sf) -> None:
-    from aws_data_warehouse_lambda_spark.functions import skew
-
-    skew.reset_hot_set_cache()
-    run_parity(
-        spark,
-        adversarial_skew_sf,
-        "q_join_salted",
-        _QUERIES["q_join_salted"],
-        _ORACLES["q_join_salted"],
-    )
-    # Detection on THIS input must actually have found the hot key —
-    # otherwise the test silently degraded to the plain-join path the
-    # standard fixtures already cover.
-    hot_sets = list(skew._HOT_SET_CACHE.values())
-    assert any(HOT_KEY in hs for hs in hot_sets), (
-        "crafted hot key was not detected; the salted leg never ran"
-    )
+    _salted_parity_with_detection(spark, adversarial_skew_sf)
 
 
 def test_salted_join_parity_memoized_second_run(
@@ -211,8 +201,9 @@ def test_salted_join_parity_memoized_second_run(
 # ride the salted leg) may differ between layouts. The CONTRACT is
 # that any hot set yields the identical join result; these cases pin
 # that contract against the DuckDB oracle on both adversarial layouts
-# (64 part-files; 7-row row groups), completing the layout axis for
-# the skew machinery the documents/events fixtures never touch.
+# (~64 part-files — 63 for this 2249-row lineitem; 7-row row groups),
+# completing the layout axis for the skew machinery the
+# documents/events fixtures never touch.
 #
 # The crafted cardinalities make the detection outcome itself
 # layout-proof, so the hot-leg assert stays valid: the hot key has
@@ -225,39 +216,29 @@ def test_salted_join_parity_memoized_second_run(
 
 @pytest.fixture(scope="module")
 def skew_sharded_sf(tmp_path_factory, adversarial_skew_sf) -> str:
-    from .test_adversarial_layout import _shard
-
-    root = tmp_path_factory.mktemp("sf_adv_skew_sharded")
-    for t in TABLES:
-        if t != "lineitem":
-            copy_table(
-                table_path(adversarial_skew_sf, t), table_path(str(root), t)
-            )
-    _shard(
-        table_path(adversarial_skew_sf, "lineitem"),
-        table_path(str(root), "lineitem"),
+    return clone_sf(
+        adversarial_skew_sf,
+        tmp_path_factory.mktemp("sf_adv_skew_sharded"),
+        "lineitem",
+        shard_table,
     )
-    return str(root)
 
 
 @pytest.fixture(scope="module")
 def skew_tiny_rowgroups_sf(tmp_path_factory, adversarial_skew_sf) -> str:
-    from .test_adversarial_layout import _regroup
-
-    root = tmp_path_factory.mktemp("sf_adv_skew_rowgroups")
-    for t in TABLES:
-        if t != "lineitem":
-            copy_table(
-                table_path(adversarial_skew_sf, t), table_path(str(root), t)
-            )
-    _regroup(
-        table_path(adversarial_skew_sf, "lineitem"),
-        table_path(str(root), "lineitem"),
+    return clone_sf(
+        adversarial_skew_sf,
+        tmp_path_factory.mktemp("sf_adv_skew_rowgroups"),
+        "lineitem",
+        regroup_table,
     )
-    return str(root)
 
 
 def _salted_parity_with_detection(spark, sf_dir: str) -> None:
+    """Full-oracle parity for q_join_salted from a COLD hot-set cache,
+    then assert detection on THIS input actually found the crafted hot
+    key — otherwise the case silently degraded to the plain-join path
+    the standard fixtures already cover."""
     from aws_data_warehouse_lambda_spark.functions import skew
 
     skew.reset_hot_set_cache()
@@ -270,7 +251,7 @@ def _salted_parity_with_detection(spark, sf_dir: str) -> None:
     )
     hot_sets = list(skew._HOT_SET_CACHE.values())
     assert any(HOT_KEY in hs for hs in hot_sets), (
-        "crafted hot key was not detected on this layout; "
+        "crafted hot key was not detected on this input; "
         "the salted leg never ran"
     )
 
