@@ -1,0 +1,96 @@
+"""Adversarial PHYSICAL COLUMN ORDER parity: every table rewritten with
+its columns in REVERSED footer order must produce bit-identical results.
+
+Why this axis: parquet footers carry whatever column order the writer
+used — schema evolution, a rewriting compactor, or a different writer
+library all permute it, and Spark/DuckDB both resolve columns by NAME,
+so a permuted file is a legal, normal input at 100 TB. The code that
+can break is exactly the Python/pandas boundary: a ``mapInPandas`` /
+``applyInPandas`` / UDTF worker that touches ``pdf.iloc[:, k]``,
+unpacks rows positionally, or builds its output frame by position
+would silently transpose values while every name-based fixture and the
+whole oracle gate (which always reads the writer's canonical order)
+stays green. The target list is therefore the pandas-boundary queries,
+plus the stateful sessionizers whose state rows cross that boundary.
+
+Layout-parity family sibling of tests/test_adversarial_layout.py: that
+module permutes ROW layout (splits/row groups), this one permutes
+COLUMN layout; both hold content constant and assert engine-vs-oracle
+parity (DuckDB reads the same permuted files by name, so the oracle is
+order-blind by construction).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.operators import dedup
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import run_parity
+
+SRC = "/root/testdata/sf0.001"
+
+#: The pandas-boundary and stateful queries where positional access
+#: could hide. Name-based DataFrame queries (the other ~97) cannot see
+#: column order at all — sweeping them here would only re-run the
+#: standard oracle gate at triple cost.
+_QUERIES_AT_RISK = [
+    # Arrow/pandas UDF family (python_udfs.py)
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_pandas_udf_iterator",
+    "q_udtf_chunks",
+    # applyInPandas merge_asof (joins.py)
+    "q_join_asof_pandas",
+    # mapInPandas multimodal pipelines (multimodal.py)
+    "q_multimodal_features",
+    "q_embedding_quantize",
+    "q_frame_sample",
+    # pandas-backed text/vector consumers
+    "q_text_quality",
+    "q_dedup_embedding",
+    "q_kmeans_iter",
+    # stateful sessionizers: state rows cross the pandas boundary
+    "q_sessionize",
+    "q_stream_sessionize",
+]
+
+
+def _permute_table(src: str, dst: str) -> None:
+    """Rewrite one parquet file with its columns in reversed order
+    (content untouched). Standard fixtures are single files; a
+    directory table would need per-part rewriting this axis does not
+    model, so fail loudly rather than permute half a table."""
+    assert not os.path.isdir(src), f"expected single-file fixture: {src}"
+    tbl = pq.read_table(src)
+    pq.write_table(tbl.select(list(reversed(tbl.column_names))), dst)
+
+
+@pytest.fixture(scope="module")
+def colorder_sf(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sf_colorder")
+    for t in TABLES:
+        _permute_table(table_path(SRC, t), table_path(str(root), t))
+    yield str(root)
+    dedup.reset_shared_relations()
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+def test_at_risk_list_is_registered() -> None:
+    missing = [q for q in _QUERIES_AT_RISK if q not in _QUERIES]
+    no_oracle = [q for q in _QUERIES_AT_RISK if q not in _ORACLES]
+    assert not missing and not no_oracle, (missing, no_oracle)
+
+
+@pytest.mark.parametrize("name", _QUERIES_AT_RISK)
+def test_reversed_column_order_parity(spark, colorder_sf, name) -> None:
+    run_parity(spark, colorder_sf, name, _QUERIES[name], _ORACLES[name])
