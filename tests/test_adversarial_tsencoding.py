@@ -1,0 +1,147 @@
+"""Adversarial TIMESTAMP ENCODING parity: the same events content
+stored with different parquet timestamp physical types must produce
+identical results.
+
+Why this axis: a 100 TB lake accretes files from many writer vintages,
+and parquet has three legal encodings for the same instant —
+TIMESTAMP(NANOS) (which Spark has no native type for:
+``spark.sql.legacy.parquet.nanosAsLong`` in session.py surfaces raw
+int64), TIMESTAMP(MICROS, isAdjustedToUTC=true) (Spark TIMESTAMP), and
+TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark TIMESTAMP_NTZ — the
+standard fixtures' shape). The engine carries REAL dispatch code for
+all three — sources/tables.py ``load_table`` /
+``load_table_with_watermark`` (ns->us truncation; watermark compared
+in raw nanos so the predicate still reaches PushedFilters) and
+streaming/jobs.py ``events_stream`` (LongType / TimestampNTZType
+branches) — but the standard fixtures only ever exercise the NTZ
+branch, so the nanos and UTC paths are dead in every other gate. The
+fixtures' ts values are microsecond-precision, so the ns->us
+truncation is lossless and parity must be exact.
+
+Spark-vs-Spark parity (like tests/test_adversarial_layout.py): the
+reference is the same query over the standard encoding; DuckDB is not
+used because its own TIMESTAMP_NS / TIMESTAMPTZ coercions would test
+the oracle engine, not this one.
+
+Probed mapping (Spark 4, this repo's session confs):
+timestamp[ns] -> LongType, timestamp[us, tz=UTC] -> TimestampType,
+timestamp[us] -> TimestampNTZType.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
+
+from .oracle_harness import clone_sf
+
+SRC = "/root/testdata/sf0.001"
+
+#: The event-time consumers that cross the dispatch code: the watermark
+#: CDC scan (the one load_table_with_watermark call site, where the
+#: nanos branch compares raw int64 against the watermark in nanos),
+#: the stateful batch sessionizers, and the streaming jobs (whose
+#: source declares the probed disk schema up front).
+_TS_QUERIES = [
+    "q_incremental_scan",
+    "q_sessionize",
+    "q_session_window",
+    "q_tumbling_window",
+    "q_stream_dedup",
+    "q_stream_sessionize",
+]
+
+
+def _rewrite_ts(ty: pa.DataType):
+    def rewrite(src: str, dst: str) -> None:
+        tbl = pq.read_table(src)
+        i = tbl.column_names.index("ts")
+        tbl = tbl.set_column(i, "ts", tbl.column("ts").cast(ty))
+        # version 2.6 + no coercion keeps timestamp[ns] as
+        # TIMESTAMP(NANOS) instead of silently down-converting to
+        # micros (which would test nothing).
+        pq.write_table(tbl, dst, version="2.6", coerce_timestamps=None)
+
+    return rewrite
+
+
+@pytest.fixture(scope="module")
+def nanos_events_sf(tmp_path_factory) -> str:
+    return clone_sf(
+        SRC,
+        tmp_path_factory.mktemp("sf_ev_nanos"),
+        "events",
+        _rewrite_ts(pa.timestamp("ns")),
+    )
+
+
+@pytest.fixture(scope="module")
+def utc_events_sf(tmp_path_factory) -> str:
+    return clone_sf(
+        SRC,
+        tmp_path_factory.mktemp("sf_ev_utc"),
+        "events",
+        _rewrite_ts(pa.timestamp("us", tz="UTC")),
+    )
+
+
+def _rows(spark, name: str, sf_dir: str) -> list[tuple]:
+    df = QUERIES[name](spark, sf_dir)
+    return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+
+@pytest.fixture(scope="module")
+def baseline_ts_rows(spark):
+    return {n: _rows(spark, n, SRC) for n in _TS_QUERIES}
+
+
+def test_nanos_fixture_actually_stores_nanos(nanos_events_sf, spark) -> None:
+    """Guard against a pyarrow default change silently down-converting
+    the ns fixture to micros — the whole axis would then re-test the
+    NTZ branch and stay green while the nanos paths go dead again."""
+    from pyspark.sql import types as T
+
+    from aws_data_warehouse_lambda_spark.sources.tables import table_path
+
+    disk = pq.read_schema(table_path(nanos_events_sf, "events"))
+    assert disk.field("ts").type == pa.timestamp("ns"), disk.field("ts")
+    spark_ty = spark.read.parquet(
+        table_path(nanos_events_sf, "events")
+    ).schema["ts"].dataType
+    assert isinstance(spark_ty, T.LongType), spark_ty
+
+
+@pytest.mark.parametrize("name", _TS_QUERIES)
+def test_nanos_encoding_matches_ntz(
+    spark, nanos_events_sf, baseline_ts_rows, name
+) -> None:
+    assert _rows(spark, name, nanos_events_sf) == baseline_ts_rows[name]
+
+
+@pytest.mark.parametrize("name", _TS_QUERIES)
+def test_utc_micros_encoding_matches_ntz(
+    spark, utc_events_sf, baseline_ts_rows, name
+) -> None:
+    assert _rows(spark, name, utc_events_sf) == baseline_ts_rows[name]
+
+
+def test_nanos_watermark_still_reaches_pushed_filters(
+    spark, nanos_events_sf
+) -> None:
+    """The raw-int64 watermark comparison exists PRECISELY so the CDC
+    predicate stays a plain column-vs-literal the parquet scan can use
+    for row-group min/max pruning (sources/tables.py
+    load_table_with_watermark docstring); a predicate on the CONVERTED
+    column would wrap the scan in an expression and read every row
+    group. Pin the plan, not just the rows."""
+    df = QUERIES["q_incremental_scan"](spark, nanos_events_sf)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThan(ts" in plan
