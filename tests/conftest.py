@@ -34,3 +34,25 @@ def spark():
     s = get_spark("adwl-tests", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def standard_rows(spark):
+    """Session-memoized standard-layout (sf0.001) result rows, shared
+    by every Spark-vs-Spark parity axis (row layout, column order,
+    timestamp encoding): ``standard_rows(name)`` collects the query
+    once per suite run — the streaming baselines each drain a full
+    AvailableNow query with stateful stores, several seconds apiece,
+    and were previously recomputed per consuming module."""
+    from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
+
+    from .oracle_harness import spark_rows
+
+    cache: dict[str, list[tuple]] = {}
+
+    def get(name: str) -> list[tuple]:
+        if name not in cache:
+            cache[name] = spark_rows(QUERIES[name](spark, SF_SMOKE))
+        return cache[name]
+
+    return get

@@ -68,6 +68,31 @@ def regroup_table(src: str, dst: str) -> None:
     pq.write_table(pq.read_table(src), dst, row_group_size=7)
 
 
+def spark_rows(df) -> list[tuple]:
+    """Collect a DataFrame as sorted stringified tuples for
+    Spark-vs-Spark parity checks, with timestamp columns canonicalized
+    ENGINE-side first: ``collect()`` converts TIMESTAMP through the
+    driver's OS timezone (``datetime.fromtimestamp``) while
+    TIMESTAMP_NTZ keeps UTC wall time, so a Python-side ``str()`` of
+    mixed encodings only agrees on a UTC host. ``cast("string")``
+    renders both under the session timezone (pinned UTC by
+    session.tune), making the comparison host-TZ-independent. All
+    registered queries return plain (oracle-hashable) columns, so
+    top-level casting covers every timestamp that can appear."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = [
+        F.col(f.name).cast("string").alias(f.name)
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return sorted(
+        tuple(str(v) for v in row) for row in df.select(cols).collect()
+    )
+
+
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:

@@ -38,7 +38,7 @@ import pytest
 
 from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
 
-from .oracle_harness import clone_sf, regroup_table, shard_table
+from .oracle_harness import clone_sf, regroup_table, shard_table, spark_rows
 
 SRC = "/root/testdata/sf0.001"
 
@@ -99,47 +99,35 @@ def tiny_rowgroups_events_sf(tmp_path_factory) -> str:
 
 
 def _rows(spark, name: str, sf_dir: str) -> list[tuple]:
-    df = QUERIES[name](spark, sf_dir)
-    return sorted(tuple(str(v) for v in row) for row in df.collect())
-
-
-@pytest.fixture(scope="module")
-def baseline_rows(spark):
-    # One standard-layout reference per query, shared by both layouts.
-    return {n: _rows(spark, n, SRC) for n in _DOC_QUERIES}
-
-
-@pytest.fixture(scope="module")
-def baseline_event_rows(spark):
-    return {n: _rows(spark, n, SRC) for n in _EVENT_QUERIES}
+    return spark_rows(QUERIES[name](spark, sf_dir))
 
 
 @pytest.mark.parametrize("name", _DOC_QUERIES)
 def test_many_part_files_match_single_file(
-    spark, sharded_sf, baseline_rows, name
+    spark, sharded_sf, standard_rows, name
 ) -> None:
-    assert _rows(spark, name, sharded_sf) == baseline_rows[name]
+    assert _rows(spark, name, sharded_sf) == standard_rows(name)
 
 
 @pytest.mark.parametrize("name", _DOC_QUERIES)
 def test_tiny_row_groups_match_single_file(
-    spark, tiny_rowgroups_sf, baseline_rows, name
+    spark, tiny_rowgroups_sf, standard_rows, name
 ) -> None:
-    assert _rows(spark, name, tiny_rowgroups_sf) == baseline_rows[name]
+    assert _rows(spark, name, tiny_rowgroups_sf) == standard_rows(name)
 
 
 @pytest.mark.parametrize("name", _EVENT_QUERIES)
 def test_events_many_part_files_match_single_file(
-    spark, sharded_events_sf, baseline_event_rows, name
+    spark, sharded_events_sf, standard_rows, name
 ) -> None:
-    assert _rows(spark, name, sharded_events_sf) == baseline_event_rows[name]
+    assert _rows(spark, name, sharded_events_sf) == standard_rows(name)
 
 
 @pytest.mark.parametrize("name", _EVENT_QUERIES)
 def test_events_tiny_row_groups_match_single_file(
-    spark, tiny_rowgroups_events_sf, baseline_event_rows, name
+    spark, tiny_rowgroups_events_sf, standard_rows, name
 ) -> None:
-    assert _rows(spark, name, tiny_rowgroups_events_sf) == baseline_event_rows[name]
+    assert _rows(spark, name, tiny_rowgroups_events_sf) == standard_rows(name)
 
 
 @pytest.fixture(scope="module")
@@ -162,6 +150,6 @@ def one_part_dir_events_sf(tmp_path_factory) -> str:
 
 @pytest.mark.parametrize("name", ["q_stream_dedup", "q_stream_sessionize"])
 def test_events_single_part_directory_matches_single_file(
-    spark, one_part_dir_events_sf, baseline_event_rows, name
+    spark, one_part_dir_events_sf, standard_rows, name
 ) -> None:
-    assert _rows(spark, name, one_part_dir_events_sf) == baseline_event_rows[name]
+    assert _rows(spark, name, one_part_dir_events_sf) == standard_rows(name)

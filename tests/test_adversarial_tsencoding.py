@@ -36,15 +36,17 @@ import pytest
 
 from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
 
-from .oracle_harness import clone_sf
+from .oracle_harness import clone_sf, spark_rows
 
 SRC = "/root/testdata/sf0.001"
 
 #: The event-time consumers that cross the dispatch code: the watermark
 #: CDC scan (the one load_table_with_watermark call site, where the
 #: nanos branch compares raw int64 against the watermark in nanos),
-#: the stateful batch sessionizers, and the streaming jobs (whose
-#: source declares the probed disk schema up front).
+#: the stateful batch sessionizers, and two of the six streaming jobs
+#: — all six share events_stream's single dispatch point and are
+#: type-invariant after its conversion, so the other four would only
+#: re-run the same source path at ~4x the drain cost.
 _TS_QUERIES = [
     "q_incremental_scan",
     "q_sessionize",
@@ -89,43 +91,56 @@ def utc_events_sf(tmp_path_factory) -> str:
 
 
 def _rows(spark, name: str, sf_dir: str) -> list[tuple]:
-    df = QUERIES[name](spark, sf_dir)
-    return sorted(tuple(str(v) for v in row) for row in df.collect())
+    # spark_rows canonicalizes timestamps ENGINE-side: the variant
+    # fixtures surface TimestampType where the baseline is NTZ, and a
+    # Python-side str() of collect() would render those through the
+    # driver's OS timezone — the comparison must not depend on the
+    # host being UTC.
+    return spark_rows(QUERIES[name](spark, sf_dir))
 
 
-@pytest.fixture(scope="module")
-def baseline_ts_rows(spark):
-    return {n: _rows(spark, n, SRC) for n in _TS_QUERIES}
+def _assert_encoding(spark, sf_dir: str, arrow_ty, spark_ty) -> None:
+    """Both alternate fixtures self-check their on-disk AND
+    Spark-visible type: a pyarrow default change that down-converts
+    (or drops isAdjustedToUTC on) the rewritten file would silently
+    revert this axis to re-testing the NTZ branch while staying
+    green."""
+    from aws_data_warehouse_lambda_spark.sources.tables import table_path
+
+    disk = pq.read_schema(table_path(sf_dir, "events"))
+    assert disk.field("ts").type == arrow_ty, disk.field("ts")
+    seen = spark.read.parquet(table_path(sf_dir, "events")).schema[
+        "ts"
+    ].dataType
+    assert isinstance(seen, spark_ty), seen
 
 
 def test_nanos_fixture_actually_stores_nanos(nanos_events_sf, spark) -> None:
-    """Guard against a pyarrow default change silently down-converting
-    the ns fixture to micros — the whole axis would then re-test the
-    NTZ branch and stay green while the nanos paths go dead again."""
     from pyspark.sql import types as T
 
-    from aws_data_warehouse_lambda_spark.sources.tables import table_path
+    _assert_encoding(spark, nanos_events_sf, pa.timestamp("ns"), T.LongType)
 
-    disk = pq.read_schema(table_path(nanos_events_sf, "events"))
-    assert disk.field("ts").type == pa.timestamp("ns"), disk.field("ts")
-    spark_ty = spark.read.parquet(
-        table_path(nanos_events_sf, "events")
-    ).schema["ts"].dataType
-    assert isinstance(spark_ty, T.LongType), spark_ty
+
+def test_utc_fixture_actually_stores_utc_micros(utc_events_sf, spark) -> None:
+    from pyspark.sql import types as T
+
+    _assert_encoding(
+        spark, utc_events_sf, pa.timestamp("us", tz="UTC"), T.TimestampType
+    )
 
 
 @pytest.mark.parametrize("name", _TS_QUERIES)
 def test_nanos_encoding_matches_ntz(
-    spark, nanos_events_sf, baseline_ts_rows, name
+    spark, nanos_events_sf, standard_rows, name
 ) -> None:
-    assert _rows(spark, name, nanos_events_sf) == baseline_ts_rows[name]
+    assert _rows(spark, name, nanos_events_sf) == standard_rows(name)
 
 
 @pytest.mark.parametrize("name", _TS_QUERIES)
 def test_utc_micros_encoding_matches_ntz(
-    spark, utc_events_sf, baseline_ts_rows, name
+    spark, utc_events_sf, standard_rows, name
 ) -> None:
-    assert _rows(spark, name, utc_events_sf) == baseline_ts_rows[name]
+    assert _rows(spark, name, utc_events_sf) == standard_rows(name)
 
 
 def test_nanos_watermark_still_reaches_pushed_filters(
