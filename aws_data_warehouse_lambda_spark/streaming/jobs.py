@@ -18,6 +18,8 @@ stateful sessionizer is O(open sessions), not O(events).
 from __future__ import annotations
 
 import itertools
+import os
+import urllib.parse
 from collections.abc import Iterator
 from typing import Any
 
@@ -36,7 +38,27 @@ SESSION_GAP_MIN = 30
 _sink_ids = itertools.count()
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _canonical_local_path(p: str) -> str:
+    """Reduce a table path OR an ``inputFiles()`` entry to one
+    comparable normalized form. ``inputFiles()`` returns
+    PERCENT-ENCODED ``file:`` URIs (a space becomes ``%20``), while the
+    loader is handed a plain filesystem path — so the comparison in
+    ``events_stream`` must decode the URI side and normalize both.
+    Scheme-less inputs are resolved with abspath (the URI side is
+    always absolute, so a relative sf_dir must be too); URI inputs keep
+    only the decoded path component — scheme aliasing (s3:// handed in,
+    s3a:// listed back) would otherwise never compare equal, and the
+    listing came from reading that very path, so the
+    authority/filesystem is the same by construction."""
+    parsed = urllib.parse.urlparse(p)
+    if parsed.scheme:
+        return os.path.normpath(urllib.parse.unquote(parsed.path))
+    return os.path.abspath(p)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, source_options: dict[str, str] | None = None
+) -> DataFrame:
     """File-source stream of the events fixture.
 
     Streaming sources need the schema declared up front, so it is
@@ -71,13 +93,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parts->single-file between builds, breaking the restart.
     files = probe.inputFiles()
     # A multi-file table can only be a directory; with exactly one
-    # file, the leaf name disambiguates "IS the path" (single file)
-    # from "one part inside the path" (single-part directory) — both
-    # shapes are layout-parity-pinned in tests/test_adversarial_layout.
-    is_single_file = len(files) == 1 and files[0].rstrip("/").endswith(
-        "/" + path.rsplit("/", 1)[-1]
-    )
+    # file, whether that file IS the table path (single-file layout) or
+    # sits INSIDE it (single-part directory) decides the branch. Compare
+    # FULL canonical paths, never leaf names (ADVICE r8): a part file
+    # that happens to be named after the table — events.parquet inside
+    # the events.parquet directory — shares the leaf and would be
+    # misrouted back onto the zero-row glob path a leaf check was meant
+    # to close. Both one-file shapes (and a percent-encoded sf_dir) are
+    # layout-parity-pinned in tests/test_adversarial_layout.
+    is_single_file = len(files) == 1 and _canonical_local_path(
+        files[0]
+    ) == _canonical_local_path(path)
     src = spark.readStream.schema(disk_schema).format("parquet")
+    for k, v in (source_options or {}).items():
+        # Caller-supplied source knobs (e.g. maxFilesPerTrigger for the
+        # restart-parity axis) — applied before the layout-specific
+        # glob/path options so those stay authoritative.
+        src = src.option(k, v)
     if is_single_file:
         raw = src.option(
             "pathGlobFilter", path.rsplit("/", 1)[-1]
@@ -147,7 +179,9 @@ def run_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup(
+    spark: SparkSession, sf_dir: str, source_options: dict[str, str] | None = None
+) -> DataFrame:
     """Streaming deduplication under a watermark: first arrival per
     (user_id, event_type) key wins, later duplicates are dropped.
 
@@ -162,7 +196,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state when the watermark column is part of the keys.) Only the key
     columns are emitted — WHICH duplicate arrives first is
     micro-batch-order dependent, the key set is not."""
-    e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    e = events_stream(spark, sf_dir, source_options).withWatermark("ts", "1 hour")
     return e.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )

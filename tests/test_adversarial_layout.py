@@ -38,7 +38,7 @@ import pytest
 
 from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
 
-from .oracle_harness import clone_sf, regroup_table, shard_table, spark_rows
+from .oracle_harness import clone_sf, copy_table, regroup_table, shard_table, spark_rows
 
 SRC = "/root/testdata/sf0.001"
 
@@ -153,3 +153,50 @@ def test_events_single_part_directory_matches_single_file(
     spark, one_part_dir_events_sf, standard_rows, name
 ) -> None:
     assert _rows(spark, name, one_part_dir_events_sf) == standard_rows(name)
+
+
+@pytest.fixture(scope="module")
+def same_leaf_one_part_dir_events_sf(tmp_path_factory) -> str:
+    """events as a directory whose SINGLE part file is itself named
+    ``events.parquet`` — the same leaf as the table directory (a
+    compactor that names its output after the table produces exactly
+    this). A leaf-suffix layout check (the first r8 fix attempt's
+    shape, flagged by ADVICE r8) classifies this as a single FILE and
+    reverts to the pathGlobFilter path that drains zero rows; only a
+    full-path comparison tells ``<sf>/events.parquet`` apart from
+    ``<sf>/events.parquet/events.parquet``."""
+
+    def same_leaf_part(src: str, dst: str) -> None:
+        os.makedirs(dst)
+        shutil.copyfile(src, f"{dst}/events.parquet")
+
+    return clone_sf(
+        SRC, tmp_path_factory.mktemp("sf_ev_sameleaf"), "events", same_leaf_part
+    )
+
+
+@pytest.mark.parametrize("name", ["q_stream_dedup", "q_stream_sessionize"])
+def test_events_same_leaf_one_part_directory_matches_single_file(
+    spark, same_leaf_one_part_dir_events_sf, standard_rows, name
+) -> None:
+    assert _rows(spark, name, same_leaf_one_part_dir_events_sf) == standard_rows(name)
+
+
+@pytest.fixture(scope="module")
+def space_in_path_events_sf(tmp_path_factory) -> str:
+    """Standard single-file layout under an sf_dir containing a SPACE:
+    ``inputFiles()`` percent-encodes file URIs (``%20``), so the layout
+    detector must UNQUOTE before comparing against the plain path it
+    was handed — skipping the decode misroutes this true single file to
+    ``.load(<file path>)``, which raises basePath-must-be-a-directory
+    (ADVICE r8)."""
+    root = os.path.join(str(tmp_path_factory.mktemp("sf_ev_space")), "sf 0.001 dir")
+    os.makedirs(root)
+    return clone_sf(SRC, root, "events", copy_table)
+
+
+@pytest.mark.parametrize("name", ["q_stream_dedup", "q_stream_sessionize"])
+def test_events_percent_encoded_sf_dir_matches_single_file(
+    spark, space_in_path_events_sf, standard_rows, name
+) -> None:
+    assert _rows(spark, name, space_in_path_events_sf) == standard_rows(name)
