@@ -1,0 +1,111 @@
+"""Subprocess runner for the streaming restart/recovery parity axis.
+
+tests/test_streaming_restart.py launches this in a SEPARATE Python
+process so the resume leg starts from a genuinely FRESH JVM: within one
+JVM the HDFS-backed state store keeps an in-memory version cache per
+(checkpoint, operator, partition), so a same-process "restart" can pass
+even when the on-disk checkpoint alone could not reconstruct the state.
+A fresh process proves the contract the reference leans on for its SSM
+serial/watermark resume (/root/reference/src/db_extractor_full.py:
+427-441,539-556): a run killed mid-extract continues exactly where the
+committed watermark says, delivering each record exactly once across
+the process boundary — here via Spark's offset/commit logs (file
+source), the state store (dropDuplicatesWithinWatermark keys), and the
+file sink's _spark_metadata transaction log.
+
+Modes (argv[1]):
+  full     -- drain the whole source in one AvailableNow run (the
+              uninterrupted baseline; its own checkpoint + sink dirs)
+  partial  -- identical query, but stop() after >= stop_after committed
+              micro-batches (the mid-drain kill)
+  resume   -- SAME checkpoint + sink dirs as a prior `partial`, run to
+              completion in this fresh process
+
+argv: mode src_sf_dir checkpoint_dir output_dir [stop_after_batches]
+
+The source is read with maxFilesPerTrigger=1 so a many-part events
+table drains as one micro-batch per file — giving the kill a real
+mid-drain target and the watermark a multi-batch trajectory. File order
+(and therefore batch boundaries, watermark advance, and state eviction)
+is deterministic because the test writes the part files with strictly
+increasing mtimes: the file source picks unseen files oldest-first, so
+`full` and `partial`+`resume` see identical batch splits and their
+outputs must match as MULTISETS, not just as key sets.
+
+Prints exactly one JSON line on stdout:
+  {"mode": ..., "data_batches": N, "sink_rows": N}
+(Spark logs go to stderr; the parent parses the last stdout line.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _data_batches(query) -> int:
+    """Committed micro-batches that actually read rows (AvailableNow can
+    append a trailing empty batch; the kill must count data batches)."""
+    n = 0
+    for p in query.recentProgress:
+        prog = p if isinstance(p, dict) else json.loads(p.json)
+        if prog.get("numInputRows", 0) > 0:
+            n += 1
+    return n
+
+
+def main(argv: list[str]) -> int:
+    mode, sf_dir, ckpt, out = argv[:4]
+    stop_after = int(argv[4]) if len(argv) > 4 else 0
+
+    from aws_data_warehouse_lambda_spark.session import get_spark
+    from aws_data_warehouse_lambda_spark.streaming.jobs import (
+        STREAM_STATE_PARTITIONS,
+        stream_dedup,
+    )
+
+    spark = get_spark(f"restart-{mode}", shuffle_partitions=STREAM_STATE_PARTITIONS)
+    try:
+        dedup = stream_dedup(
+            spark, sf_dir, source_options={"maxFilesPerTrigger": "1"}
+        )
+        query = (
+            dedup.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if mode == "partial":
+            deadline = time.time() + 120
+            while (
+                query.isActive
+                and _data_batches(query) < stop_after
+                and time.time() < deadline
+            ):
+                time.sleep(0.1)
+            query.stop()
+        query.awaitTermination()
+        if mode == "partial" and _data_batches(query) >= len(
+            spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet").inputFiles()
+        ):
+            # The kill landed after the drain finished: nothing is left
+            # for the resume leg and the axis would pass vacuously.
+            raise SystemExit("partial run drained the whole source before stop()")
+        # Read the sink back THROUGH its _spark_metadata commit log (the
+        # exactly-once view a downstream batch consumer gets).
+        sink_rows = spark.read.parquet(out).count()
+        print(
+            json.dumps(
+                {"mode": mode, "data_batches": _data_batches(query), "sink_rows": sink_rows}
+            )
+        )
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,156 @@
+"""Streaming checkpoint RESTART/RECOVERY parity (VERDICT r8 task #2).
+
+The multibatch/watermark suites prove eviction and idempotent retry
+WITHIN one session; nothing previously killed a stateful streaming job
+mid-drain and resumed it from its checkpoint in a fresh process — the
+exactly-once-across-restart contract a production CDC consumer leans
+on, and the Spark analog of the reference resuming from its committed
+SSM serial/watermark after a Lambda timeout
+(/root/reference/src/db_extractor_full.py:427-441,539-556).
+
+Axis shape: the events table is sharded into N_PARTS part files with
+strictly increasing mtimes, streamed through
+``dropDuplicatesWithinWatermark`` (file source, maxFilesPerTrigger=1 →
+one micro-batch per file) into a PARQUET sink with a persistent
+checkpoint. Three subprocess legs, each a fresh JVM
+(tests/streaming_restart_runner.py):
+
+  full             -- uninterrupted drain (the baseline)
+  partial + resume -- the same query stopped after >=3 committed
+                      micro-batches, then resumed from the checkpoint
+                      in a brand-new process
+
+Because file order is mtime-deterministic, both executions see
+identical batch boundaries, hence identical watermark trajectories and
+state evictions — so the final sinks must match as MULTISETS (the
+watermarked dedup legitimately re-emits a key after its state is
+evicted; which rows those are is batch-deterministic). A key-set check
+against batch DISTINCT anchors the semantics independently.
+
+Cost note: three subprocess JVMs, ~60-90 s total — the module runs the
+legs ONCE (module-scoped fixture) and every assertion reads from them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+RUNNER = os.path.join(os.path.dirname(__file__), "streaming_restart_runner.py")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Enough parts that the mid-drain stop() lands well before the end
+#: even if a few extra batches commit between the runner's 0.1 s polls.
+N_PARTS = 12
+STOP_AFTER = 3
+
+
+@pytest.fixture(scope="module")
+def restart_src(tmp_path_factory) -> str:
+    """events sharded into N_PARTS files with strictly increasing
+    mtimes: the file source admits unseen files oldest-first, making the
+    file->micro-batch assignment (and everything downstream of it)
+    identical across the baseline and the killed+resumed execution."""
+    src = tmp_path_factory.mktemp("restart_sf")
+    ev_dir = src / "events.parquet"
+    os.makedirs(ev_dir)
+    tbl = pq.read_table(f"{SRC}/events.parquet")
+    step = (tbl.num_rows + N_PARTS - 1) // N_PARTS
+    t0 = time.time() - 3600
+    for i, off in enumerate(range(0, tbl.num_rows, step)):
+        f = str(ev_dir / f"part-{i:05d}.parquet")
+        pq.write_table(tbl.slice(off, step), f)
+        os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+    return str(src)
+
+
+def _run_leg(mode: str, src: str, ckpt: str, out: str, work: str, stop_after=None):
+    cmd = [sys.executable, RUNNER, mode, src, ckpt, out]
+    if stop_after is not None:
+        cmd.append(str(stop_after))
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        # Hostile-session discipline (same as driver_sim): a non-UTC OS
+        # timezone must not change what lands in the sink.
+        TZ="America/New_York",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+    )
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=600, env=env, cwd=work
+    )
+    assert res.returncode == 0, (
+        f"{mode} leg failed:\n--- stdout ---\n{res.stdout[-2000:]}"
+        f"\n--- stderr ---\n{res.stderr[-2000:]}"
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def legs(restart_src, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("restart_runs"))
+    full = _run_leg("full", restart_src, f"{work}/ckpt_full", f"{work}/out_full", work)
+    partial = _run_leg(
+        "partial", restart_src, f"{work}/ckpt_r", f"{work}/out_r", work, STOP_AFTER
+    )
+    resume = _run_leg("resume", restart_src, f"{work}/ckpt_r", f"{work}/out_r", work)
+    return {"full": full, "partial": partial, "resume": resume, "work": work}
+
+
+def _sink_rows(spark, path: str) -> list[tuple]:
+    # spark.read.parquet on a file-sink directory goes through its
+    # _spark_metadata commit log — the exactly-once view a downstream
+    # batch consumer gets (uncommitted orphan part files are invisible).
+    return sorted(tuple(map(str, r)) for r in spark.read.parquet(path).collect())
+
+
+def test_kill_landed_mid_drain(legs) -> None:
+    """The stop must interrupt real work: >= STOP_AFTER batches committed
+    before it, >= 1 data batch left for the fresh process (the runner
+    itself aborts if the partial leg drained everything)."""
+    assert legs["partial"]["data_batches"] >= STOP_AFTER
+    assert legs["partial"]["data_batches"] < N_PARTS
+    assert legs["resume"]["data_batches"] >= 1
+
+
+def test_resume_processes_only_uncommitted_batches(legs) -> None:
+    """The fresh process must pick up from the committed offset, not
+    rescan the source: committed + resumed covers each file once, with
+    at most ONE overlap (a batch whose offsets were WAL'd but whose
+    commit had not landed when stop() hit is legitimately re-run)."""
+    done, resumed = legs["partial"]["data_batches"], legs["resume"]["data_batches"]
+    assert N_PARTS - done <= resumed <= N_PARTS - done + 1
+
+
+def test_exactly_once_across_restart(spark, legs) -> None:
+    """The headline contract: kill + fresh-process resume delivers the
+    SAME MULTISET of rows as the uninterrupted run — nothing lost at
+    the kill point, nothing duplicated by the resumed leg."""
+    assert _sink_rows(spark, f"{legs['work']}/out_r") == _sink_rows(
+        spark, f"{legs['work']}/out_full"
+    )
+
+
+def test_key_set_matches_batch_distinct(spark, restart_src, legs) -> None:
+    """Semantic anchor independent of batching: the distinct key set in
+    the sink equals batch DISTINCT over the source (the watermarked
+    dedup may re-emit an evicted key, never invent or lose one)."""
+    got = sorted(
+        set(tuple(map(str, r)) for r in spark.read.parquet(f"{legs['work']}/out_r").collect())
+    )
+    want = sorted(
+        tuple(map(str, r))
+        for r in spark.read.parquet(f"{restart_src}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    assert got == want
