@@ -160,8 +160,8 @@ def same_leaf_one_part_dir_events_sf(tmp_path_factory) -> str:
     """events as a directory whose SINGLE part file is itself named
     ``events.parquet`` — the same leaf as the table directory (a
     compactor that names its output after the table produces exactly
-    this). A leaf-suffix layout check (the first r8 fix attempt's
-    shape, flagged by ADVICE r8) classifies this as a single FILE and
+    this). A leaf-suffix layout check (the shape r8 shipped, flagged
+    by ADVICE r8) classifies this as a single FILE and
     reverts to the pathGlobFilter path that drains zero rows; only a
     full-path comparison tells ``<sf>/events.parquet`` apart from
     ``<sf>/events.parquet/events.parquet``."""
