@@ -264,14 +264,18 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def session_window_stream(
+    spark: SparkSession, sf_dir: str, source_options: dict[str, str] | None = None
+) -> DataFrame:
     """Native session_window (30-min gap) under a watermark — Spark's
     built-in stateful session assembly (merging-session state store),
     vs. the custom applyInPandasWithState version below. Complete mode
     emits every assembled session when AvailableNow drains the source
     (and, per tumbling_stream's note, retains all of them — append mode
-    is where the watermark actually finalizes + evicts sessions)."""
-    e = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    is where the watermark actually finalizes + evicts sessions; the
+    restart-parity axis drains it in append mode through a file sink,
+    which is also why it takes the source_options passthrough)."""
+    e = events_stream(spark, sf_dir, source_options).withWatermark("ts", "1 hour")
     return (
         e.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -10,43 +10,58 @@ serial/watermark resume (/root/reference/src/db_extractor_full.py:
 427-441,539-556): a run killed mid-extract continues exactly where the
 committed watermark says, delivering each record exactly once across
 the process boundary — here via Spark's offset/commit logs (file
-source), the state store (dropDuplicatesWithinWatermark keys), and the
-file sink's _spark_metadata transaction log.
+source), the state store, and the file sink's _spark_metadata
+transaction log.
+
+argv: mode job src_sf_dir checkpoint_dir output_dir [stop_after_batches]
+
+Jobs (argv[2]) — two distinct state-store shapes through recovery:
+  dedup    -- dropDuplicatesWithinWatermark (key-expiry store)
+  session  -- native session_window aggregation (merging-session
+              store), APPEND mode: only watermark-FINALIZED sessions
+              reach the sink, which is what makes its output
+              batch-deterministic and restart-comparable
 
 Modes (argv[1]):
   full     -- drain the whole source in one AvailableNow run (the
               uninterrupted baseline; its own checkpoint + sink dirs)
-  partial  -- identical query, but stop() after >= stop_after committed
-              micro-batches (the mid-drain kill)
-  resume   -- SAME checkpoint + sink dirs as a prior `partial`, run to
-              completion in this fresh process
-
-argv: mode src_sf_dir checkpoint_dir output_dir [stop_after_batches]
+  partial  -- identical query, graceful stop() after >= stop_after
+              committed micro-batches (clean mid-drain shutdown)
+  kill     -- os._exit(137) once >= stop_after batches committed: a
+              HARD crash that skips every shutdown hook, so the
+              checkpoint can be left torn mid-batch (offsets WAL'd but
+              uncommitted, sink files orphaned, state delta partial) —
+              the recovery path a graceful stop() never exercises
+  resume   -- SAME checkpoint + sink dirs as a prior partial/kill, run
+              to completion in this fresh process
 
 The source is read with maxFilesPerTrigger=1 so a many-part events
 table drains as one micro-batch per file — giving the kill a real
 mid-drain target and the watermark a multi-batch trajectory. File order
-(and therefore batch boundaries, watermark advance, and state eviction)
-is deterministic because the test writes the part files with strictly
-increasing mtimes: the file source picks unseen files oldest-first, so
-`full` and `partial`+`resume` see identical batch splits and their
-outputs must match as MULTISETS, not just as key sets.
+(and therefore batch boundaries, watermark advance, state eviction, and
+append-mode session finalization) is deterministic because the test
+writes the part files with strictly increasing mtimes: the file source
+admits unseen files oldest-first, so `full` and an interrupted+resumed
+execution see identical batch splits and their sinks must match as
+MULTISETS, not just as key sets.
 
-Prints exactly one JSON line on stdout:
-  {"mode": ..., "data_batches": N, "sink_rows": N}
+Prints exactly one JSON line on stdout (never in `kill` mode):
+  {"mode": ..., "job": ..., "data_batches": N, "sink_rows": N}
 (Spark logs go to stderr; the parent parses the last stdout line.)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 
 def _data_batches(query) -> int:
     """Committed micro-batches that actually read rows (AvailableNow can
-    append a trailing empty batch; the kill must count data batches)."""
+    append trailing no-data batches to flush watermark state; the kill
+    must count data batches)."""
     n = 0
     for p in query.recentProgress:
         prog = p if isinstance(p, dict) else json.loads(p.json)
@@ -56,28 +71,45 @@ def _data_batches(query) -> int:
 
 
 def main(argv: list[str]) -> int:
-    mode, sf_dir, ckpt, out = argv[:4]
-    stop_after = int(argv[4]) if len(argv) > 4 else 0
+    mode, job, sf_dir, ckpt, out = argv[:5]
+    stop_after = int(argv[5]) if len(argv) > 5 else 0
 
     from aws_data_warehouse_lambda_spark.session import get_spark
     from aws_data_warehouse_lambda_spark.streaming.jobs import (
         STREAM_STATE_PARTITIONS,
+        session_window_stream,
         stream_dedup,
     )
 
-    spark = get_spark(f"restart-{mode}", shuffle_partitions=STREAM_STATE_PARTITIONS)
+    spark = get_spark(
+        f"restart-{job}-{mode}", shuffle_partitions=STREAM_STATE_PARTITIONS
+    )
     try:
-        dedup = stream_dedup(
-            spark, sf_dir, source_options={"maxFilesPerTrigger": "1"}
-        )
+        opts = {"maxFilesPerTrigger": "1"}
+        if job == "dedup":
+            df = stream_dedup(spark, sf_dir, source_options=opts)
+        elif job == "session":
+            df = session_window_stream(spark, sf_dir, source_options=opts)
+        else:
+            raise SystemExit(f"unknown job {job!r}")
         query = (
-            dedup.writeStream.format("parquet")
+            df.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
+        if mode == "kill":
+            deadline = time.time() + 120
+            while query.isActive and time.time() < deadline:
+                if _data_batches(query) >= stop_after:
+                    os._exit(137)
+                time.sleep(0.05)
+            # Drained (or hung) before the crash point: the resume leg
+            # would have nothing to recover and the axis would pass
+            # vacuously — fail loudly instead.
+            raise SystemExit("kill mode never reached stop_after mid-drain")
         if mode == "partial":
             deadline = time.time() + 120
             while (
@@ -91,7 +123,7 @@ def main(argv: list[str]) -> int:
         if mode == "partial" and _data_batches(query) >= len(
             spark.read.parquet(sf_dir.rstrip("/") + "/events.parquet").inputFiles()
         ):
-            # The kill landed after the drain finished: nothing is left
+            # The stop landed after the drain finished: nothing is left
             # for the resume leg and the axis would pass vacuously.
             raise SystemExit("partial run drained the whole source before stop()")
         # Read the sink back THROUGH its _spark_metadata commit log (the
@@ -99,7 +131,12 @@ def main(argv: list[str]) -> int:
         sink_rows = spark.read.parquet(out).count()
         print(
             json.dumps(
-                {"mode": mode, "data_batches": _data_batches(query), "sink_rows": sink_rows}
+                {
+                    "mode": mode,
+                    "job": job,
+                    "data_batches": _data_batches(query),
+                    "sink_rows": sink_rows,
+                }
             )
         )
     finally:

@@ -1,34 +1,41 @@
 """Streaming checkpoint RESTART/RECOVERY parity (VERDICT r8 task #2).
 
 The multibatch/watermark suites prove eviction and idempotent retry
-WITHIN one session; nothing previously killed a stateful streaming job
-mid-drain and resumed it from its checkpoint in a fresh process — the
-exactly-once-across-restart contract a production CDC consumer leans
-on, and the Spark analog of the reference resuming from its committed
-SSM serial/watermark after a Lambda timeout
+WITHIN one session; nothing previously interrupted a stateful streaming
+job mid-drain and resumed it from its checkpoint in a fresh process —
+the exactly-once-across-restart contract a production CDC consumer
+leans on, and the Spark analog of the reference resuming from its
+committed SSM serial/watermark after a Lambda timeout
 (/root/reference/src/db_extractor_full.py:427-441,539-556).
 
 Axis shape: the events table is sharded into N_PARTS part files with
-strictly increasing mtimes, streamed through
-``dropDuplicatesWithinWatermark`` (file source, maxFilesPerTrigger=1 →
-one micro-batch per file) into a PARQUET sink with a persistent
-checkpoint. Three subprocess legs, each a fresh JVM
-(tests/streaming_restart_runner.py):
+strictly increasing mtimes (file source admits unseen files
+oldest-first, so batch boundaries — and with them the watermark
+trajectory, state evictions, and append-mode session finalization —
+are identical across executions), streamed with maxFilesPerTrigger=1
+into a PARQUET sink with a persistent checkpoint. Every leg is a
+SUBPROCESS with a fresh JVM (tests/streaming_restart_runner.py): an
+in-process "restart" can ride the state store's in-memory version
+cache and prove nothing about the on-disk checkpoint.
 
-  full             -- uninterrupted drain (the baseline)
-  partial + resume -- the same query stopped after >=3 committed
-                      micro-batches, then resumed from the checkpoint
-                      in a brand-new process
+Two stateful operators x two interruption shapes:
 
-Because file order is mtime-deterministic, both executions see
-identical batch boundaries, hence identical watermark trajectories and
-state evictions — so the final sinks must match as MULTISETS (the
-watermarked dedup legitimately re-emits a key after its state is
-evicted; which rows those are is batch-deterministic). A key-set check
-against batch DISTINCT anchors the semantics independently.
+  dedup (dropDuplicatesWithinWatermark, key-expiry store)
+    full | partial (graceful stop() after >=3 batches) + resume
+         | kill    (hard os._exit(137) mid-drain)       + resume
+  session (native session_window agg, merging-session store, APPEND
+           mode -> only watermark-finalized sessions reach the sink)
+    full | kill + resume
 
-Cost note: three subprocess JVMs, ~60-90 s total — the module runs the
-legs ONCE (module-scoped fixture) and every assertion reads from them.
+The graceful pair checks clean-shutdown accounting (resume re-runs at
+most the one offsets-WAL'd-but-uncommitted batch); the hard-kill pair
+is the adversarial case — os._exit skips every shutdown hook, so the
+checkpoint can be torn mid-batch (orphan sink files, partial state
+delta) and recovery must still deliver the baseline multiset exactly.
+
+Cost note: eight subprocess JVMs, ~2.5-3 min total — the module runs
+all legs ONCE (module-scoped fixture) and every assertion reads from
+them.
 """
 
 from __future__ import annotations
@@ -46,18 +53,15 @@ SRC = "/root/testdata/sf0.001"
 RUNNER = os.path.join(os.path.dirname(__file__), "streaming_restart_runner.py")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Enough parts that the mid-drain stop() lands well before the end
-#: even if a few extra batches commit between the runner's 0.1 s polls.
+#: Enough parts that a mid-drain interrupt after 3 committed batches
+#: lands well before the end even if a few extra batches commit between
+#: the runner's polls.
 N_PARTS = 12
 STOP_AFTER = 3
 
 
 @pytest.fixture(scope="module")
 def restart_src(tmp_path_factory) -> str:
-    """events sharded into N_PARTS files with strictly increasing
-    mtimes: the file source admits unseen files oldest-first, making the
-    file->micro-batch assignment (and everything downstream of it)
-    identical across the baseline and the killed+resumed execution."""
     src = tmp_path_factory.mktemp("restart_sf")
     ev_dir = src / "events.parquet"
     os.makedirs(ev_dir)
@@ -71,8 +75,17 @@ def restart_src(tmp_path_factory) -> str:
     return str(src)
 
 
-def _run_leg(mode: str, src: str, ckpt: str, out: str, work: str, stop_after=None):
-    cmd = [sys.executable, RUNNER, mode, src, ckpt, out]
+def _run_leg(
+    mode: str,
+    job: str,
+    src: str,
+    ckpt: str,
+    out: str,
+    work: str,
+    stop_after=None,
+    expect_rc: int = 0,
+):
+    cmd = [sys.executable, RUNNER, mode, job, src, ckpt, out]
     if stop_after is not None:
         cmd.append(str(stop_after))
     env = dict(
@@ -87,22 +100,45 @@ def _run_leg(mode: str, src: str, ckpt: str, out: str, work: str, stop_after=Non
     res = subprocess.run(
         cmd, capture_output=True, text=True, timeout=600, env=env, cwd=work
     )
-    assert res.returncode == 0, (
-        f"{mode} leg failed:\n--- stdout ---\n{res.stdout[-2000:]}"
+    assert res.returncode == expect_rc, (
+        f"{job}/{mode} leg: expected rc={expect_rc}, got {res.returncode}"
+        f"\n--- stdout ---\n{res.stdout[-2000:]}"
         f"\n--- stderr ---\n{res.stderr[-2000:]}"
     )
+    if expect_rc != 0:
+        return None  # killed leg prints nothing by design
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
 @pytest.fixture(scope="module")
 def legs(restart_src, tmp_path_factory):
-    work = str(tmp_path_factory.mktemp("restart_runs"))
-    full = _run_leg("full", restart_src, f"{work}/ckpt_full", f"{work}/out_full", work)
-    partial = _run_leg(
-        "partial", restart_src, f"{work}/ckpt_r", f"{work}/out_r", work, STOP_AFTER
+    w = str(tmp_path_factory.mktemp("restart_runs"))
+    r: dict[str, object] = {"work": w}
+    # dedup: uninterrupted baseline, graceful-stop pair, hard-kill pair
+    r["full"] = _run_leg("full", "dedup", restart_src, f"{w}/ck_f", f"{w}/out_f", w)
+    r["partial"] = _run_leg(
+        "partial", "dedup", restart_src, f"{w}/ck_p", f"{w}/out_p", w, STOP_AFTER
     )
-    resume = _run_leg("resume", restart_src, f"{work}/ckpt_r", f"{work}/out_r", work)
-    return {"full": full, "partial": partial, "resume": resume, "work": work}
+    r["resume"] = _run_leg("resume", "dedup", restart_src, f"{w}/ck_p", f"{w}/out_p", w)
+    _run_leg(
+        "kill", "dedup", restart_src, f"{w}/ck_k", f"{w}/out_k", w, STOP_AFTER,
+        expect_rc=137,
+    )
+    r["resume_k"] = _run_leg(
+        "resume", "dedup", restart_src, f"{w}/ck_k", f"{w}/out_k", w
+    )
+    # session_window: uninterrupted baseline, hard-kill pair
+    r["full_s"] = _run_leg(
+        "full", "session", restart_src, f"{w}/ck_sf", f"{w}/out_sf", w
+    )
+    _run_leg(
+        "kill", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w, STOP_AFTER,
+        expect_rc=137,
+    )
+    r["resume_sk"] = _run_leg(
+        "resume", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w
+    )
+    return r
 
 
 def _sink_rows(spark, path: str) -> list[tuple]:
@@ -112,39 +148,55 @@ def _sink_rows(spark, path: str) -> list[tuple]:
     return sorted(tuple(map(str, r)) for r in spark.read.parquet(path).collect())
 
 
-def test_kill_landed_mid_drain(legs) -> None:
-    """The stop must interrupt real work: >= STOP_AFTER batches committed
-    before it, >= 1 data batch left for the fresh process (the runner
-    itself aborts if the partial leg drained everything)."""
+def test_interrupts_landed_mid_drain(legs) -> None:
+    """Every interrupted leg must leave real work for its fresh-process
+    resume: >= STOP_AFTER batches committed before the interrupt, >= 1
+    data batch actually resumed (the runner itself aborts a partial leg
+    that drained everything; a killed leg proves it via the resume's
+    batch count)."""
     assert legs["partial"]["data_batches"] >= STOP_AFTER
     assert legs["partial"]["data_batches"] < N_PARTS
-    assert legs["resume"]["data_batches"] >= 1
+    for leg in ("resume", "resume_k", "resume_sk"):
+        assert legs[leg]["data_batches"] >= 1, leg
 
 
 def test_resume_processes_only_uncommitted_batches(legs) -> None:
-    """The fresh process must pick up from the committed offset, not
-    rescan the source: committed + resumed covers each file once, with
-    at most ONE overlap (a batch whose offsets were WAL'd but whose
-    commit had not landed when stop() hit is legitimately re-run)."""
+    """After a graceful stop the fresh process must pick up from the
+    committed offset, not rescan the source: committed + resumed covers
+    each file once, with at most ONE overlap (a batch whose offsets
+    were WAL'd but whose commit had not landed when stop() hit is
+    legitimately re-run)."""
     done, resumed = legs["partial"]["data_batches"], legs["resume"]["data_batches"]
     assert N_PARTS - done <= resumed <= N_PARTS - done + 1
 
 
-def test_exactly_once_across_restart(spark, legs) -> None:
-    """The headline contract: kill + fresh-process resume delivers the
-    SAME MULTISET of rows as the uninterrupted run — nothing lost at
-    the kill point, nothing duplicated by the resumed leg."""
-    assert _sink_rows(spark, f"{legs['work']}/out_r") == _sink_rows(
-        spark, f"{legs['work']}/out_full"
-    )
+@pytest.mark.parametrize(
+    ("interrupted", "baseline"),
+    [("out_p", "out_f"), ("out_k", "out_f"), ("out_sk", "out_sf")],
+    ids=["dedup-graceful", "dedup-hard-kill", "session-hard-kill"],
+)
+def test_exactly_once_across_restart(spark, legs, interrupted, baseline) -> None:
+    """The headline contract: interrupt + fresh-process resume delivers
+    the SAME MULTISET of rows as the uninterrupted run — nothing lost
+    at the interrupt point, nothing duplicated by the resumed leg (a
+    hard kill may leave orphan sink files; the _spark_metadata log must
+    hide them)."""
+    got = _sink_rows(spark, f"{legs['work']}/{interrupted}")
+    want = _sink_rows(spark, f"{legs['work']}/{baseline}")
+    assert len(want) > 0  # a 0-row baseline would make the parity vacuous
+    assert got == want
 
 
 def test_key_set_matches_batch_distinct(spark, restart_src, legs) -> None:
     """Semantic anchor independent of batching: the distinct key set in
-    the sink equals batch DISTINCT over the source (the watermarked
-    dedup may re-emit an evicted key, never invent or lose one)."""
+    the dedup sink equals batch DISTINCT over the source (the
+    watermarked dedup may re-emit an evicted key, never invent or lose
+    one)."""
     got = sorted(
-        set(tuple(map(str, r)) for r in spark.read.parquet(f"{legs['work']}/out_r").collect())
+        set(
+            tuple(map(str, r))
+            for r in spark.read.parquet(f"{legs['work']}/out_k").collect()
+        )
     )
     want = sorted(
         tuple(map(str, r))
