@@ -208,7 +208,9 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, source_options: dict[str, str] | None = None
+) -> DataFrame:
     """Stream-stream interval join: each user's ``click`` events joined
     to their ``purchase`` events within the following 30 minutes.
 
@@ -223,7 +225,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-joins on a single streaming relation): two events_stream()
     # calls would scan the source twice per micro-batch — doubled I/O
     # for identical results.
-    raw = events_stream(spark, sf_dir)
+    raw = events_stream(spark, sf_dir, source_options)
     clicks = (
         raw.where(F.col("event_type") == "click")
         .select(

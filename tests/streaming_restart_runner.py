@@ -15,12 +15,17 @@ transaction log.
 
 argv: mode job src_sf_dir checkpoint_dir output_dir [stop_after_batches]
 
-Jobs (argv[2]) — two distinct state-store shapes through recovery:
+Jobs (argv[2]) — three distinct state-store families through recovery:
   dedup    -- dropDuplicatesWithinWatermark (key-expiry store)
   session  -- native session_window aggregation (merging-session
               store), APPEND mode: only watermark-FINALIZED sessions
               reach the sink, which is what makes its output
               batch-deterministic and restart-comparable
+  join     -- stream-stream interval self-join (symmetric-hash join
+              state, one buffered side per input): matches emit in the
+              batch where the later side arrives, so with the
+              deterministic file order the emitted multiset is
+              batch-deterministic too
 
 Modes (argv[1]):
   full     -- drain the whole source in one AvailableNow run (the
@@ -79,6 +84,7 @@ def main(argv: list[str]) -> int:
         STREAM_STATE_PARTITIONS,
         session_window_stream,
         stream_dedup,
+        stream_stream_join,
     )
 
     spark = get_spark(
@@ -90,6 +96,8 @@ def main(argv: list[str]) -> int:
             df = stream_dedup(spark, sf_dir, source_options=opts)
         elif job == "session":
             df = session_window_stream(spark, sf_dir, source_options=opts)
+        elif job == "join":
+            df = stream_stream_join(spark, sf_dir, source_options=opts)
         else:
             raise SystemExit(f"unknown job {job!r}")
         query = (

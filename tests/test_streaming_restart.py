@@ -18,13 +18,16 @@ SUBPROCESS with a fresh JVM (tests/streaming_restart_runner.py): an
 in-process "restart" can ride the state store's in-memory version
 cache and prove nothing about the on-disk checkpoint.
 
-Two stateful operators x two interruption shapes:
+Three state-store families x two interruption shapes:
 
   dedup (dropDuplicatesWithinWatermark, key-expiry store)
     full | partial (graceful stop() after >=3 batches) + resume
          | kill    (hard os._exit(137) mid-drain)       + resume
   session (native session_window agg, merging-session store, APPEND
            mode -> only watermark-finalized sessions reach the sink)
+    full | kill + resume
+  join (stream-stream interval self-join, symmetric-hash join state —
+        matches emit in the batch where the later side arrives)
     full | kill + resume
 
 The graceful pair checks clean-shutdown accounting (resume re-runs at
@@ -33,7 +36,7 @@ is the adversarial case — os._exit skips every shutdown hook, so the
 checkpoint can be torn mid-batch (orphan sink files, partial state
 delta) and recovery must still deliver the baseline multiset exactly.
 
-Cost note: eight subprocess JVMs, ~2.5-3 min total — the module runs
+Cost note: eleven subprocess JVMs, ~3.5-4 min total — the module runs
 all legs ONCE (module-scoped fixture) and every assertion reads from
 them.
 """
@@ -138,6 +141,15 @@ def legs(restart_src, tmp_path_factory):
     r["resume_sk"] = _run_leg(
         "resume", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w
     )
+    # stream-stream join: uninterrupted baseline, hard-kill pair
+    r["full_j"] = _run_leg("full", "join", restart_src, f"{w}/ck_jf", f"{w}/out_jf", w)
+    _run_leg(
+        "kill", "join", restart_src, f"{w}/ck_jk", f"{w}/out_jk", w, STOP_AFTER,
+        expect_rc=137,
+    )
+    r["resume_jk"] = _run_leg(
+        "resume", "join", restart_src, f"{w}/ck_jk", f"{w}/out_jk", w
+    )
     return r
 
 
@@ -156,7 +168,7 @@ def test_interrupts_landed_mid_drain(legs) -> None:
     batch count)."""
     assert legs["partial"]["data_batches"] >= STOP_AFTER
     assert legs["partial"]["data_batches"] < N_PARTS
-    for leg in ("resume", "resume_k", "resume_sk"):
+    for leg in ("resume", "resume_k", "resume_sk", "resume_jk"):
         assert legs[leg]["data_batches"] >= 1, leg
 
 
@@ -172,8 +184,13 @@ def test_resume_processes_only_uncommitted_batches(legs) -> None:
 
 @pytest.mark.parametrize(
     ("interrupted", "baseline"),
-    [("out_p", "out_f"), ("out_k", "out_f"), ("out_sk", "out_sf")],
-    ids=["dedup-graceful", "dedup-hard-kill", "session-hard-kill"],
+    [
+        ("out_p", "out_f"),
+        ("out_k", "out_f"),
+        ("out_sk", "out_sf"),
+        ("out_jk", "out_jf"),
+    ],
+    ids=["dedup-graceful", "dedup-hard-kill", "session-hard-kill", "join-hard-kill"],
 )
 def test_exactly_once_across_restart(spark, legs, interrupted, baseline) -> None:
     """The headline contract: interrupt + fresh-process resume delivers
