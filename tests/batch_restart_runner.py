@@ -1,0 +1,84 @@
+"""Subprocess runner for the BATCH extract crash-recovery parity axis.
+
+tests/test_batch_restart.py launches this in a separate process to
+reproduce the reference's actual failure mode — the Lambda dies
+mid-extract on its 900 s budget (/root/reference/src/
+db_extractor_full.py:382-408) — against this engine's deliberate
+deviation: state commits only after EVERY table sank (plans/
+pipeline.py extract_run), so a killed run must leave the state document
+untouched and a plain re-run must converge on exactly what an
+uninterrupted run produces, even over the dead run's torn on-disk
+leftovers.
+
+Modes (argv[1]):
+  full   -- extract_run to completion (baseline OR the re-run leg,
+            depending on which out/state dirs it is pointed at)
+  crash  -- extract_run with write_table_parquet patched: the first
+            CRASH_AFTER tables write for real, then the next table's
+            output dir is left TORN — a plausible-but-wrong committed
+            part file plus a _temporary/ scratch dir, no _SUCCESS
+            (exactly what a killed distributed write leaves behind) —
+            and the process os._exit(137)s, skipping every cleanup hook
+
+argv: mode src_dir out_dir state_path
+
+`full` prints one JSON line: {"serial": ..., "tables": {...}}.
+`crash` prints the torn table path on stdout BEFORE exiting 137 so the
+parent can assert the re-run really faced dirty state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+#: Tables written successfully before the kill; discovery order is
+#: sorted, so with the three-table fixture the torn table is always the
+#: second one (cdc_insert_only).
+CRASH_AFTER = 1
+
+
+def main(argv: list[str]) -> int:
+    mode, src, out, state_path = argv[:4]
+
+    from aws_data_warehouse_lambda_spark.session import get_spark
+    from aws_data_warehouse_lambda_spark.plans import pipeline
+    from aws_data_warehouse_lambda_spark.sinks.parquet_sink import (
+        table_run_path,
+        write_table_parquet,
+    )
+
+    spark = get_spark(f"batch-restart-{mode}", shuffle_partitions=4)
+    try:
+        if mode == "crash":
+            calls = {"n": 0}
+
+            def torn_write(df, out_dir, table, serial, **kw):
+                if calls["n"] < CRASH_AFTER:
+                    calls["n"] += 1
+                    return write_table_parquet(df, out_dir, table, serial, **kw)
+                path = table_run_path(out_dir, table, serial)
+                # Committed-task leftovers of a killed job: one
+                # plausible (real-schema, wrong-rowcount) part file and
+                # the _temporary scratch tree; deliberately no _SUCCESS.
+                os.makedirs(f"{path}/_temporary/0", exist_ok=True)
+                df.limit(1).toPandas().to_parquet(f"{path}/part-00000-torn.parquet")
+                print(json.dumps({"torn_path": path}), flush=True)
+                os._exit(137)
+
+            pipeline.write_table_parquet = torn_write
+            try:
+                pipeline.extract_run(spark, src, out, state_path)
+            finally:
+                pipeline.write_table_parquet = write_table_parquet
+            raise SystemExit("crash mode completed without crashing")
+        res = pipeline.extract_run(spark, src, out, state_path)
+        print(json.dumps({"serial": res["serial"], "tables": res["tables"]}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,152 @@
+"""BATCH extract crash-recovery parity: the commit-only-on-success
+contract proven against a HARD mid-run kill, end to end.
+
+test_cdc_pipeline.test_commit_only_on_success raises an in-process
+exception and checks the state document; this axis goes the rest of the
+way — the distance between "an exception path keeps state clean" and
+"a production re-run converges after a process death":
+
+  1. a subprocess extract run is os._exit(137)-killed mid-run
+     (tests/batch_restart_runner.py), AFTER one table committed and
+     with the next table's output dir left TORN (a plausible committed
+     part file + _temporary/ scratch, no _SUCCESS — what a killed
+     distributed write leaves behind);
+  2. the state document must not exist (extract_run saves only after
+     every table sank; EngineState.save is atomic temp+rename);
+  3. a plain re-run in a FRESH process, same out/state dirs, must
+     converge: same serial as a never-crashed baseline, identical
+     per-table row sets at run_serial=000001, the torn part file and
+     _temporary tree gone (the run-serial sink writes mode=overwrite,
+     so a retry at the SAME serial supersedes the dead run's leftovers
+     — that overwrite is the load-bearing at-least-once piece this
+     axis pins).
+
+This is the batch twin of tests/test_streaming_restart.py and the
+engine-side analog of the reference's Lambda-timeout + SSM-resume
+behavior (/root/reference/src/db_extractor_full.py:382-408,539-556).
+Cost: three subprocess JVMs, ~40 s, module-scoped.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import Row
+
+RUNNER = os.path.join(os.path.dirname(__file__), "batch_restart_runner.py")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = ["cdc_full", "cdc_insert_only", "cdc_upsert"]
+TORN_TABLE = "cdc_insert_only"  # discovery is sorted; kill lands on table 2
+
+
+@pytest.fixture(scope="module")
+def batch_src(spark, tmp_path_factory) -> str:
+    """Three-table CDC source (trimmed FIXTURES.md §B shape): one
+    timestamp-less full-dump table, one insert-only table, one upsert
+    table — enough to cover all three dispatch paths in one run."""
+    src = str(tmp_path_factory.mktemp("batch_restart_src"))
+    ts = dt.datetime
+    spark.createDataFrame(
+        [Row(id=1, payload="a"), Row(id=2, payload="b")]
+    ).write.mode("overwrite").parquet(f"{src}/cdc_full.parquet")
+    spark.createDataFrame(
+        [
+            Row(id=1, created_at=ts(2024, 1, 1), amount=10.0),
+            Row(id=2, created_at=ts(2024, 1, 2), amount=20.0),
+        ]
+    ).write.mode("overwrite").parquet(f"{src}/cdc_insert_only.parquet")
+    spark.createDataFrame(
+        [
+            Row(id="r1", created_at=ts(2024, 1, 1), updated_at=ts(2024, 1, 3), status="new"),
+            Row(id="r2", created_at=ts(2024, 1, 2), updated_at=ts(2024, 1, 2), status="new"),
+        ]
+    ).write.mode("overwrite").parquet(f"{src}/cdc_upsert.parquet")
+    return src
+
+
+def _run(mode: str, src: str, out: str, state: str, work: str, expect_rc: int = 0):
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        TZ="America/New_York",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_DRIVER_MEM="2g",
+    )
+    res = subprocess.run(
+        [sys.executable, RUNNER, mode, src, out, state],
+        capture_output=True, text=True, timeout=600, env=env, cwd=work,
+    )
+    assert res.returncode == expect_rc, (
+        f"{mode} leg: expected rc={expect_rc}, got {res.returncode}"
+        f"\n--- stdout ---\n{res.stdout[-2000:]}"
+        f"\n--- stderr ---\n{res.stderr[-2000:]}"
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def legs(batch_src, tmp_path_factory):
+    w = str(tmp_path_factory.mktemp("batch_restart_runs"))
+    base = _run("full", batch_src, f"{w}/out_base", f"{w}/state_base.json", w)
+    crash = _run(
+        "crash", batch_src, f"{w}/out_r", f"{w}/state_r.json", w, expect_rc=137
+    )
+    # Snapshot the dead run's wreckage BEFORE the re-run cleans it up.
+    torn = crash["torn_path"]
+    wreck = {
+        "state_exists": os.path.exists(f"{w}/state_r.json"),
+        "torn_part": os.path.exists(f"{torn}/part-00000-torn.parquet"),
+        "torn_tmp": os.path.isdir(f"{torn}/_temporary"),
+        "success_marker": os.path.exists(f"{torn}/_SUCCESS"),
+    }
+    rerun = _run("full", batch_src, f"{w}/out_r", f"{w}/state_r.json", w)
+    return {"work": w, "base": base, "torn": torn, "wreck": wreck, "rerun": rerun}
+
+
+def test_kill_left_real_wreckage_and_no_state(legs) -> None:
+    """The axis must actually face a dirty directory: the dead run left
+    a committed-looking part file and a _temporary tree with no
+    _SUCCESS, and — the commit-only-on-success contract — no state
+    document at all."""
+    assert legs["wreck"] == {
+        "state_exists": False,
+        "torn_part": True,
+        "torn_tmp": True,
+        "success_marker": False,
+    }
+    assert legs["torn"].endswith(f"{TORN_TABLE}/run_serial=000001")
+
+
+def test_rerun_converges_on_the_baseline(spark, legs) -> None:
+    """Re-run after the kill == never-crashed run: same serial, and
+    bit-identical per-table row sets at run_serial=000001."""
+    assert legs["rerun"]["serial"] == legs["base"]["serial"] == "000001"
+    for t in TABLES:
+        got = sorted(
+            tuple(map(str, r))
+            for r in spark.read.parquet(
+                f"{legs['work']}/out_r/{t}/run_serial=000001"
+            ).collect()
+        )
+        want = sorted(
+            tuple(map(str, r))
+            for r in spark.read.parquet(
+                f"{legs['work']}/out_base/{t}/run_serial=000001"
+            ).collect()
+        )
+        assert got == want, t
+
+
+def test_rerun_supersedes_the_wreckage(legs) -> None:
+    """mode=overwrite at the SAME serial must clobber the torn output:
+    no stray part file, no _temporary tree, _SUCCESS present."""
+    torn = legs["torn"]
+    assert not os.path.exists(f"{torn}/part-00000-torn.parquet")
+    assert not os.path.isdir(f"{torn}/_temporary")
+    assert os.path.exists(f"{torn}/_SUCCESS")
