@@ -313,3 +313,39 @@ def test_connected_components_long_path_and_empty(spark) -> None:
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert connected_components(empty).count() == 0
+
+
+# --- streaming layout detection: canonical path comparison ----------------
+
+_path_segment = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="/\x00", exclude_categories=("Cs",)
+    ),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s not in (".", "..") and not s.endswith(" "))
+
+
+@settings(deadline=None)  # first example pays the jobs-module import
+@given(st.lists(_path_segment, min_size=1, max_size=4))
+def test_canonical_local_path_round_trips_file_uris(segments) -> None:
+    """_canonical_local_path must equate a plain absolute path with the
+    percent-encoded file: URI inputFiles() returns for it — for ANY
+    segment content (spaces, '%', '#', '?', unicode). A miss in either
+    direction misroutes the streaming source: URI-side miss -> a true
+    single file hits .load(<file>) and raises; path-side miss -> a
+    directory table reverts to the zero-row glob (ADVICE r8)."""
+    import pathlib
+    import urllib.parse
+
+    from aws_data_warehouse_lambda_spark.streaming.jobs import (
+        _canonical_local_path,
+    )
+
+    plain = "/" + "/".join(segments)
+    # quote() the way the JVM Path/URI layer does: '/' stays a separator,
+    # everything else in a segment may be escaped.
+    uri = "file:" + urllib.parse.quote(plain)
+    assert _canonical_local_path(uri) == _canonical_local_path(plain)
+    # and the canonical form is the normalized plain path itself
+    assert _canonical_local_path(plain) == str(pathlib.PurePosixPath(plain))
