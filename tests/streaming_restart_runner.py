@@ -87,9 +87,18 @@ def main(argv: list[str]) -> int:
         stream_stream_join,
     )
 
-    spark = get_spark(
-        f"restart-{job}-{mode}", shuffle_partitions=STREAM_STATE_PARTITIONS
+    # SPARK_GRAFT_RESTART_SHUFFLE simulates CONFIG DRIFT across a
+    # redeploy: the resume leg can ask for a different
+    # spark.sql.shuffle.partitions than the one frozen into the
+    # checkpoint at first start. Spark must keep using the checkpointed
+    # state partition count (state rows are hash-bound to it); a resume
+    # that respected the new session value instead would read every
+    # state store empty — silent duplicate emission the multiset parity
+    # would catch.
+    shuffle = int(
+        os.environ.get("SPARK_GRAFT_RESTART_SHUFFLE", STREAM_STATE_PARTITIONS)
     )
+    spark = get_spark(f"restart-{job}-{mode}", shuffle_partitions=shuffle)
     try:
         opts = {"maxFilesPerTrigger": "1"}
         if job == "dedup":

@@ -138,9 +138,19 @@ def legs(restart_src, tmp_path_factory):
         "kill", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w, STOP_AFTER,
         expect_rc=137,
     )
-    r["resume_sk"] = _run_leg(
-        "resume", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w
-    )
+    # The session resume leg additionally simulates CONFIG DRIFT: it
+    # runs with spark.sql.shuffle.partitions=11 against the checkpoint
+    # created at 4 — a redeploy that retunes the session must not make
+    # the resumed query read its (4-partition-hashed) state stores
+    # empty; Spark keeps the checkpointed count, and the multiset
+    # parity below is what proves it.
+    os.environ["SPARK_GRAFT_RESTART_SHUFFLE"] = "11"
+    try:
+        r["resume_sk"] = _run_leg(
+            "resume", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_RESTART_SHUFFLE"]
     # stream-stream join: uninterrupted baseline, hard-kill pair
     r["full_j"] = _run_leg("full", "join", restart_src, f"{w}/ck_jf", f"{w}/out_jf", w)
     _run_leg(
