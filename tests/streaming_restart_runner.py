@@ -99,6 +99,14 @@ def main(argv: list[str]) -> int:
         os.environ.get("SPARK_GRAFT_RESTART_SHUFFLE", STREAM_STATE_PARTITIONS)
     )
     spark = get_spark(f"restart-{job}-{mode}", shuffle_partitions=shuffle)
+    # SPARK_GRAFT_STATE_PROVIDER swaps the state-store backend (e.g.
+    # RocksDBStateStoreProvider, what a large-state 100 TB deployment
+    # runs) for BOTH legs of a kill/resume pair — the on-disk formats
+    # differ, so a checkpoint must be created and resumed under the
+    # same provider.
+    provider = os.environ.get("SPARK_GRAFT_STATE_PROVIDER")
+    if provider:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     try:
         opts = {"maxFilesPerTrigger": "1"}
         if job == "dedup":

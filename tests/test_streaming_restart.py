@@ -23,6 +23,7 @@ Three state-store families x two interruption shapes:
   dedup (dropDuplicatesWithinWatermark, key-expiry store)
     full | partial (graceful stop() after >=3 batches) + resume
          | kill    (hard os._exit(137) mid-drain)       + resume
+         | kill + resume under the ROCKSDB state store provider
   session (native session_window agg, merging-session store, APPEND
            mode -> only watermark-finalized sessions reach the sink)
     full | kill + resume
@@ -36,7 +37,7 @@ is the adversarial case — os._exit skips every shutdown hook, so the
 checkpoint can be torn mid-batch (orphan sink files, partial state
 delta) and recovery must still deliver the baseline multiset exactly.
 
-Cost note: eleven subprocess JVMs, ~3.5-4 min total — the module runs
+Cost note: thirteen subprocess JVMs, ~4.5 min total — the module runs
 all legs ONCE (module-scoped fixture) and every assertion reads from
 them.
 """
@@ -151,6 +152,25 @@ def legs(restart_src, tmp_path_factory):
         )
     finally:
         del os.environ["SPARK_GRAFT_RESTART_SHUFFLE"]
+    # dedup under the ROCKSDB state store (the backend a large-state
+    # production deployment runs; snapshot-zip + changelog on disk, a
+    # completely different recovery format from the HDFS-backed
+    # provider): hard-kill pair only — its output must match the
+    # HDFS-provider uninterrupted baseline, since the provider is an
+    # implementation detail the emitted rows may not depend on.
+    os.environ["SPARK_GRAFT_STATE_PROVIDER"] = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        _run_leg(
+            "kill", "dedup", restart_src, f"{w}/ck_rk", f"{w}/out_rk", w, STOP_AFTER,
+            expect_rc=137,
+        )
+        r["resume_rk"] = _run_leg(
+            "resume", "dedup", restart_src, f"{w}/ck_rk", f"{w}/out_rk", w
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_STATE_PROVIDER"]
     # stream-stream join: uninterrupted baseline, hard-kill pair
     r["full_j"] = _run_leg("full", "join", restart_src, f"{w}/ck_jf", f"{w}/out_jf", w)
     _run_leg(
@@ -178,7 +198,7 @@ def test_interrupts_landed_mid_drain(legs) -> None:
     batch count)."""
     assert legs["partial"]["data_batches"] >= STOP_AFTER
     assert legs["partial"]["data_batches"] < N_PARTS
-    for leg in ("resume", "resume_k", "resume_sk", "resume_jk"):
+    for leg in ("resume", "resume_k", "resume_sk", "resume_jk", "resume_rk"):
         assert legs[leg]["data_batches"] >= 1, leg
 
 
@@ -197,10 +217,17 @@ def test_resume_processes_only_uncommitted_batches(legs) -> None:
     [
         ("out_p", "out_f"),
         ("out_k", "out_f"),
+        ("out_rk", "out_f"),
         ("out_sk", "out_sf"),
         ("out_jk", "out_jf"),
     ],
-    ids=["dedup-graceful", "dedup-hard-kill", "session-hard-kill", "join-hard-kill"],
+    ids=[
+        "dedup-graceful",
+        "dedup-hard-kill",
+        "dedup-hard-kill-rocksdb",
+        "session-hard-kill",
+        "join-hard-kill",
+    ],
 )
 def test_exactly_once_across_restart(spark, legs, interrupted, baseline) -> None:
     """The headline contract: interrupt + fresh-process resume delivers
