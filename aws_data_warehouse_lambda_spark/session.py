@@ -54,6 +54,16 @@ PRODUCTION_CONF: dict[str, str] = {
     # S3A equivalent: buffer parts in memory, bounded by fast.upload
     # active blocks.
     "spark.hadoop.fs.s3a.fast.upload": "true",
+    # Large streaming state belongs in RocksDB, not the executor heap:
+    # the HDFS-backed default keeps every loaded state-store version in
+    # on-heap maps, while RocksDB spills to local disk and checkpoints
+    # via snapshot zips + changelog. Hard-kill recovery under this
+    # provider is pinned by tests/test_streaming_restart.py
+    # (dedup-hard-kill-rocksdb), so flipping it on in production does
+    # not change emitted rows.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
 }
 
 
