@@ -37,6 +37,15 @@ SESSION_GAP_MIN = 30
 
 _sink_ids = itertools.count()
 
+#: Filesystem schemes accepted in their single-slash URI form
+#: (``file:/x`` — what Hadoop's Path.toString emits). Anything else
+#: must spell ``scheme://`` to be treated as a URI; a bare
+#: ``word:rest`` is a relative local path.
+_FS_SCHEMES = frozenset(
+    {"file", "hdfs", "viewfs", "s3", "s3a", "s3n", "gs", "abfs", "abfss",
+     "wasb", "wasbs", "oss", "cosn"}
+)
+
 
 def _canonical_local_path(p: str) -> str:
     """Reduce a table path OR an ``inputFiles()`` entry to one
@@ -49,9 +58,21 @@ def _canonical_local_path(p: str) -> str:
     only the decoded path component — scheme aliasing (s3:// handed in,
     s3a:// listed back) would otherwise never compare equal, and the
     listing came from reading that very path, so the
-    authority/filesystem is the same by construction."""
+    authority/filesystem is the same by construction.
+
+    An input counts as a URI only when it carries an explicit ``://``
+    or a *known filesystem* scheme (``file:/x`` single-slash, the form
+    Hadoop prints): ``urlparse`` alone would read a RELATIVE path whose
+    first segment contains a colon — ``data:v2/sf0.001`` — as scheme
+    ``data`` and "canonicalize" it to the relative ``v2/sf0.001``,
+    which can never equal the absolute listing side, silently flipping
+    a single-file table onto the directory branch (ADVICE r9 #2;
+    red-before/green-after in tests/test_adversarial_layout.py)."""
     parsed = urllib.parse.urlparse(p)
-    if parsed.scheme:
+    if parsed.scheme and (
+        p.startswith(parsed.scheme + "://")
+        or parsed.scheme.lower() in _FS_SCHEMES
+    ):
         return os.path.normpath(urllib.parse.unquote(parsed.path))
     return os.path.abspath(p)
 

@@ -200,3 +200,40 @@ def test_events_percent_encoded_sf_dir_matches_single_file(
     spark, space_in_path_events_sf, standard_rows, name
 ) -> None:
     assert _rows(spark, name, space_in_path_events_sf) == standard_rows(name)
+
+
+def test_canonical_path_guards_colon_relative_inputs() -> None:
+    """ADVICE r9 #2: a RELATIVE sf_dir whose first segment carries a
+    colon — ``data:v2/sf0.001`` — parses under ``urlparse`` as scheme
+    ``data``, and the pre-fix detector "canonicalized" it to the
+    relative ``v2/sf0.001/...`` (this test's first assertion was RED
+    against that code): never equal to the absolute ``inputFiles()``
+    side, so a true single-file table silently flipped onto the
+    directory branch. The guarded branch treats an input as a URI only
+    on an explicit ``://`` or a known filesystem scheme (the
+    single-slash ``file:/x`` form Hadoop prints); everything else
+    resolves with abspath.
+
+    Unit-shaped on purpose: this cannot be a streaming parity case
+    because Hadoop rejects colon-relative paths outright
+    ("java.net.URISyntaxException: Relative path in absolute URI" —
+    probed against this container's Spark 4.1.2), so the batch schema
+    probe inside events_stream throws before the detector ever runs.
+    The guard matters for the comparison's integrity on paths Spark
+    CAN read; the colon shape is its sharpest observable misparse."""
+    from aws_data_warehouse_lambda_spark.streaming.jobs import _canonical_local_path
+
+    rel = "data:v2/sf0.001/events.parquet"
+    assert _canonical_local_path(rel) == os.path.abspath(rel)
+    # Colon-free relative paths keep resolving against the cwd:
+    assert _canonical_local_path("sf0.001/events.parquet") == os.path.abspath(
+        "sf0.001/events.parquet"
+    )
+    # URI forms keep taking the URI branch — percent-decoded, authority
+    # dropped, single-slash Hadoop form included:
+    assert _canonical_local_path("file:///tmp/a%20b/x.parquet") == "/tmp/a b/x.parquet"
+    assert _canonical_local_path("file:/tmp/a/x.parquet") == "/tmp/a/x.parquet"
+    assert _canonical_local_path("s3a://bucket/t/x.parquet") == "/t/x.parquet"
+    # An UNKNOWN scheme still counts as a URI when it spells ``://``
+    # (the generic form the old code meant to accept):
+    assert _canonical_local_path("xyz://host/p/q.parquet") == "/p/q.parquet"
