@@ -40,11 +40,14 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
-#: Hadoop/S3A confs for production deployments writing to S3. Not
-#: applied in the harness (no S3A jars locally); get_spark(production=
-#: True) and real cluster submit configs pick these up. SSE parity: the
-#: reference sets ServerSideEncryption="AES256" on every multipart
-#: upload (src/db_extractor_full.py:126-132).
+#: Production-only confs, two distinct kinds: S3A sink tuning (inert
+#: without the hadoop-aws jars, so harness-invisible; real cluster
+#: submit configs pick it up) and the LARGE-STATE STREAMING BACKEND
+#: (RocksDB state store — NOT inert: it swaps the state-store on-disk
+#: format everywhere it runs, which is why its recovery behavior is
+#: kill/resume-pinned in the harness, see the entry's comment). SSE
+#: parity: the reference sets ServerSideEncryption="AES256" on every
+#: multipart upload (src/db_extractor_full.py:126-132).
 PRODUCTION_CONF: dict[str, str] = {
     "spark.hadoop.fs.s3a.server-side-encryption-algorithm": "AES256",
     # Reference uses up to 64 parallel S3 connections per worker
@@ -58,9 +61,11 @@ PRODUCTION_CONF: dict[str, str] = {
     # the HDFS-backed default keeps every loaded state-store version in
     # on-heap maps, while RocksDB spills to local disk and checkpoints
     # via snapshot zips + changelog. Hard-kill recovery under this
-    # provider is pinned by tests/test_streaming_restart.py
-    # (dedup-hard-kill-rocksdb), so flipping it on in production does
-    # not change emitted rows.
+    # provider is pinned by tests/test_streaming_restart.py for ALL
+    # THREE state-store families the engine ships — key-expiry dedup,
+    # merging session-window, symmetric-hash stream-stream join
+    # (*-hard-kill-rocksdb legs) — so routing production state through
+    # it does not change emitted rows for any of them.
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
@@ -148,8 +153,10 @@ def get_spark(
 ) -> SparkSession:
     """Build a local session (tests / bench). The verify driver passes its
     own session to ``entry``/``queries`` — those go through :func:`tune`.
-    ``production=True`` adds the S3A block (SSE-AES256 etc.); S3A confs
-    are inert without the hadoop-aws jars, so this is cluster-only.
+    ``production=True`` adds PRODUCTION_CONF: the S3A sink tuning (inert
+    without the hadoop-aws jars — cluster-only) plus the RocksDB
+    streaming state backend, which is ACTIVE wherever it is set and is
+    restart-pinned locally by tests/test_streaming_restart.py.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (

@@ -23,7 +23,6 @@ Three state-store families x two interruption shapes:
   dedup (dropDuplicatesWithinWatermark, key-expiry store)
     full | partial (graceful stop() after >=3 batches) + resume
          | kill    (hard os._exit(137) mid-drain)       + resume
-         | kill + resume under the ROCKSDB state store provider
   session (native session_window agg, merging-session store, APPEND
            mode -> only watermark-finalized sessions reach the sink)
     full | kill + resume
@@ -31,13 +30,18 @@ Three state-store families x two interruption shapes:
         matches emit in the batch where the later side arrives)
     full | kill + resume
 
+plus a kill + resume pair for EVERY family under the RocksDB state
+store provider (the backend session.py PRODUCTION_CONF routes all
+production streaming state through — ADVICE r9 #1 closed by executing
+that claim for all three store formats, not just dedup's).
+
 The graceful pair checks clean-shutdown accounting (resume re-runs at
 most the one offsets-WAL'd-but-uncommitted batch); the hard-kill pair
 is the adversarial case — os._exit skips every shutdown hook, so the
 checkpoint can be torn mid-batch (orphan sink files, partial state
 delta) and recovery must still deliver the baseline multiset exactly.
 
-Cost note: thirteen subprocess JVMs, ~4.5 min total — the module runs
+Cost note: seventeen subprocess JVMs, ~5.5 min total — the module runs
 all legs ONCE (module-scoped fixture) and every assertion reads from
 them.
 """
@@ -152,25 +156,6 @@ def legs(restart_src, tmp_path_factory):
         )
     finally:
         del os.environ["SPARK_GRAFT_RESTART_SHUFFLE"]
-    # dedup under the ROCKSDB state store (the backend a large-state
-    # production deployment runs; snapshot-zip + changelog on disk, a
-    # completely different recovery format from the HDFS-backed
-    # provider): hard-kill pair only — its output must match the
-    # HDFS-provider uninterrupted baseline, since the provider is an
-    # implementation detail the emitted rows may not depend on.
-    os.environ["SPARK_GRAFT_STATE_PROVIDER"] = (
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    )
-    try:
-        _run_leg(
-            "kill", "dedup", restart_src, f"{w}/ck_rk", f"{w}/out_rk", w, STOP_AFTER,
-            expect_rc=137,
-        )
-        r["resume_rk"] = _run_leg(
-            "resume", "dedup", restart_src, f"{w}/ck_rk", f"{w}/out_rk", w
-        )
-    finally:
-        del os.environ["SPARK_GRAFT_STATE_PROVIDER"]
     # stream-stream join: uninterrupted baseline, hard-kill pair
     r["full_j"] = _run_leg("full", "join", restart_src, f"{w}/ck_jf", f"{w}/out_jf", w)
     _run_leg(
@@ -180,6 +165,31 @@ def legs(restart_src, tmp_path_factory):
     r["resume_jk"] = _run_leg(
         "resume", "join", restart_src, f"{w}/ck_jk", f"{w}/out_jk", w
     )
+    # ALL THREE state-store families under the ROCKSDB provider (the
+    # backend a large-state production deployment runs — session.py
+    # PRODUCTION_CONF routes every stateful job through it; snapshot-zip
+    # + changelog on disk, a completely different recovery format from
+    # the HDFS-backed provider): hard-kill pairs only — each family's
+    # output must match the HDFS-provider uninterrupted baseline, since
+    # the provider is an implementation detail the emitted rows may not
+    # depend on. r9 pinned only the dedup (key-expiry) family here;
+    # ADVICE r9 #1 flagged that PRODUCTION_CONF's claim covered the
+    # merging-session and symmetric-hash stores too, so the pairs now
+    # execute the claim instead of wording it down.
+    os.environ["SPARK_GRAFT_STATE_PROVIDER"] = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        for job, tag in (("dedup", "rk"), ("session", "srk"), ("join", "jrk")):
+            _run_leg(
+                "kill", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w,
+                STOP_AFTER, expect_rc=137,
+            )
+            r[f"resume_{tag}"] = _run_leg(
+                "resume", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w
+            )
+    finally:
+        del os.environ["SPARK_GRAFT_STATE_PROVIDER"]
     return r
 
 
@@ -198,7 +208,15 @@ def test_interrupts_landed_mid_drain(legs) -> None:
     batch count)."""
     assert legs["partial"]["data_batches"] >= STOP_AFTER
     assert legs["partial"]["data_batches"] < N_PARTS
-    for leg in ("resume", "resume_k", "resume_sk", "resume_jk", "resume_rk"):
+    for leg in (
+        "resume",
+        "resume_k",
+        "resume_sk",
+        "resume_jk",
+        "resume_rk",
+        "resume_srk",
+        "resume_jrk",
+    ):
         assert legs[leg]["data_batches"] >= 1, leg
 
 
@@ -220,6 +238,8 @@ def test_resume_processes_only_uncommitted_batches(legs) -> None:
         ("out_rk", "out_f"),
         ("out_sk", "out_sf"),
         ("out_jk", "out_jf"),
+        ("out_srk", "out_sf"),
+        ("out_jrk", "out_jf"),
     ],
     ids=[
         "dedup-graceful",
@@ -227,6 +247,8 @@ def test_resume_processes_only_uncommitted_batches(legs) -> None:
         "dedup-hard-kill-rocksdb",
         "session-hard-kill",
         "join-hard-kill",
+        "session-hard-kill-rocksdb",
+        "join-hard-kill-rocksdb",
     ],
 )
 def test_exactly_once_across_restart(spark, legs, interrupted, baseline) -> None:
