@@ -26,74 +26,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # r9 WINDOW (50). First: the 16 r6-vintage rows pre-staged by r8
-    # (VERDICT r8 task #1) — the only rows that would otherwise go 3
-    # rounds stale; q_time_spine_gapfill leads:
-    "q_time_spine_gapfill",
-    "q_spine_forward_fill",
-    "q_pii_redact",
-    "q_frame_sample",
-    "q_window_lag_lead",
-    "q_window_running",
-    "q_string_funcs",
-    "q_json_extract",
-    "q_json_agg",
-    "q_map_funcs",
-    "q_variant_extract",
-    "q_quality_filter",
-    "q_multimodal_features",
-    "q_embedding_quantize",
-    "q_udtf_chunks",
-    "q_pandas_udf_scalar",
-    # CODE TOUCHED IN r9: streaming/jobs.py again — the layout detector
-    # now compares full canonical paths instead of leaf names (ADVICE
-    # r8: a single-part directory whose file shares the table's leaf
-    # name was misrouted onto the zero-row glob path) and events_stream
-    # grew a source_options passthrough for the restart-parity axis.
-    # The one source feeds all six streaming jobs, so fresh rows land
-    # on all of them:
-    "q_stream_dedup",
-    "q_stream_sessionize",
-    "q_stream_session_window",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_stream_stream_join",
-    # The rest of the window: the 28 OLDEST of the 44 r7-vintage rows
-    # (alphabetical over that set — aggregates, the dedup/graph family,
-    # set ops, asof/salted joins, k-means):
-    "q_conditional_agg",
-    "q_contamination",
-    "q_count_distinct",
-    "q_cube",
-    "q_dedup_clusters",
-    "q_dedup_containment",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_keep_list",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_except",
-    "q_except_all",
-    "q_funnel_steps",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_intersect_all",
-    "q_join_asof",
-    "q_join_asof_pandas",
-    "q_join_salted",
-    "q_kmeans_iter",
-    "q_min_max_exact",
-    "q_multi_distinct",
-    "q_ngram_topk",
-    "q_pandas_udf_iterator",
-    # --- beyond the ~50-row driver window: PRE-STAGED r10 ROTATION ---
-    # The 16 remaining r7-vintage rows (similarity search, event-time
-    # batch windows, set ops, window frames, text quality/tfidf); if
-    # the driver reads past 50 they get rows a round early, and r10's
-    # reorder starts from here.
+    # r11 WINDOW (50). First: the 16 rows pre-staged for r10 that the
+    # lost round never rotated in (VERDICT r10 task #1 — round 10 had
+    # zero builder turns, so these are the only rows now 3 driver-rounds
+    # stale); q_percentiles_exact leads:
     "q_percentiles_exact",
     "q_session_window",
     "q_sessionize",
@@ -110,6 +46,68 @@ _DRIVER_FIRST = [
     "q_union_all_counts",
     "q_window_range_frame",
     "q_window_ranks",
+    # CODE TOUCHED IN r11: streaming/jobs.py once more — the layout
+    # detector's _canonical_local_path no longer misparses a
+    # colon-bearing RELATIVE path as a URI (ADVICE r9 #2). The one
+    # source feeds all six streaming jobs, so fresh rows land on all:
+    "q_stream_dedup",
+    "q_stream_sessionize",
+    "q_stream_session_window",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_stream_stream_join",
+    # The rest of the window: the 28 OLDEST of the 44 r8-vintage rows
+    # (alphabetical over that set — catalog/scan surface, subqueries,
+    # the batch join family, sketches, sampling):
+    "q_approx_distinct",
+    "q_array_funcs",
+    "q_boilerplate_spans",
+    "q_catalog_columns",
+    "q_catalog_tables",
+    "q_cdc_compact",
+    "q_coerce_types",
+    "q_date_funcs",
+    "q_embedding_centroids",
+    "q_exists_subquery",
+    "q_full_scan",
+    "q_fuzzy_join",
+    "q_histogram",
+    "q_hll_mergeable",
+    "q_in_subquery",
+    "q_incremental_scan",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_full_outer",
+    "q_join_outer",
+    "q_join_range",
+    "q_join_semi",
+    "q_lateral_topk",
+    "q_math_case",
+    "q_null_semantics",
+    "q_pandas_udf_grouped_agg",
+    "q_percentiles",
+    "q_pivot_event_types",
+    # --- beyond the ~50-row driver window: PRE-STAGED r12 ROTATION ---
+    # The 16 remaining r8-vintage rows (pricing/TPC-H-style reports,
+    # rollup, sampling, text analysis, unpivot, window frames); if the
+    # driver reads past 50 they get rows a round early, and r12's
+    # reorder starts from here.
+    "q_pricing_summary",
+    "q_repetition",
+    "q_revenue_by_nation",
+    "q_rollup",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_scalar_subquery",
+    "q_shipping_priority",
+    "q_sort_limit",
+    "q_split_assign",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_token_stats",
+    "q_unpivot",
+    "q_upsert_scan",
+    "q_window_frames",
 ]
 
 
