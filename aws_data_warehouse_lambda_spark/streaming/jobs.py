@@ -38,9 +38,9 @@ SESSION_GAP_MIN = 30
 _sink_ids = itertools.count()
 
 #: Filesystem schemes accepted in their single-slash URI form
-#: (``file:/x`` — what Hadoop's Path.toString emits). Anything else
-#: must spell ``scheme://`` to be treated as a URI; a bare
-#: ``word:rest`` is a relative local path.
+#: (``file:/x`` — what Hadoop's Path.toString emits; always an
+#: ABSOLUTE path). Anything else must spell ``scheme://`` to be
+#: treated as a URI; a bare ``word:rest`` is a relative local path.
 _FS_SCHEMES = frozenset(
     {"file", "hdfs", "viewfs", "s3", "s3a", "s3n", "gs", "abfs", "abfss",
      "wasb", "wasbs", "oss", "cosn"}
@@ -61,17 +61,23 @@ def _canonical_local_path(p: str) -> str:
     authority/filesystem is the same by construction.
 
     An input counts as a URI only when it carries an explicit ``://``
-    or a *known filesystem* scheme (``file:/x`` single-slash, the form
-    Hadoop prints): ``urlparse`` alone would read a RELATIVE path whose
-    first segment contains a colon — ``data:v2/sf0.001`` — as scheme
-    ``data`` and "canonicalize" it to the relative ``v2/sf0.001``,
-    which can never equal the absolute listing side, silently flipping
-    a single-file table onto the directory branch (ADVICE r9 #2;
-    red-before/green-after in tests/test_adversarial_layout.py)."""
+    (case-insensitive — RFC 3986 schemes are, and urlparse lowercases
+    its side of the comparison) or a *known filesystem* scheme in the
+    single-slash ABSOLUTE form Hadoop prints (``file:/x``):
+    ``urlparse`` alone would read a RELATIVE path whose first segment
+    contains a colon — ``data:v2/sf0.001`` — as scheme ``data`` and
+    "canonicalize" it to the relative ``v2/sf0.001``, which can never
+    equal the absolute listing side, silently flipping a single-file
+    table onto the directory branch (ADVICE r9 #2). The absolute-path
+    requirement keeps the same hole from reopening one level down: a
+    relative dir named after an FS scheme (``s3:backup/sf``) parses as
+    scheme ``s3`` with a relative path, and Hadoop's single-slash form
+    is always absolute, so path-relative means not-a-URI. Red/green in
+    tests/test_adversarial_layout.py."""
     parsed = urllib.parse.urlparse(p)
     if parsed.scheme and (
-        p.startswith(parsed.scheme + "://")
-        or parsed.scheme.lower() in _FS_SCHEMES
+        p[: len(parsed.scheme) + 3].lower() == parsed.scheme + "://"
+        or (parsed.scheme in _FS_SCHEMES and parsed.path.startswith("/"))
     ):
         return os.path.normpath(urllib.parse.unquote(parsed.path))
     return os.path.abspath(p)

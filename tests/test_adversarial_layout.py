@@ -235,5 +235,16 @@ def test_canonical_path_guards_colon_relative_inputs() -> None:
     assert _canonical_local_path("file:/tmp/a/x.parquet") == "/tmp/a/x.parquet"
     assert _canonical_local_path("s3a://bucket/t/x.parquet") == "/t/x.parquet"
     # An UNKNOWN scheme still counts as a URI when it spells ``://``
-    # (the generic form the old code meant to accept):
+    # (the generic form the old code meant to accept), and RFC 3986
+    # schemes are case-insensitive (r11 review pass 1: the first guard
+    # compared urlparse's LOWERCASED scheme against the raw string, so
+    # an uppercase-scheme URI fell through to abspath garbage):
     assert _canonical_local_path("xyz://host/p/q.parquet") == "/p/q.parquet"
+    assert _canonical_local_path("XYZ://host/p/q.parquet") == "/p/q.parquet"
+    # A relative dir NAMED AFTER an FS scheme must not take the URI
+    # branch (r11 review pass 1: the single-slash allowance initially
+    # keyed on the scheme set alone, reopening the colon-relative hole
+    # for exactly the 13 scheme words; Hadoop's single-slash form is
+    # always absolute, so path-relative means not-a-URI):
+    rel_s3 = "s3:backup/sf0.001/events.parquet"
+    assert _canonical_local_path(rel_s3) == os.path.abspath(rel_s3)
