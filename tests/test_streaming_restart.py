@@ -185,9 +185,20 @@ def legs(restart_src, tmp_path_factory):
                 "kill", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w,
                 STOP_AFTER, expect_rc=137,
             )
-            r[f"resume_{tag}"] = _run_leg(
-                "resume", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w
-            )
+            if job == "session":
+                # The RocksDB session resume ALSO carries the
+                # config-drift scenario (shuffle.partitions 11 vs the
+                # checkpointed 4) — same drift the HDFS-provider
+                # session resume above runs, so the
+                # checkpoint-keeps-its-partition-count contract is
+                # pinned under BOTH providers, not just the default.
+                os.environ["SPARK_GRAFT_RESTART_SHUFFLE"] = "11"
+            try:
+                r[f"resume_{tag}"] = _run_leg(
+                    "resume", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w
+                )
+            finally:
+                os.environ.pop("SPARK_GRAFT_RESTART_SHUFFLE", None)
     finally:
         del os.environ["SPARK_GRAFT_STATE_PROVIDER"]
     return r
