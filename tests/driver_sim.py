@@ -8,8 +8,17 @@ oracles matched — proof that no operator's semantics are silently
 scale-dependent (the md5-derived caps/sampling are deterministic and
 mirrored in the oracle SQL, so capped paths stay bit-identical at any
 corpus size)."""
+import os
 import sys
 sys.path.insert(0, "/root/repo")
+
+# Validate the sf_dir knob BEFORE paying the Spark smoke (~30 s): a
+# mistyped path should fail instantly, and a quote would break the
+# single-quoted DuckDB view SQL below.
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+assert os.path.isdir(sf), f"sf_dir is not a directory: {sf!r}"
+assert "'" not in sf, f"sf_dir would break the quoted DuckDB view SQL: {sf!r}"
+
 from pyspark.sql import SparkSession
 
 spark = (SparkSession.builder.master("local[4]").appName("driver-sim")
@@ -27,11 +36,11 @@ print("SMOKE schema:", df.schema.simpleString())
 print("SMOKE first row:", rows[0])
 assert len(rows) > 0
 
-# correctness: every oracle at sf0.01, duckdb side-by-side
+# correctness: every oracle at sf_dir (default: the driver's sf0.01),
+# duckdb side-by-side
 import duckdb
 qs, os_ = e.queries(), e.oracle_sql()
 print("registered queries:", sorted(qs), "oracles:", sorted(os_))
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 print("sf_dir:", sf)
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
@@ -46,7 +55,14 @@ for name in sorted(os_):
     match = s == o
     print(f"ORACLE {name}: rows={len(s)} match={match}")
     if not match:
+        # zip() alone misses a prefix-shaped divergence (one side a
+        # strict prefix of the other): report counts, then the first
+        # pairwise diff, else the first surplus row on the longer side.
+        print(f"  rows: spark={len(s)} duck={len(o)}")
         for a,b in zip(s,o):
             if a!=b: print("  first diff:\n   spark ", a, "\n   duck  ", b); break
+        else:
+            longer, side = (s, "spark") if len(s) > len(o) else (o, "duck")
+            print(f"  first surplus row ({side}):", longer[min(len(s), len(o))])
         sys.exit(1)
 print("DRIVER-SIM: ALL PASS")

@@ -83,6 +83,21 @@ def restart_src(tmp_path_factory) -> str:
     return str(src)
 
 
+#: Subprocess-env fragments for leg variants (passed via extra_env so
+#: no leg mutates the test process's own os.environ): the RocksDB
+#: state-store backend and the config-drift resume (shuffle.partitions
+#: 11 vs the 4 frozen into the checkpoint at first start — a redeploy
+#: that retunes the session must not make the resumed query read its
+#: 4-partition-hashed state stores empty; the multiset parity proves
+#: Spark keeps the checkpointed count).
+ROCKSDB_ENV = {
+    "SPARK_GRAFT_STATE_PROVIDER": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+}
+DRIFT_ENV = {"SPARK_GRAFT_RESTART_SHUFFLE": "11"}
+
+
 def _run_leg(
     mode: str,
     job: str,
@@ -92,6 +107,7 @@ def _run_leg(
     work: str,
     stop_after=None,
     expect_rc: int = 0,
+    extra_env: dict | None = None,
 ):
     cmd = [sys.executable, RUNNER, mode, job, src, ckpt, out]
     if stop_after is not None:
@@ -105,6 +121,7 @@ def _run_leg(
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_DRIVER_MEM="2g",
     )
+    env.update(extra_env or {})
     res = subprocess.run(
         cmd, capture_output=True, text=True, timeout=600, env=env, cwd=work
     )
@@ -143,19 +160,12 @@ def legs(restart_src, tmp_path_factory):
         "kill", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w, STOP_AFTER,
         expect_rc=137,
     )
-    # The session resume leg additionally simulates CONFIG DRIFT: it
-    # runs with spark.sql.shuffle.partitions=11 against the checkpoint
-    # created at 4 — a redeploy that retunes the session must not make
-    # the resumed query read its (4-partition-hashed) state stores
-    # empty; Spark keeps the checkpointed count, and the multiset
-    # parity below is what proves it.
-    os.environ["SPARK_GRAFT_RESTART_SHUFFLE"] = "11"
-    try:
-        r["resume_sk"] = _run_leg(
-            "resume", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w
-        )
-    finally:
-        del os.environ["SPARK_GRAFT_RESTART_SHUFFLE"]
+    # The session resume leg additionally simulates CONFIG DRIFT
+    # (DRIFT_ENV, rationale at its definition).
+    r["resume_sk"] = _run_leg(
+        "resume", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w,
+        extra_env=DRIFT_ENV,
+    )
     # stream-stream join: uninterrupted baseline, hard-kill pair
     r["full_j"] = _run_leg("full", "join", restart_src, f"{w}/ck_jf", f"{w}/out_jf", w)
     _run_leg(
@@ -175,32 +185,20 @@ def legs(restart_src, tmp_path_factory):
     # depend on. r9 pinned only the dedup (key-expiry) family here;
     # ADVICE r9 #1 flagged that PRODUCTION_CONF's claim covered the
     # merging-session and symmetric-hash stores too, so the pairs now
-    # execute the claim instead of wording it down.
-    os.environ["SPARK_GRAFT_STATE_PROVIDER"] = (
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    )
-    try:
-        for job, tag in (("dedup", "rk"), ("session", "srk"), ("join", "jrk")):
-            _run_leg(
-                "kill", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w,
-                STOP_AFTER, expect_rc=137,
-            )
-            if job == "session":
-                # The RocksDB session resume ALSO carries the
-                # config-drift scenario (shuffle.partitions 11 vs the
-                # checkpointed 4) — same drift the HDFS-provider
-                # session resume above runs, so the
-                # checkpoint-keeps-its-partition-count contract is
-                # pinned under BOTH providers, not just the default.
-                os.environ["SPARK_GRAFT_RESTART_SHUFFLE"] = "11"
-            try:
-                r[f"resume_{tag}"] = _run_leg(
-                    "resume", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w
-                )
-            finally:
-                os.environ.pop("SPARK_GRAFT_RESTART_SHUFFLE", None)
-    finally:
-        del os.environ["SPARK_GRAFT_STATE_PROVIDER"]
+    # execute the claim instead of wording it down. The session resume
+    # ALSO carries the config drift the HDFS-provider session resume
+    # runs, so checkpoint-keeps-its-partition-count is pinned under
+    # BOTH providers.
+    for job, tag in (("dedup", "rk"), ("session", "srk"), ("join", "jrk")):
+        _run_leg(
+            "kill", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w,
+            STOP_AFTER, expect_rc=137, extra_env=ROCKSDB_ENV,
+        )
+        resume_env = dict(ROCKSDB_ENV, **(DRIFT_ENV if job == "session" else {}))
+        r[f"resume_{tag}"] = _run_leg(
+            "resume", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w,
+            extra_env=resume_env,
+        )
     return r
 
 
