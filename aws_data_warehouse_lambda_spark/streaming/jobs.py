@@ -37,16 +37,6 @@ SESSION_GAP_MIN = 30
 
 _sink_ids = itertools.count()
 
-#: Filesystem schemes accepted in their single-slash URI form
-#: (``file:/x`` — what Hadoop's Path.toString emits; always an
-#: ABSOLUTE path). Anything else must spell ``scheme://`` to be
-#: treated as a URI; a bare ``word:rest`` is a relative local path.
-_FS_SCHEMES = frozenset(
-    {"file", "hdfs", "viewfs", "s3", "s3a", "s3n", "gs", "abfs", "abfss",
-     "wasb", "wasbs", "oss", "cosn"}
-)
-
-
 def _canonical_local_path(p: str) -> str:
     """Reduce a table path OR an ``inputFiles()`` entry to one
     comparable normalized form. ``inputFiles()`` returns
@@ -62,22 +52,27 @@ def _canonical_local_path(p: str) -> str:
 
     An input counts as a URI only when it carries an explicit ``://``
     (case-insensitive — RFC 3986 schemes are, and urlparse lowercases
-    its side of the comparison) or a *known filesystem* scheme in the
-    single-slash ABSOLUTE form Hadoop prints (``file:/x``):
+    its side of the comparison) or a scheme in the single-slash
+    ABSOLUTE form Hadoop prints (``file:/x``, ``o3fs:/x``):
     ``urlparse`` alone would read a RELATIVE path whose first segment
     contains a colon — ``data:v2/sf0.001`` — as scheme ``data`` and
     "canonicalize" it to the relative ``v2/sf0.001``, which can never
     equal the absolute listing side, silently flipping a single-file
-    table onto the directory branch (ADVICE r9 #2). The absolute-path
-    requirement keeps the same hole from reopening one level down: a
-    relative dir named after an FS scheme (``s3:backup/sf``) parses as
-    scheme ``s3`` with a relative path, and Hadoop's single-slash form
-    is always absolute, so path-relative means not-a-URI. Red/green in
-    tests/test_adversarial_layout.py."""
+    table onto the directory branch (ADVICE r9 #2). Requiring the
+    parsed path to be ABSOLUTE is what closes that hole — Hadoop's
+    single-slash form is always absolute, so path-relative means
+    not-a-URI (``s3:backup/sf`` parses as scheme ``s3`` with a
+    relative path and stays local). The scheme itself is NOT checked
+    against an allowlist: an r11 draft gated the single-slash form on
+    a 13-entry FS-scheme set, which would silently mangle any other
+    Hadoop filesystem's URI (o3fs, ofs, swift, custom FS) through
+    abspath into a cwd-relative path (ADVICE r11 #1); Hadoop itself
+    treats ANY ``word:/abs`` as a URI, so this function does too.
+    Red/green in tests/test_adversarial_layout.py."""
     parsed = urllib.parse.urlparse(p)
     if parsed.scheme and (
         p[: len(parsed.scheme) + 3].lower() == parsed.scheme + "://"
-        or (parsed.scheme in _FS_SCHEMES and parsed.path.startswith("/"))
+        or parsed.path.startswith("/")
     ):
         return os.path.normpath(urllib.parse.unquote(parsed.path))
     return os.path.abspath(p)

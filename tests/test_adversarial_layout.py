@@ -241,6 +241,13 @@ def test_canonical_path_guards_colon_relative_inputs() -> None:
     # an uppercase-scheme URI fell through to abspath garbage):
     assert _canonical_local_path("xyz://host/p/q.parquet") == "/p/q.parquet"
     assert _canonical_local_path("XYZ://host/p/q.parquet") == "/p/q.parquet"
+    # ... and in the single-slash Hadoop form too (ADVICE r11 #1: an
+    # r11 draft gated this form on a hardcoded FS-scheme set, so an
+    # o3fs/ofs/swift/custom-FS URI would have been mangled through
+    # abspath into a cwd-relative path; any scheme with an ABSOLUTE
+    # parsed path is a URI, exactly as Hadoop reads it):
+    assert _canonical_local_path("o3fs:/p/q.parquet") == "/p/q.parquet"
+    assert _canonical_local_path("swift:/p/q.parquet") == "/p/q.parquet"
     # A relative dir NAMED AFTER an FS scheme must not take the URI
     # branch (r11 review pass 1: the single-slash allowance initially
     # keyed on the scheme set alone, reopening the colon-relative hole

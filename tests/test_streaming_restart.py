@@ -121,6 +121,13 @@ def _run_leg(
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_DRIVER_MEM="2g",
     )
+    # The leg-variant knobs must come ONLY from extra_env: a developer
+    # shell exporting either one would otherwise leak into every leg —
+    # including the HDFS-provider baselines the RocksDB legs are
+    # compared against — making the provider-parity assertions vacuous
+    # (ADVICE r11 #2).
+    env.pop("SPARK_GRAFT_STATE_PROVIDER", None)
+    env.pop("SPARK_GRAFT_RESTART_SHUFFLE", None)
     env.update(extra_env or {})
     res = subprocess.run(
         cmd, capture_output=True, text=True, timeout=600, env=env, cwd=work
