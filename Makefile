@@ -15,4 +15,4 @@ driver-sim:
 verify: test driver-sim
 
 bench:
-	python bench.py
+	SPARK_GRAFT_BENCH_SOURCE=builder-local python bench.py

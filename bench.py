@@ -63,6 +63,11 @@ def _split_result(result: dict) -> tuple[dict, dict]:
     # the worst-case width budget has no room for another 5-float list.
     if "canary_per_sweep" in result:
         bulk["canary_per_sweep"] = result["canary_per_sweep"]
+    # The bulk line (and therefore the per-round full-sweep file built
+    # from `result`) self-labels its producer too — it is the payload
+    # the filename collision actually clobbers.
+    if "source" in result:
+        bulk["source"] = result["source"]
     final = {
         k: v
         for k, v in result.items()
@@ -89,7 +94,7 @@ _FINAL_CORE = frozenset(
         "max_runs_noisy", "queries", "tail", "tail_total",
         "steal_pct_max", "full_sweep_total", "full_sweep_stat",
         "full_sweep_skipped_n", "artifact", "sf", "reduced",
-        "canary_s",
+        "canary_s", "source",
     }
 )
 # Preferred drop order when the line must shrink; after these, any
@@ -110,7 +115,7 @@ _DROP_TO_FIT = (
 _FINAL_MINIMAL = (
     "metric", "value", "unit", "sf", "tail_total",
     "full_sweep_total", "full_sweep_skipped_n",
-    "canary_s", "steal_pct_max", "artifact",
+    "canary_s", "steal_pct_max", "artifact", "source",
 )
 
 
@@ -476,6 +481,15 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        # Who ran this bench (VERDICT r11 #5): a builder-local full
+        # sweep is committed under the NEXT round's predicted filename
+        # and the driver's own run then overwrites it in the working
+        # tree — same-name clobber is the designed within-round
+        # behavior, but post-hoc the two artifacts were previously
+        # indistinguishable. `make bench` exports
+        # SPARK_GRAFT_BENCH_SOURCE=builder-local; the driver invokes
+        # bench.py bare and inherits the default.
+        "source": os.environ.get("SPARK_GRAFT_BENCH_SOURCE", "driver"),
         "runs_per_query": N_RUNS,
         "max_runs_noisy": MAX_RUNS,
         "stat": "median",

@@ -97,6 +97,8 @@ def _worst_case_result() -> dict:
         "full_sweep_loadavg_per_chunk": [999.9] * 6,
         "full_sweep_skipped": skipped,
         "sf": 0.1,
+        # widest realistic value of the producer label (VERDICT r11 #5)
+        "source": "builder-local",
     }
 
 
@@ -237,6 +239,35 @@ def test_future_full_sweep_keys_default_to_bulk_only() -> None:
     assert bulk["full_sweep_spread"] == result["full_sweep_spread"]
     final["artifact"] = "BENCH_full_sweep_r99.json"
     assert len(json.dumps(final)) < bench.FINAL_LINE_MAX
+
+
+def test_source_label_rides_every_channel() -> None:
+    """VERDICT r11 #5: a builder-local full sweep is committed under
+    the NEXT round's predicted filename and the driver's run then
+    clobbers it — the artifacts must self-label their producer. The
+    label must ride the final line (surviving reduction down to the
+    minimal fallback), the bulk line, and therefore the disk artifact
+    (built from the complete result dict)."""
+    import json
+    import pathlib
+
+    import bench
+
+    result = _worst_case_result()
+    bulk, final = bench._split_result(result)
+    assert final["source"] == "builder-local"
+    assert bulk["source"] == "builder-local"
+    # survives both reduction tiers
+    assert "source" in bench._FINAL_CORE
+    assert "source" in bench._FINAL_MINIMAL
+    # the Makefile bench target marks builder runs; a bare invocation
+    # (the driver's shape) defaults to "driver"
+    makefile = (pathlib.Path(bench.__file__).parent / "Makefile").read_text()
+    assert "SPARK_GRAFT_BENCH_SOURCE=builder-local python bench.py" in makefile
+    final["queries"] = {f"q_future_headline_{i:03d}": 99999.999 for i in range(200)}
+    out = json.loads(bench._final_line(final))
+    assert out["reduced"] == ["minimal"]
+    assert out["source"] == "builder-local"
 
 
 def test_artifact_path_is_next_round(tmp_path) -> None:
