@@ -1,0 +1,94 @@
+"""Cross-engine case folding for tokenization.
+
+``lower()`` is NOT the same function in the three engines this repo's
+parity gate spans, and the differences are invisible on ASCII corpora:
+
+- **Spark** routes non-ASCII through the JVM's ``String.toLowerCase``
+  — the FULL Unicode mapping, including SpecialCasing.txt: U+0130 'İ'
+  expands to two codepoints (``i`` + U+0307) and U+03A3 'Σ' lowers
+  contextually to final sigma 'ς' at word ends.
+- **DuckDB** uses utf8proc's SIMPLE one-to-one mapping: 'İ' → 'i',
+  'Σ' → 'σ' unconditionally.
+- **pandas/CPython** applies the full mapping like the JVM, but from
+  a *third* Unicode version's tables.
+
+On top of the mapping-style split, the three Unicode versions disagree
+on recently-cased codepoints (Vithkuqi U+105xx, Garay U+10D5x, a
+handful of Latin Extended-D letters): the newest table lowers them,
+the older ones pass them through. A 100 TB multilingual corpus WILL
+contain 'İstanbul' and 'ΟΔΟΣ', and any tokenizer built on a bare
+``lower()`` silently computes different tokens — different hashes,
+different dedup verdicts — depending on which engine ran it.
+
+The fix: this module pins ONE folding — ``lower(translate(text, SRC,
+DST))`` — where the translate map sends every codepoint on which the
+engines disagree to its modern SIMPLE lowercase first. After the
+translate, none of the divergent inputs reach ``lower`` (including
+'Σ', so the contextual final-sigma rule can never fire), and the
+remaining codepoints lower identically everywhere. Verified
+exhaustively: the all-codepoints sweep in
+tests/test_adversarial_unicode.py compares the Spark, DuckDB, and
+pandas rails over every assigned codepoint below U+30000 (all cased
+scripts live below it) and must stay bit-identical.
+
+The map was derived by sweeping ``F.lower`` (JVM) against DuckDB
+``lower`` over all codepoints; the Python/pandas divergence set proved
+a strict subset of the JVM's, so one table serves all three rails.
+Entries are (source codepoint, simple-lowercase target):
+U+0130 maps to plain 'i' (the full mapping's two-codepoint expansion
+is exactly what the oracle side cannot reproduce), U+03A3 to 'σ', and
+the version-skew block to the modern mapping's target so the fold
+stays stable when the older tables catch up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_FOLD_PAIRS = (
+    (0x0130, 0x0069), (0x1C89, 0x1C8A), (0x2C2F, 0x2C5F), (0xA7C0, 0xA7C1),
+    (0xA7C7, 0xA7C8), (0xA7C9, 0xA7CA), (0xA7CB, 0x0264), (0xA7CC, 0xA7CD),
+    (0xA7D0, 0xA7D1), (0xA7D6, 0xA7D7), (0xA7D8, 0xA7D9), (0xA7DA, 0xA7DB),
+    (0xA7DC, 0x019B), (0xA7F5, 0xA7F6), (0x10570, 0x10597), (0x10571, 0x10598),
+    (0x10572, 0x10599), (0x10573, 0x1059A), (0x10574, 0x1059B), (0x10575, 0x1059C),
+    (0x10576, 0x1059D), (0x10577, 0x1059E), (0x10578, 0x1059F), (0x10579, 0x105A0),
+    (0x1057A, 0x105A1), (0x1057C, 0x105A3), (0x1057D, 0x105A4), (0x1057E, 0x105A5),
+    (0x1057F, 0x105A6), (0x10580, 0x105A7), (0x10581, 0x105A8), (0x10582, 0x105A9),
+    (0x10583, 0x105AA), (0x10584, 0x105AB), (0x10585, 0x105AC), (0x10586, 0x105AD),
+    (0x10587, 0x105AE), (0x10588, 0x105AF), (0x10589, 0x105B0), (0x1058A, 0x105B1),
+    (0x1058C, 0x105B3), (0x1058D, 0x105B4), (0x1058E, 0x105B5), (0x1058F, 0x105B6),
+    (0x10590, 0x105B7), (0x10591, 0x105B8), (0x10592, 0x105B9), (0x10594, 0x105BB),
+    (0x10595, 0x105BC), (0x10D50, 0x10D70), (0x10D51, 0x10D71), (0x10D52, 0x10D72),
+    (0x10D53, 0x10D73), (0x10D54, 0x10D74), (0x10D55, 0x10D75), (0x10D56, 0x10D76),
+    (0x10D57, 0x10D77), (0x10D58, 0x10D78), (0x10D59, 0x10D79), (0x10D5A, 0x10D7A),
+    (0x10D5B, 0x10D7B), (0x10D5C, 0x10D7C), (0x10D5D, 0x10D7D), (0x10D5E, 0x10D7E),
+    (0x10D5F, 0x10D7F), (0x10D60, 0x10D80), (0x10D61, 0x10D81), (0x10D62, 0x10D82),
+    (0x10D63, 0x10D83), (0x10D64, 0x10D84), (0x10D65, 0x10D85), (0x03A3, 0x03C3),
+)
+
+FOLD_SRC = "".join(chr(a) for a, _ in _FOLD_PAIRS)
+FOLD_DST = "".join(chr(b) for _, b in _FOLD_PAIRS)
+
+#: str.translate table for the pandas rail.
+FOLD_TABLE = str.maketrans(FOLD_SRC, FOLD_DST)
+
+
+def fold(c: Column | str) -> Column:
+    """Engine-stable lowercase of a string column (Spark rail)."""
+    return F.lower(F.translate(c, FOLD_SRC, FOLD_DST))
+
+
+def fold_sql(expr: str) -> str:
+    """The identical folding as a DuckDB SQL fragment (oracle rail).
+    The map contains no quote characters, so plain literals are safe;
+    both engines' ``translate`` operate per CODEPOINT (verified for
+    astral-plane entries — the map's Vithkuqi/Garay block is astral)."""
+    return f"lower(translate({expr}, '{FOLD_SRC}', '{FOLD_DST}'))"
+
+
+def fold_pandas(s):
+    """The identical folding over a pandas string Series (Arrow-UDF
+    rail). CPython's ``str.lower`` full-mapping quirks (U+0130
+    expansion, final sigma) are neutralized by the same pre-translate."""
+    return s.str.translate(FOLD_TABLE).str.lower()

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, dsum_expr
 from ..functions.porthash import h60, h60_sql
+from ..functions.textfold import fold, fold_sql
 from ..sources.tables import load_table
 from .dedup import (
     _JACCARD_PAIRS_SQL,
@@ -54,7 +55,7 @@ from .dedup import (
     component_labels,
 )
 from .registry import query
-from .text import STOPWORDS_RE, _count, _count_sql
+from .text import STOPWORDS_RE, _ascii_words, _ascii_words_sql, _count, _count_sql
 
 #: Quality-rule thresholds (Gopher-shaped, tuned to the fixture corpus).
 WC_MIN, WC_MAX = 15, 200
@@ -90,7 +91,7 @@ BOILER_FLAG_FRAC = 0.5
                len(string_split(text, ' ')) AS wc,
                CAST(length(replace(text, ' ', '')) AS DOUBLE)
                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
-               {_count_sql("lower(text)", STOPWORDS_RE)} AS stop_hits,
+               {_count_sql(_ascii_words_sql(fold_sql("text")), STOPWORDS_RE)} AS stop_hits,
                CAST({_count_sql("text", "[0-9]")} AS DOUBLE)
                    / CAST(length(text) AS DOUBLE) AS digit_ratio
         FROM documents
@@ -121,7 +122,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
         "double"
     ) / wc.cast("double")
-    stop_hits = _count(F.lower(F.col("text")), STOPWORDS_RE)
+    stop_hits = _count(_ascii_words(fold("text")), STOPWORDS_RE)
     # nullif: empty text must give a NULL ratio (DuckDB's 0.0/0.0 is
     # NULL), not an ANSI DIVIDE_BY_ZERO that aborts the scan.
     digit_ratio = _count(F.col("text"), "[0-9]").cast("double") / F.nullif(

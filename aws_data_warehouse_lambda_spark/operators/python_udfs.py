@@ -19,6 +19,7 @@ expression for trivial math — measure before reaching for them.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -28,12 +29,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf, udtf
 
+from ..functions.textfold import fold_pandas, fold_sql
+from .text import TOKEN_RE
 from ..sources.tables import load_table
 from .registry import query
 
-#: Same tokenizer as operators/text.py TOKEN_RE — Python re and RE2
-#: agree on this syntax subset.
-_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+#: The ONE tokenizer (imported, not re-declared — the two rails must
+#: not drift apart silently). COMPILED WITH re.ASCII: Python's default
+#: \s is Unicode-aware (NBSP, U+3000 ideographic space, U+2028 line
+#: separator all match), while Java regex and DuckDB's RE2 read \s as
+#: ASCII whitespace only — so a NBSP-bearing document counts one token
+#: fewer on the Python rail unless the class is pinned to ASCII (found
+#: by the Unicode adversarial fixture, tests/test_adversarial_unicode.py).
+_TOKEN_PAT = re.compile(TOKEN_RE, re.ASCII)
 
 
 @pandas_udf(T.IntegerType())
@@ -41,15 +49,18 @@ def bpe_token_count(text: pd.Series) -> pd.Series:
     """Vectorized token counter (pandas str ops over an Arrow batch).
     Nullable Int32: a NULL document must count as NULL, and the plain
     numpy int32 astype raises IntCastingNaNError on the NaN a null row
-    produces — one null text would kill the whole batch."""
-    return text.str.lower().str.count(_TOKEN_RE).astype("Int32")
+    produces — one null text would kill the whole batch. Lowercasing
+    goes through the shared cross-engine fold (CPython's bare
+    str.lower expands 'İ' exactly like the JVM's full mapping and
+    diverges from the DuckDB oracle)."""
+    return fold_pandas(text).str.count(_TOKEN_PAT).astype("Int32")
 
 
 @query(
     "q_pandas_udf_scalar",
     oracle=f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS INT)
+           CAST(len(regexp_extract_all({fold_sql("text")}, '{TOKEN_RE}')) AS INT)
                AS n_tokens
     FROM documents
     ORDER BY doc_id

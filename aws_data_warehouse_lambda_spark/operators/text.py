@@ -11,7 +11,10 @@ WholeStageCodegen and aggregate with map-side partial combine.
 Engine-parity notes: regexes are limited to the syntax Java's engine and
 DuckDB's RE2 interpret identically (literal alternations, \\b, character
 classes); all ratios cast operands to DOUBLE before dividing; rounding
-to 6 decimals both sides.
+to 6 decimals both sides. Tokenization lowercasing goes through
+functions/textfold.fold — a bare lower() is full-mapping in the JVM
+and simple-mapping in DuckDB, which silently diverges on 'İ', final
+'Σ', and version-skew codepoints (tests/test_adversarial_unicode.py).
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.porthash import h60, h60_sql
 from ..functions.spread import spread_if_few_splits
+from ..functions.textfold import fold, fold_sql
 from ..sources.tables import load_table
 from .registry import query
 
@@ -52,9 +56,34 @@ def _count_sql(expr: str, pattern: str) -> str:
     return f"len(regexp_extract_all({expr}, '{pattern}'))"
 
 
+#: Every non-ASCII codepoint, for the \b-based marker counters below.
+_NON_ASCII_RE = r"[^\x00-\x7F]"
+
+
+def _ascii_words(c: Column) -> Column:
+    """Replace every non-ASCII codepoint with a space before a
+    ``\\b``-anchored marker count. ``\\b`` is NOT the same predicate in
+    the two engines: Java's ``\\b`` is Unicode-aware even though its
+    default ``\\w`` is ASCII (a documented JDK inconsistency), while
+    RE2's ``\\b`` is ASCII like its ``\\w`` — so a marker word adjacent
+    to a combining mark or any non-ASCII letter ('a͆', 'the‌', 'theم')
+    is a hit for DuckDB and a miss for Spark (found by the Unicode
+    adversarial fixture, doc 12's zalgo 'a'). Spacing out non-ASCII
+    leaves pure-ASCII text byte-identical (the standard corpus is
+    unaffected) and gives both engines the same boundaries everywhere
+    else: non-ASCII characters delimit marker words."""
+    return F.regexp_replace(c, _NON_ASCII_RE, " ")
+
+
+def _ascii_words_sql(expr: str) -> str:
+    """The identical gate as a DuckDB fragment ('g' = global; DuckDB
+    regexp_replace is first-match-only by default, Spark's is global)."""
+    return f"regexp_replace({expr}, '{_NON_ASCII_RE}', ' ', 'g')"
+
+
 def _langid_oracle() -> str:
     scores = ",\n           ".join(
-        f"{_count_sql('lower(text)', pat)} AS s_{lang}"
+        f"{_count_sql(_ascii_words_sql(fold_sql('text')), pat)} AS s_{lang}"
         for lang, pat in LANG_MARKERS.items()
     )
     langs = list(LANG_MARKERS)
@@ -82,7 +111,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with a fixed priority order for ties, 'und' when no marker
     fires. One scan, no shuffle until the final sort."""
     docs = load_table(spark, sf_dir, "documents")
-    lowered = F.lower(F.col("text"))
+    lowered = _ascii_words(fold("text"))
     scored = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -118,7 +147,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_word,
            round(CAST({_count_sql("text", "[^a-z0-9 ]")} AS DOUBLE)
                  / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-           round(CAST({_count_sql("lower(text)", STOPWORDS_RE)} AS DOUBLE)
+           round(CAST({_count_sql(_ascii_words_sql(fold_sql("text")), STOPWORDS_RE)} AS DOUBLE)
                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
            CASE WHEN len(string_split(text, ' ')) >= 20
                  AND CAST({_count_sql("text", "[^a-z0-9 ]")} AS DOUBLE)
@@ -136,7 +165,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     n_words = F.size(F.split(F.col("text"), " "))
     punct = _count(F.col("text"), "[^a-z0-9 ]")
-    stop = _count(F.lower(F.col("text")), STOPWORDS_RE)
+    stop = _count(_ascii_words(fold("text")), STOPWORDS_RE)
     # nullif on the denominator: an EMPTY document must yield a NULL
     # ratio, not kill the whole scan with an ANSI DIVIDE_BY_ZERO —
     # DuckDB's 0.0/0.0 is already NULL, so this is also the parity fix
@@ -167,8 +196,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-           CAST(sum({_count_sql("lower(text)", TOKEN_RE)}) AS BIGINT) AS bpe_tokens,
-           round(CAST(sum({_count_sql("lower(text)", TOKEN_RE)}) AS DOUBLE)
+           CAST(sum({_count_sql(fold_sql("text"), TOKEN_RE)}) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum({_count_sql(fold_sql("text"), TOKEN_RE)}) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE), 6) AS bpe_per_doc
     FROM documents
     GROUP BY lang, source
@@ -181,7 +210,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partial aggregation makes the shuffle O(groups), not O(docs)."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.size(F.split(F.col("text"), " "))
-    bpe = _count(F.lower(F.col("text")), TOKEN_RE)
+    bpe = _count(fold("text"), TOKEN_RE)
     return (
         docs.groupBy("lang", "source")
         .agg(
@@ -203,7 +232,7 @@ NGRAM_TOP_K = 20
     "q_ngram_topk",
     oracle=f"""
     WITH words AS (
-        SELECT string_split(lower(text), ' ') AS w FROM documents
+        SELECT string_split({fold_sql("text")}, ' ') AS w FROM documents
     ),
     bi AS (
         SELECT UNNEST(list_transform(range(1, len(w)),
@@ -225,7 +254,7 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation collapses them map-side before the one shuffle;
     the final top-k is TakeOrderedAndProject (each task keeps k rows)."""
     docs = spread_if_few_splits(load_table(spark, sf_dir, "documents"))
-    w = F.split(F.lower(F.col("text")), " ")
+    w = F.split(fold("text"), " ")
     pairs = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -249,7 +278,7 @@ TFIDF_TOP_K = 3
     "q_tfidf",
     oracle=f"""
     WITH words AS (
-        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word
+        SELECT doc_id, UNNEST(string_split({fold_sql("text")}, ' ')) AS word
         FROM documents
     ),
     tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
@@ -280,7 +309,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip order between engines."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        "doc_id", F.explode(F.split(fold("text"), " ")).alias("word")
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     idf = words.select("doc_id", "word").distinct().groupBy("word").agg(

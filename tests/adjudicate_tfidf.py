@@ -1,0 +1,86 @@
+"""Standalone quiet-host re-measure for a single query (VERDICT r11
+task #2: adjudicate the q_tfidf 1.184 -> 2.119 driver-sweep move, the
+first up-mover whose chunk telemetry did not excuse it).
+
+Mirrors bench.py methodology: same session shape, flagship warm-up,
+fixed-overhead canary co-read before every run, dedup-memo reset +
+gc.collect() per run. Prints one JSON line with all runs, the median,
+and the canary series so the SURVEY §6 rule can be applied
+mechanically.
+
+Usage: python tests/adjudicate_tfidf.py [query_name] [n_runs]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> int:
+    name = sys.argv[1] if len(sys.argv) > 1 else "q_tfidf"
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+    from pyspark.sql import SparkSession
+
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        reset_shared_relations,
+    )
+    from aws_data_warehouse_lambda_spark.session import tune
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("adjudicate")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
+    )
+    tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        return round(time.perf_counter() - t0, 4)
+
+    # warm-up: flagship once (JVM/codegen/footers), canary codegen once
+    queries["q_revenue_by_nation"](spark, sf_dir).count()
+    canary()
+
+    runs: list[float] = []
+    canaries: list[float] = []
+    for _ in range(n_runs):
+        canaries.append(canary())
+        reset_shared_relations()
+        gc.collect()
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        runs.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "sf_dir": sf_dir,
+                "runs": runs,
+                "median": round(statistics.median(runs), 3),
+                "canary_per_run": canaries,
+                "canary_median": round(statistics.median(canaries), 4),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,236 @@
+"""Unicode content-axis parity (VERDICT r11 task #3): the document
+family must agree with its DuckDB oracles on the content a 100 TB web
+corpus is GUARANTEED to contain and the ASCII-ish fixtures never show —
+normalization-form pairs, astral-plane codepoints, RTL text with bidi
+controls, zero-width joiners/non-joiners inside words, combining-mark
+stacks, and the case-mapping edge codepoints where the engines' three
+different Unicode tables disagree.
+
+What this axis already found (fixed in functions/textfold.py and
+operators/python_udfs.py before this module landed):
+
+- **lower() is not one function.** Spark (JVM full mapping) lowers
+  'İ' to two codepoints (i + U+0307) and applies the contextual
+  final-sigma rule 'ΟΔΟΣ' → 'οδος'; DuckDB (utf8proc simple mapping)
+  gives 'i' and 'οδοσ'; CPython (third Unicode version) mostly sides
+  with the JVM but lags on ~27 recently-cased codepoints, and the JVM
+  leads DuckDB on 71. Any tokenizer lowercasing with a bare lower()
+  computes engine-dependent tokens. Fixed by the shared pre-translate
+  fold; the exhaustive sweep below keeps the three rails bit-identical
+  over EVERY codepoint so a JVM/duckdb/CPython upgrade that re-opens
+  the gap fails loudly.
+- **Python's \\s is Unicode-aware; Java's and RE2's are ASCII.** The
+  pandas-rail token counter matched NBSP / U+3000 / U+2028 as
+  whitespace while the JVM expression and the oracle counted them as
+  tokens. Fixed with re.ASCII on the compiled pattern.
+
+Lone surrogates are the one mandated probe that CANNOT become a
+fixture row: parquet strings are UTF-8 and pyarrow refuses to encode
+U+D800..U+DFFF (UnicodeEncodeError: surrogates not allowed), so no
+real parquet corpus can carry them — verified at fixture-build time
+below rather than assumed.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.functions.textfold import (
+    FOLD_DST,
+    FOLD_SRC,
+    fold,
+    fold_pandas,
+    fold_sql,
+)
+from aws_data_warehouse_lambda_spark.operators import dedup
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import copy_table, run_parity
+from .test_adversarial_documents import _DOC_QUERIES
+
+#: Beyond the document family shared with the content axis: the four
+#: Python-rail queries (scalar/grouped/iterator pandas UDFs + UDTF —
+#: CPython is a THIRD Unicode implementation, and its regex \s and
+#: str.lower both diverge from the JVM/RE2 pair) and the array-function
+#: pack (bytewise string sorts over Unicode tokens).
+_UNICODE_QUERIES = _DOC_QUERIES + [
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_pandas_udf_iterator",
+    "q_udtf_chunks",
+    "q_array_funcs",
+]
+
+SRC = "/root/testdata/sf0.001"
+
+_NFC = unicodedata.normalize("NFC", "café résumé naïve façade coöperate")
+_NFD = unicodedata.normalize("NFD", "café résumé naïve façade coöperate")
+assert _NFC != _NFD and len(_NFD) > len(_NFC)  # genuinely different bytes
+
+_ZALGO = "z̴̖͓a͙͆̚l̵̛g̷o҉"
+
+_DOCS = [
+    # normalization forms: same rendered text, different bytes — MUST
+    # count as distinct docs / near-dups in BOTH engines (neither
+    # normalizes implicitly; md5/tokens diverge consistently).
+    (0, f"normalization pair one {_NFC}", "fr", "src0"),
+    (1, f"normalization pair one {_NFD}", "fr", "src0"),
+    # astral plane (> U+FFFF): Gothic, math alphanumerics, plain emoji
+    (2, "gothic script 𐌰𐌱𐌲𐌳 and 𐍈𐍉𐍊 letters", "en", "src0"),
+    (3, "math styled 𝐀𝐁𝐂 and 𝕏𝕐𝖅 letters", "en", "src0"),
+    (4, "astral emoji 🜁 🜂 🜃 🜄 alchemical", "en", "src0"),
+    # ZWJ emoji sequences: family + rainbow flag (multi-codepoint
+    # graphemes — codepoint-counting engines must agree with each
+    # other even though a human sees one symbol)
+    (5, "family 👩‍👩‍👧‍👦 emoji and flag 🏳️‍🌈 here", "en", "src1"),
+    # RTL scripts + explicit bidi marks (RLM/LRM are invisible)
+    (6, "مرحبا بالعالم هذا اختبار للنص العربي", "und", "src1"),
+    (7, "שלום עולם זה מבחן טקסט עברי", "und", "src1"),
+    (8, "mixed بداية hello עולם world ‏after-rlm‎ and-lrm", "en", "src1"),
+    # zero-width characters INSIDE words: ZWSP splits nothing for a
+    # whitespace tokenizer (U+200B is not \s anywhere), ZWNJ is
+    # orthographically required in Persian, ZWJ glues
+    (9, "zero​width​space inside one word", "en", "src2"),
+    (10, "persian می‌خواهم می‌روم text", "und", "src2"),
+    (11, "zwj a‍b‍c glued letters", "en", "src2"),
+    # combining-mark stacks (zalgo) + a 6-mark stack on one base
+    (12, f"combining stack {_ZALGO} survives hashing", "en", "src2"),
+    (13, "deep stack é̂̃̄̅̆ on one base", "en", "src2"),
+    # the case-mapping divergence set: Turkish dotted/dotless i, Greek
+    # final-sigma positions, sharp s, titlecase digraph, ligature,
+    # and version-skew cased codepoints (Vithkuqi = astral + cased)
+    (14, "İstanbul İÇİNDE ıssız Iı the city", "und", "src3"),
+    (15, "ΟΔΟΣ ΣΟΦΙΑΣ ΑΣ σ and Σ endings", "und", "src3"),
+    (16, "straße STRASSE ẞ ß casing and ǅungla ǄUNGLA", "de", "src3"),
+    (17, "ligature ﬁle ﬃ and ʼN apostrophe-n", "en", "src3"),
+    (18, "vithkuqi 𐕰𐕱𐕲 and garay \U00010d50\U00010d51 cased", "und", "src3"),
+    # exotic whitespace: NBSP, ideographic space, line separator —
+    # none is ' ' (the tokenizer's split char) and none is ASCII \s
+    (19, "nbsp bound ideographic　space line separator", "en", "src4"),
+    # PII embedded in non-ASCII context
+    (20, "اتصل عبر alice@example.com أو +1-555-0199 الآن", "und", "src4"),
+    (21, "emoji 📧 bob@test.org 📞 +1-555-0042 🎉 done", "en", "src4"),
+    # exact duplicates whose body is entirely non-ASCII (dedup digest
+    # keys over raw UTF-8 bytes)
+    (22, "данные конвейер тест 数据 管道 测试", "und", "src4"),
+    (23, "данные конвейер тест 数据 管道 测试", "und", "src4"),
+    # an NFC/NFD near-dup with shared ASCII shingle context
+    (24, f"shared shingle words around {_NFC} tail tokens", "fr", "src5"),
+    (25, f"shared shingle words around {_NFD} tail tokens", "fr", "src5"),
+    # interaction rows carried from the content axis: NULL and empty
+    (26, None, "en", "src5"),
+    (27, "", "en", "src5"),
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_unicode")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        copy_table(table_path(SRC, t), table_path(str(root), t))
+    # the lone-surrogate probe: parquet cannot carry one — assert the
+    # rejection here so the waiver in the module docstring stays true
+    # against future pyarrow versions instead of rotting silently
+    with pytest.raises(UnicodeEncodeError):
+        pa.array(["lone \ud800 surrogate"], pa.string())
+    docs = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in _DOCS], pa.int64()),
+            "text": pa.array([d[1] for d in _DOCS], pa.string()),
+            "lang": pa.array([d[2] for d in _DOCS], pa.string()),
+            "source": pa.array([d[3] for d in _DOCS], pa.string()),
+            "n_chars": pa.array(
+                [len(d[1]) if d[1] is not None else None for d in _DOCS],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(docs, table_path(str(root), "documents"))
+    yield str(root)
+    dedup.reset_shared_relations()
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _UNICODE_QUERIES)
+def test_unicode_parity(spark, unicode_sf, name) -> None:
+    run_parity(spark, unicode_sf, name, _QUERIES[name], _ORACLES[name])
+
+
+def test_fold_is_bit_identical_on_every_codepoint(spark) -> None:
+    """Exhaustive three-rail sweep: fold() (Spark/JVM), fold_sql()
+    (DuckDB/utf8proc) and fold_pandas() (CPython) must agree on EVERY
+    assigned codepoint below U+30000 — all cased scripts live below
+    that plane boundary. This is the pin that derived _FOLD_PAIRS: if
+    a JVM, duckdb, or CPython upgrade ships a newer Unicode table with
+    new cased codepoints, this test names the exact codepoints to add
+    to the map."""
+    import duckdb
+    import pandas as pd
+
+    cps = [cp for cp in range(0x20, 0x30000) if not (0xD800 <= cp <= 0xDFFF)]
+    chars = [chr(cp) for cp in cps]
+
+    jvm = {
+        r.cp: r.f
+        for r in spark.createDataFrame(zip(cps, chars), ["cp", "ch"])
+        .select("cp", fold("ch").alias("f"))
+        .collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("t", pa.table({"cp": cps, "ch": chars}))
+        duck = dict(con.execute(f"select cp, {fold_sql('ch')} from t").fetchall())
+    finally:
+        con.close()
+    py = dict(zip(cps, fold_pandas(pd.Series(chars))))
+
+    jvm_vs_duck = [cp for cp in cps if jvm[cp] != duck[cp]]
+    jvm_vs_py = [cp for cp in cps if jvm[cp] != py[cp]]
+    assert not jvm_vs_duck, [hex(c) for c in jvm_vs_duck[:20]]
+    assert not jvm_vs_py, [hex(c) for c in jvm_vs_py[:20]]
+
+
+def test_fold_handles_contextual_final_sigma(spark) -> None:
+    """Final sigma is CONTEXTUAL (fires only at cased-word ends), so a
+    single-codepoint sweep can never see it — pin the string-level
+    behavior: with Σ pre-translated, the JVM's context rule has nothing
+    to fire on and all rails produce non-final 'σ' everywhere."""
+    import duckdb
+
+    strs = ["ΟΔΟΣ", "ΑΣ ΟΔΟΣ", "ΣΟΦΙΑΣ.", "xΣ yΣz", "İstanbul İÇİNDE"]
+    got = [
+        r.f
+        for r in spark.createDataFrame([(s,) for s in strs], ["s"])
+        .select(fold("s").alias("f"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    try:
+        oracle = [
+            con.execute(f"select {fold_sql('?')}", [s]).fetchone()[0] for s in strs
+        ]
+    finally:
+        con.close()
+    assert got == oracle
+    assert got[0] == "οδοσ"  # simple mapping, never final 'ς'
+    assert got[4] == "istanbul içinde"  # no combining-dot expansion
+
+
+def test_fold_map_shape() -> None:
+    """The translate map must stay 1:1 (translate is positional) and
+    quote-free (fold_sql embeds it in a SQL literal)."""
+    assert len(FOLD_SRC) == len(FOLD_DST)
+    assert len(set(FOLD_SRC)) == len(FOLD_SRC)
+    assert "'" not in FOLD_SRC and "'" not in FOLD_DST
+    assert "İ" in FOLD_SRC and "Σ" in FOLD_SRC
