@@ -42,7 +42,15 @@ LANG_MARKERS: dict[str, str] = {
 STOPWORDS_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
 
 #: BPE-ish tokenizer: word pieces, digit runs, single punctuation marks.
-TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+#: The whitespace class is spelled EXPLICITLY, not as \s: the three
+#: engines disagree on \s at the edges — Java's and Python-re.ASCII's
+#: \s include vertical tab U+000B, RE2's does not (and Python's
+#: default \s is fully Unicode-aware) — so a VT-bearing document would
+#: count one extra token in the DuckDB oracle (r12 review pass 2,
+#: verified by execution; pinned by the \x0b row in
+#: tests/test_adversarial_unicode.py). All three engines interpret
+#: the escapes below identically.
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
 
 FINGERPRINT_GRAM = 8  # char n-gram width
 FINGERPRINT_STRIDE = 4  # stride between grams (winnowing-lite)

@@ -68,11 +68,18 @@ def _canonical_local_path(p: str) -> str:
     Hadoop filesystem's URI (o3fs, ofs, swift, custom FS) through
     abspath into a cwd-relative path (ADVICE r11 #1); Hadoop itself
     treats ANY ``word:/abs`` as a URI, so this function does too.
+
+    One scheme-shape exception, matching Hadoop again: a SINGLE-LETTER
+    "scheme" in the single-slash form (``C:/data``) is a Windows drive
+    specifier, not a filesystem scheme — Hadoop's Path special-cases
+    exactly this (hasWindowsDrive), and canonicalizing ``C:/data/sf``
+    to ``/data/sf`` would break the comparison on any drive-qualified
+    path (r12 review pass 2). Real FS schemes are all ≥2 chars.
     Red/green in tests/test_adversarial_layout.py."""
     parsed = urllib.parse.urlparse(p)
     if parsed.scheme and (
         p[: len(parsed.scheme) + 3].lower() == parsed.scheme + "://"
-        or parsed.path.startswith("/")
+        or (len(parsed.scheme) > 1 and parsed.path.startswith("/"))
     ):
         return os.path.normpath(urllib.parse.unquote(parsed.path))
     return os.path.abspath(p)

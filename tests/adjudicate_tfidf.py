@@ -8,6 +8,14 @@ gc.collect() per run. Prints one JSON line with all runs, the median,
 and the canary series so the SURVEY §6 rule can be applied
 mechanically.
 
+Deliberate simplifications vs bench.py (r12 review pass 2 noted the
+copy-drift risk — acknowledge it instead of entangling bench's main):
+the statistic is a plain median over ALL runs INCLUDING the cold run 0
+(robust to that one outlier; bench trims min/max only on its extended
+noisy-query windows), and there is no interleaving — this script
+exists for one query at a time. If bench.py's per-run protocol
+(reset + gc + count) changes, update the loop below to match.
+
 Usage: python tests/adjudicate_tfidf.py [query_name] [n_runs]
 """
 
@@ -19,6 +27,10 @@ import os
 import statistics
 import sys
 import time
+
+# script lives in tests/, the package at the repo root (same bootstrap
+# as driver_sim.py — sys.path[0] is the script dir, not the cwd)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

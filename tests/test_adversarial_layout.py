@@ -248,6 +248,11 @@ def test_canonical_path_guards_colon_relative_inputs() -> None:
     # parsed path is a URI, exactly as Hadoop reads it):
     assert _canonical_local_path("o3fs:/p/q.parquet") == "/p/q.parquet"
     assert _canonical_local_path("swift:/p/q.parquet") == "/p/q.parquet"
+    # ... EXCEPT a single-letter "scheme", which is a Windows drive
+    # specifier, not a filesystem (Hadoop Path's hasWindowsDrive rule;
+    # r12 review pass 2 — the any-scheme widening must not canonicalize
+    # 'C:/data/sf' to '/data/sf'):
+    assert _canonical_local_path("C:/data/sf") == os.path.abspath("C:/data/sf")
     # A relative dir NAMED AFTER an FS scheme must not take the URI
     # branch (r11 review pass 1: the single-slash allowance initially
     # keyed on the scheme set alone, reopening the colon-relative hole

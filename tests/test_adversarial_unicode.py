@@ -113,6 +113,10 @@ _DOCS = [
     # exotic whitespace: NBSP, ideographic space, line separator —
     # none is ' ' (the tokenizer's split char) and none is ASCII \s
     (19, "nbsp bound ideographic　space line separator", "en", "src4"),
+    # ASCII control whitespace: vertical tab + form feed — the class
+    # where \s itself diverges (Java/Python-ASCII include \x0b, RE2
+    # does not; r12 review pass 2), pinning TOKEN_RE's explicit class
+    (28, "vertical\x0btab and form\x0cfeed bounded", "en", "src4"),
     # PII embedded in non-ASCII context
     (20, "اتصل عبر alice@example.com أو +1-555-0199 الآن", "und", "src4"),
     (21, "emoji 📧 bob@test.org 📞 +1-555-0042 🎉 done", "en", "src4"),
