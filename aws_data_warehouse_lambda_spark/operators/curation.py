@@ -116,17 +116,29 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter funnel: per-source doc counts passing each
     Gopher/C4-style rule and all rules combined. One codegen'd scan;
     each rule is a column expression, the agg is a map-side-combined
-    sum of flags — corpus-size independent output."""
+    sum of flags — corpus-size independent output.
+
+    The scan-heavy scalars are PROJECTED once before the rule flags:
+    wc/mwl/stop_hits/digit_ratio each feed two or more downstream
+    expressions, and codegen does not subexpression-eliminate repeated
+    non-cheap expressions — the inline shape re-ran split(text) three
+    times per row (the q_ngram_topk r12 finding, same trap)."""
     docs = load_table(spark, sf_dir, "documents")
-    wc = F.size(F.split(F.col("text"), " "))
-    mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
-        "double"
-    ) / wc.cast("double")
-    stop_hits = _count(_ascii_words(fold("text")), STOPWORDS_RE)
+    scored = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("wc"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("nosp"),
+        _count(_ascii_words(fold("text")), STOPWORDS_RE).alias("stop_hits"),
+        _count(F.col("text"), "[0-9]").alias("n_digits"),
+        F.length("text").alias("n_chars"),
+    )
+    wc = F.col("wc")
+    mwl = F.col("nosp").cast("double") / wc.cast("double")
+    stop_hits = F.col("stop_hits")
     # nullif: empty text must give a NULL ratio (DuckDB's 0.0/0.0 is
     # NULL), not an ANSI DIVIDE_BY_ZERO that aborts the scan.
-    digit_ratio = _count(F.col("text"), "[0-9]").cast("double") / F.nullif(
-        F.length("text").cast("double"), F.lit(0.0)
+    digit_ratio = F.col("n_digits").cast("double") / F.nullif(
+        F.col("n_chars").cast("double"), F.lit(0.0)
     )
     r_wc = wc.between(WC_MIN, WC_MAX)
     r_mwl = mwl.between(MWL_MIN, MWL_MAX)
@@ -137,7 +149,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
 
     return (
-        docs.groupBy("source")
+        scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             n(r_wc).alias("pass_wordcount"),

@@ -168,28 +168,41 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, words, chars/word, punctuation ratio,
     stopword ratio, and a keep/drop gate — the standard pre-training
-    corpus filter shape (single scan, pure expressions)."""
+    corpus filter shape (single scan, pure expressions).
+
+    The scan-heavy scalars (split size, regexp counts) are PROJECTED
+    once and the derived ratios/flags computed from the columns in a
+    second select: codegen does not subexpression-eliminate repeated
+    non-cheap expressions, so the old inline shape re-ran split(text)
+    four times and the punct regexp twice per row (the q_ngram_topk
+    r12 finding, same trap; CollapseProject keeps the boundary for
+    multiply-referenced non-cheap projections, SPARK-36715)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    n_words = F.size(F.split(F.col("text"), " "))
-    punct = _count(F.col("text"), "[^a-z0-9 ]")
-    stop = _count(_ascii_words(fold("text")), STOPWORDS_RE)
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        _count(F.col("text"), "[^a-z0-9 ]").alias("punct"),
+        _count(_ascii_words(fold("text")), STOPWORDS_RE).alias("stop"),
+    )
+    n_chars = F.col("n_chars_actual")
+    n_words = F.col("n_words")
     # nullif on the denominator: an EMPTY document must yield a NULL
     # ratio, not kill the whole scan with an ANSI DIVIDE_BY_ZERO —
     # DuckDB's 0.0/0.0 is already NULL, so this is also the parity fix
     # (found by the adversarial-documents fixture).
-    punct_ratio = punct.cast("double") / F.nullif(
+    punct_ratio = F.col("punct").cast("double") / F.nullif(
         n_chars.cast("double"), F.lit(0.0)
     )
-    return docs.select(
+    return base.select(
         "doc_id",
-        n_chars.alias("n_chars_actual"),
-        n_words.alias("n_words"),
+        "n_chars_actual",
+        "n_words",
         F.round(n_chars.cast("double") / n_words.cast("double"), 6).alias(
             "chars_per_word"
         ),
         F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop.cast("double") / n_words.cast("double"), 6).alias(
+        F.round(F.col("stop").cast("double") / n_words.cast("double"), 6).alias(
             "stopword_ratio"
         ),
         F.when((n_words >= 20) & (punct_ratio < 0.1), "keep")
@@ -260,9 +273,20 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. The n-gram frequency query behind contamination checks and
     boilerplate detection. The explode multiplies rows ~word-count x, but
     partial aggregation collapses them map-side before the one shuffle;
-    the final top-k is TakeOrderedAndProject (each task keeps k rows)."""
+    the final top-k is TakeOrderedAndProject (each task keeps k rows).
+
+    The words array is PROJECTED before the bigram expression instead
+    of inlined into it: the bigram shape references ``w`` four times
+    (two size() calls + two element_at lambdas), and whole-stage
+    codegen does NOT common-subexpression-eliminate across them — the
+    inline form re-evaluated split(fold(text)) four times per row
+    (measured 3.2 s → 0.65 s at sf0.1 for the bare pipeline; found in
+    r12 when the fold made the repeated chain expensive enough to see).
+    CollapseProject keeps the boundary because the projected array is
+    non-cheap and multiply-referenced (SPARK-36715); the one-translate
+    plan is pinned by test_plans.py::test_ngram_words_evaluated_once."""
     docs = spread_if_few_splits(load_table(spark, sf_dir, "documents"))
-    w = F.split(fold("text"), " ")
+    w = F.col("w")
     pairs = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -271,7 +295,8 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(pairs).alias("bigram"))
+        docs.select(F.split(fold("text"), " ").alias("w"))
+        .select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bigram")

@@ -455,6 +455,35 @@ def test_exploded_shingles_have_no_rehashing_filter(spark) -> None:
             assert "md5" not in line, f"md5 chain inside a Filter:\n{line[:300]}"
 
 
+def test_ngram_words_evaluated_once(spark) -> None:
+    """q_ngram_topk's bigram expression references the words array four
+    times (two size() + two element_at lambdas) and whole-stage codegen
+    does NOT subexpression-eliminate across them: inlining
+    split(fold(text)) into the bigram shape re-evaluated the whole
+    chain four times per row (3.2 s vs 0.65 s at sf0.1, found in r12
+    when the case fold made the chain expensive enough to notice). The
+    words array must stay a PROJECTED column — CollapseProject keeps
+    the boundary because it is non-cheap and multiply-referenced
+    (SPARK-36715) — so the optimized plan carries exactly ONE
+    evaluation of the fold's translate. This also guards the
+    InferFiltersFromGenerate variant of the same trap (a generated
+    filter re-instantiating the chain would add a second translate)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_ngram_topk"](spark, "/root/testdata/sf0.001")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("translate") == 1, optimized[:2000]
+    # Same trap, same fix in the two quality scorers: the split-based
+    # word count feeds 3-4 downstream expressions, so the projected
+    # shape must keep exactly ONE split (and one evaluation per
+    # distinct regexp) in the optimized plan.
+    for name, n_regex in (("q_text_quality", 2), ("q_quality_filter", 2)):
+        df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, (name, plan[:2000])
+        assert plan.count("regexp_extract_all") == n_regex, (name, plan[:2000])
+
+
 def test_shingle_paths_agree(spark) -> None:
     """The packed-array path (_doc_shingle_arrays -> explode) and the
     inline-explode path (_shingle_hashes persist=False) must produce
