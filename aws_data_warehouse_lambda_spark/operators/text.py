@@ -117,14 +117,23 @@ def _langid_oracle() -> str:
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID: count per-language marker words,
     argmax with a fixed priority order for ties, 'und' when no marker
-    fires. One scan, no shuffle until the final sort."""
+    fires. One scan, no shuffle until the final sort.
+
+    The folded+gated text is PROJECTED once and the four marker counts
+    read the column — inlined, the translate/lower/regexp_replace
+    chain re-ran once per language (the r12 codegen-CSE trap;
+    plan-pinned below with the other projected-chain shapes)."""
     docs = load_table(spark, sf_dir, "documents")
-    lowered = _ascii_words(fold("text"))
-    scored = docs.select(
+    base = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
+        _ascii_words(fold("text")).alias("lt"),
+    )
+    scored = base.select(
+        "doc_id",
+        "labeled_lang",
         *[
-            _count(lowered, pat).alias(f"s_{lang}")
+            _count(F.col("lt"), pat).alias(f"s_{lang}")
             for lang, pat in LANG_MARKERS.items()
         ],
     )

@@ -482,6 +482,11 @@ def test_ngram_words_evaluated_once(spark) -> None:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(") == 1, (name, plan[:2000])
         assert plan.count("regexp_extract_all") == n_regex, (name, plan[:2000])
+    # q_text_langid: four marker counts share ONE projected fold+gate
+    # chain (inlined, the translate ran once per language).
+    df = entrymod.queries()["q_text_langid"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("translate(") == 1, plan[:2000]
 
 
 def test_shingle_paths_agree(spark) -> None:
