@@ -45,7 +45,6 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, dsum_expr
 from ..functions.porthash import h60, h60_sql
-from ..functions.textfold import fold, fold_sql
 from ..sources.tables import load_table
 from .dedup import (
     _JACCARD_PAIRS_SQL,
@@ -55,7 +54,7 @@ from .dedup import (
     component_labels,
 )
 from .registry import query
-from .text import STOPWORDS_RE, _ascii_words, _ascii_words_sql, _count, _count_sql
+from .text import STOPWORDS_RE, _count, _count_sql, _marker_fold, _marker_fold_sql
 
 #: Quality-rule thresholds (Gopher-shaped, tuned to the fixture corpus).
 WC_MIN, WC_MAX = 15, 200
@@ -91,7 +90,7 @@ BOILER_FLAG_FRAC = 0.5
                len(string_split(text, ' ')) AS wc,
                CAST(length(replace(text, ' ', '')) AS DOUBLE)
                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl,
-               {_count_sql(_ascii_words_sql(fold_sql("text")), STOPWORDS_RE)} AS stop_hits,
+               {_count_sql(_marker_fold_sql("text"), STOPWORDS_RE)} AS stop_hits,
                CAST({_count_sql("text", "[0-9]")} AS DOUBLE)
                    / CAST(length(text) AS DOUBLE) AS digit_ratio
         FROM documents
@@ -128,7 +127,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.col("text"), " ")).alias("wc"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("nosp"),
-        _count(_ascii_words(fold("text")), STOPWORDS_RE).alias("stop_hits"),
+        _count(_marker_fold(F.col("text")), STOPWORDS_RE).alias("stop_hits"),
         _count(F.col("text"), "[0-9]").alias("n_digits"),
         F.length("text").alias("n_chars"),
     )

@@ -89,9 +89,27 @@ def _ascii_words_sql(expr: str) -> str:
     return f"regexp_replace({expr}, '{_NON_ASCII_RE}', ' ', 'g')"
 
 
+def _marker_fold(c: Column) -> Column:
+    """Lowercased ASCII-only text for the ``\\b`` marker counters:
+    gate FIRST, then a bare lower(). Once every non-ASCII codepoint is
+    a space, lower() is engine-identical by construction (the three
+    engines' case tables only disagree outside ASCII), so the marker
+    path needs no textfold translate — one fewer full-column scan per
+    row than fold-then-gate, with the same marker semantics up to a
+    single edge ('İ' now wipes to a space instead of folding to 'i',
+    fine for counting ASCII marker words). The real tokenizers
+    (TOKEN_RE, ngram/tfidf splits) keep the full fold — they must
+    preserve non-ASCII tokens, not wipe them."""
+    return F.lower(_ascii_words(c))
+
+
+def _marker_fold_sql(expr: str) -> str:
+    return f"lower({_ascii_words_sql(expr)})"
+
+
 def _langid_oracle() -> str:
     scores = ",\n           ".join(
-        f"{_count_sql(_ascii_words_sql(fold_sql('text')), pat)} AS s_{lang}"
+        f"{_count_sql(_marker_fold_sql('text'), pat)} AS s_{lang}"
         for lang, pat in LANG_MARKERS.items()
     )
     langs = list(LANG_MARKERS)
@@ -119,15 +137,15 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with a fixed priority order for ties, 'und' when no marker
     fires. One scan, no shuffle until the final sort.
 
-    The folded+gated text is PROJECTED once and the four marker counts
-    read the column — inlined, the translate/lower/regexp_replace
-    chain re-ran once per language (the r12 codegen-CSE trap;
-    plan-pinned below with the other projected-chain shapes)."""
+    The gated+lowered text is PROJECTED once and the four marker
+    counts read the column — inlined, the regexp_replace/lower chain
+    re-ran once per language (the r12 codegen-CSE trap; plan-pinned
+    with the other projected-chain shapes)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        _ascii_words(fold("text")).alias("lt"),
+        _marker_fold(F.col("text")).alias("lt"),
     )
     scored = base.select(
         "doc_id",
@@ -164,7 +182,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS chars_per_word,
            round(CAST({_count_sql("text", "[^a-z0-9 ]")} AS DOUBLE)
                  / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-           round(CAST({_count_sql(_ascii_words_sql(fold_sql("text")), STOPWORDS_RE)} AS DOUBLE)
+           round(CAST({_count_sql(_marker_fold_sql("text"), STOPWORDS_RE)} AS DOUBLE)
                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
            CASE WHEN len(string_split(text, ' ')) >= 20
                  AND CAST({_count_sql("text", "[^a-z0-9 ]")} AS DOUBLE)
@@ -192,7 +210,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_actual"),
         F.size(F.split(F.col("text"), " ")).alias("n_words"),
         _count(F.col("text"), "[^a-z0-9 ]").alias("punct"),
-        _count(_ascii_words(fold("text")), STOPWORDS_RE).alias("stop"),
+        _count(_marker_fold(F.col("text")), STOPWORDS_RE).alias("stop"),
     )
     n_chars = F.col("n_chars_actual")
     n_words = F.col("n_words")

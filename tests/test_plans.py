@@ -482,11 +482,14 @@ def test_ngram_words_evaluated_once(spark) -> None:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(") == 1, (name, plan[:2000])
         assert plan.count("regexp_extract_all") == n_regex, (name, plan[:2000])
-    # q_text_langid: four marker counts share ONE projected fold+gate
-    # chain (inlined, the translate ran once per language).
+    # q_text_langid: four marker counts share ONE projected gate+lower
+    # chain (inlined, it ran once per language). The marker path needs
+    # no translate at all — gate-first leaves ASCII-only text where
+    # lower() is engine-identical by construction.
     df = entrymod.queries()["q_text_langid"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("translate(") == 1, plan[:2000]
+    assert plan.count("regexp_replace(") == 1, plan[:2000]
+    assert plan.count("translate(") == 0, plan[:2000]
 
 
 def test_shingle_paths_agree(spark) -> None:
