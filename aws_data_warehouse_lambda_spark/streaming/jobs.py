@@ -476,20 +476,24 @@ def _sessionize_bucket(
         )
 
 
-def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, source_options: dict[str, str] | None = None
+) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: 30-minute
     inactivity-gap sessionization, the streaming twin of q_sessionize
     (operators/windows.py). Arrow-batched, state-bucketed (one state row
     per N_SESSION_BUCKETS hash bucket, bounded by open sessions);
     NoTimeout because AvailableNow drains the source (a 24/7 deployment
-    would use EventTimeTimeout to expire idle sessions)."""
+    would use EventTimeTimeout to expire idle sessions).
+    ``source_options`` passes through to the file source (the restart
+    axis reads with maxFilesPerTrigger=1, same as the other jobs)."""
     # NULL event times never enter an event-time operator: the
     # watermarked jobs drop them inside F.window/session_window, and
     # this watermark-less custom operator must apply the same rule
     # itself — a NaT would otherwise sort to int64-min and fabricate an
     # epoch-adjacent session.
     e = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, source_options)
         .where(F.col("ts").isNotNull())
         .withColumn(
             "bucket", F.pmod(F.xxhash64("user_id"), F.lit(N_SESSION_BUCKETS))

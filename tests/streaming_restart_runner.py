@@ -15,7 +15,7 @@ transaction log.
 
 argv: mode job src_sf_dir checkpoint_dir output_dir [stop_after_batches]
 
-Jobs (argv[2]) — three distinct state-store families through recovery:
+Jobs (argv[2]) — four distinct state-store families through recovery:
   dedup    -- dropDuplicatesWithinWatermark (key-expiry store)
   session  -- native session_window aggregation (merging-session
               store), APPEND mode: only watermark-FINALIZED sessions
@@ -26,6 +26,22 @@ Jobs (argv[2]) — three distinct state-store families through recovery:
               batch where the later side arrives, so with the
               deterministic file order the emitted multiset is
               batch-deterministic too
+  spandas  -- the CUSTOM applyInPandasWithState sessionizer
+              (flatMapGroupsWithState store, Python-side state
+              encode/decode through Arrow). UPDATE mode cannot drive a
+              file sink, so this job writes through foreachBatch into
+              one parquet dir per micro-batch with mode=overwrite —
+              the idempotent-retry shape (a replayed batch rewrites
+              its own dir byte-for-byte), which is what makes a torn
+              kill recoverable: partial dirs from an uncommitted batch
+              are overwritten by the resume's replay. The comparable
+              quantity is NOT the emission multiset (update mode
+              re-emits refined sessions) but the LATEST refinement per
+              (user_id, session_start) — session_start is immutable
+              and n_events monotone per _sessionize_bucket's late-data
+              policy, so max(n_events) per key is well-defined and
+              batch-path-independent; the parent test reduces both
+              sinks to that and compares exactly.
 
 Modes (argv[1]):
   full     -- drain the whole source in one AvailableNow run (the
@@ -83,6 +99,7 @@ def main(argv: list[str]) -> int:
     from aws_data_warehouse_lambda_spark.streaming.jobs import (
         STREAM_STATE_PARTITIONS,
         session_window_stream,
+        sessionize_stream,
         stream_dedup,
         stream_stream_join,
     )
@@ -115,16 +132,32 @@ def main(argv: list[str]) -> int:
             df = session_window_stream(spark, sf_dir, source_options=opts)
         elif job == "join":
             df = stream_stream_join(spark, sf_dir, source_options=opts)
+        elif job == "spandas":
+            df = sessionize_stream(spark, sf_dir, source_options=opts)
         else:
             raise SystemExit(f"unknown job {job!r}")
-        query = (
-            df.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        if job == "spandas":
+            # update mode -> foreachBatch, one dir per micro-batch,
+            # overwrite = idempotent replay (docstring above).
+            def _write_batch(bdf, bid: int) -> None:
+                bdf.write.mode("overwrite").parquet(f"{out}/batch={bid}")
+
+            query = (
+                df.writeStream.foreachBatch(_write_batch)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            query = (
+                df.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         if mode == "kill":
             deadline = time.time() + 120
             while query.isActive and time.time() < deadline:
