@@ -184,8 +184,14 @@ def main(argv: list[str]) -> int:
             # The stop landed after the drain finished: nothing is left
             # for the resume leg and the axis would pass vacuously.
             raise SystemExit("partial run drained the whole source before stop()")
-        # Read the sink back THROUGH its _spark_metadata commit log (the
-        # exactly-once view a downstream batch consumer gets).
+        # Read the sink back. For the file-sink jobs this goes THROUGH
+        # the _spark_metadata commit log (the exactly-once view a
+        # downstream batch consumer gets). The spandas foreachBatch
+        # sink has NO commit log — its count is raw emissions across
+        # batch=N dirs, superseded update-mode refinements included, so
+        # spandas sink_rows is a diagnostic, NOT an exactly-once row
+        # count; cross-leg assertions must use the latest-refinement
+        # reduction in the parent test, never this field.
         sink_rows = spark.read.parquet(out).count()
         print(
             json.dumps(
