@@ -362,19 +362,36 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with top-{TFIDF_TOP_K} distinguishing terms per document:
     term frequency x ln(N/df), ranked per doc (SURVEY.md §2.C text row).
 
-    Three map-side-combined aggregates (tf, df, N) + one join keyed on
-    the term + a per-doc window — no Python, no driver collects (the
-    corpus size joins in as a broadcast 1-row relation). Ranking uses
-    the ROUNDED score with a word tiebreak so near-equal doubles can't
-    flip order between engines."""
+    ONE corpus explode feeding a single chain: tf aggregates the
+    exploded words (map-side combine), then df derives from tf —
+    `tf` already has exactly one row per distinct (doc_id, word), so
+    `tf.groupBy(word).count()` IS count(DISTINCT doc_id) per word and
+    the second corpus explode+shuffle the naive two-branch plan paid
+    (exchange reuse can't fire there: partial-count vs distinct
+    children) disappears; the df shuffle moves the already-aggregated
+    tf rows, strictly smaller than the exploded corpus.
+
+    tf feeds two consumers (the join's left side and the df
+    aggregate), so it is EAGERLY checkpointed — the standard
+    self-join-over-derived-relation barrier (dedup.py band/prefix
+    precedent). Exchange/stage reuse canNOT stand in for the barrier
+    here: column pruning rewrites the df branch's copy of the tf
+    aggregate to functions=[] (a distinct) and folds count(tf) back
+    to count(1), so the two Exchange subtrees never canonicalize
+    equal (verified against both static ReuseExchange and AQE stage
+    reuse). N joins in as a broadcast 1-row relation — no Python, no
+    driver collects. Ranking uses the ROUNDED score with a word
+    tiebreak so near-equal doubles can't flip order between engines."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split(fold("text"), " ")).alias("word")
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    idf = words.select("doc_id", "word").distinct().groupBy("word").agg(
-        F.count(F.lit(1)).alias("df")
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
+    idf = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
         tf.join(idf, "word")

@@ -472,7 +472,7 @@ def test_ngram_words_evaluated_once(spark) -> None:
 
     df = entrymod.queries()["q_ngram_topk"](spark, "/root/testdata/sf0.001")
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    assert optimized.count("translate") == 1, optimized[:2000]
+    assert optimized.count("translate(") == 1, optimized[:2000]
     # Same trap, same fix in the two quality scorers: the split-based
     # word count feeds 3-4 downstream expressions, so the projected
     # shape must keep exactly ONE split (and one evaluation per
@@ -490,6 +490,27 @@ def test_ngram_words_evaluated_once(spark) -> None:
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("regexp_replace(") == 1, plan[:2000]
     assert plan.count("translate(") == 0, plan[:2000]
+
+
+def test_tfidf_single_corpus_pass(spark) -> None:
+    """q_tfidf's r12 `weak` flag: the old two-branch plan exploded and
+    shuffled the corpus TWICE (tf + a words.distinct() for df) and
+    exchange reuse could not fire (partial-count vs distinct children).
+    The fix derives df FROM tf and eagerly checkpoints tf (it feeds
+    both the join and the df aggregate; column pruning rewrites the df
+    branch's copy of the aggregate to functions=[] and folds count(tf)
+    back to count(1), so Exchange subtrees never canonicalize equal —
+    reuse is structurally unavailable, the barrier is the fix). Pin:
+    the returned plan carries ZERO explode/fold (the one corpus pass
+    lives in the checkpoint job) and its only remaining parquet scan
+    is the 1-row n_docs count."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_tfidf"](spark, "/root/testdata/sf0.001")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("explode(") == 0, optimized[:2000]
+    assert optimized.count("translate(") == 0, optimized[:2000]
+    assert optimized.count(" parquet") == 1, optimized[:2000]
 
 
 def test_shingle_paths_agree(spark) -> None:
