@@ -26,76 +26,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # r12 WINDOW (50). First: the 16 r8-vintage rows (the oldest in the
-    # ledger at 3 driver-rounds, a casualty of the r10 no-op round) —
-    # pre-staged by r11 and pulled in on schedule; q_pricing_summary
+    # r13 WINDOW (50). First: ALL 18 r10-vintage rows (the oldest in
+    # the ledger — two extra beyond the usual 16 because the r10 no-op
+    # round left a beat; pulling all 18 restores the steady cadence),
+    # pre-staged by r12 and pulled in on schedule; q_join_asof_pandas
     # leads:
-    "q_pricing_summary",
-    "q_repetition",
-    "q_revenue_by_nation",
-    "q_rollup",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_scalar_subquery",
-    "q_shipping_priority",
-    "q_sort_limit",
-    "q_split_assign",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_token_stats",
-    "q_unpivot",
-    "q_upsert_scan",
-    "q_window_frames",
-    # CODE TOUCHED IN r12 (beyond the three text queries already in the
-    # tier above): streaming/jobs.py again (the single-slash URI guard
-    # widened to any scheme with an absolute path, ADVICE r11 #1 — one
-    # source feeds all six streaming jobs), and the Unicode content
-    # axis landed the cross-engine case fold (functions/textfold.py)
-    # plus the ASCII \b gate — churning every tokenizing text/curation
-    # query and the pandas-rail token counter:
-    "q_stream_dedup",
-    "q_stream_sessionize",
-    "q_stream_session_window",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_stream_stream_join",
-    "q_text_quality",
-    "q_tfidf",
-    "q_ngram_topk",
-    "q_quality_filter",
-    "q_pandas_udf_scalar",
-    # The rest of the window: the 23 alphabetically-first of the 41
-    # r10-vintage rows not already pulled above (set ops, the dedup
-    # family, graph, grouping):
-    "q_conditional_agg",
-    "q_contamination",
-    "q_count_distinct",
-    "q_cube",
-    "q_dedup_clusters",
-    "q_dedup_containment",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_dedup_keep_list",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embedding_quantize",
-    "q_except",
-    "q_except_all",
-    "q_frame_sample",
-    "q_funnel_steps",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_intersect_all",
-    "q_join_asof",
-    # --- beyond the ~50-row driver window: PRE-STAGED r13 ROTATION ---
-    # ALL 18 remaining r10-vintage rows (joins, json, kmeans, map/
-    # string scalars, spine family, udtf, windows) — two more than the
-    # usual 16 because the r10 no-op round left the ledger one beat
-    # behind; if the driver reads past 50 they get rows a round early,
-    # and r13's reorder starts from here.
     "q_join_asof_pandas",
     "q_join_salted",
     "q_json_agg",
@@ -114,6 +49,66 @@ _DRIVER_FIRST = [
     "q_variant_extract",
     "q_window_lag_lead",
     "q_window_running",
+    # CODE TOUCHED IN r13: the q_tfidf single-corpus-pass rewrite
+    # (df now derives from the eagerly-checkpointed tf relation —
+    # operators/text.py, the r12 verdict's one `weak` flag):
+    "q_tfidf",
+    # The rest of the window: the 31 alphabetically-first of the 42
+    # r11-vintage rows (catalog, scans, scalar/date/math, joins,
+    # subqueries, percentiles, event-time batch windows):
+    "q_approx_distinct",
+    "q_array_funcs",
+    "q_boilerplate_spans",
+    "q_catalog_columns",
+    "q_catalog_tables",
+    "q_cdc_compact",
+    "q_coerce_types",
+    "q_date_funcs",
+    "q_embedding_centroids",
+    "q_exists_subquery",
+    "q_full_scan",
+    "q_fuzzy_join",
+    "q_histogram",
+    "q_hll_mergeable",
+    "q_in_subquery",
+    "q_incremental_scan",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_full_outer",
+    "q_join_outer",
+    "q_join_range",
+    "q_join_semi",
+    "q_lateral_topk",
+    "q_math_case",
+    "q_null_semantics",
+    "q_pandas_udf_grouped_agg",
+    "q_percentiles",
+    "q_percentiles_exact",
+    "q_pivot_event_types",
+    "q_session_window",
+    "q_sessionize",
+    # --- beyond the ~50-row driver window: PRE-STAGED r14 ROTATION ---
+    # the next-oldest 16: the 11 remaining r11-vintage rows (sim
+    # family, sliding/tumbling windows, set-op pair, stats, ranks) +
+    # the 5 alphabetically-first r12-vintage rows; if the driver reads
+    # past 50 they get rows a round early, and r14's reorder starts
+    # from here.
+    "q_sim_ivf",
+    "q_sim_lsh_bucketed",
+    "q_sim_topk_bruteforce",
+    "q_sliding_window",
+    "q_stats_moments",
+    "q_topk_per_group",
+    "q_tumbling_window",
+    "q_union",
+    "q_union_all_counts",
+    "q_window_range_frame",
+    "q_window_ranks",
+    "q_conditional_agg",
+    "q_contamination",
+    "q_count_distinct",
+    "q_cube",
+    "q_dedup_clusters",
 ]
 
 
