@@ -92,10 +92,21 @@ def _worst_case_result() -> dict:
         "full_sweep_canary_per_chunk": [9999.9999] * 6,
         "full_sweep": sweep,
         "full_sweep_total": wide,
-        "full_sweep_stat": "single_run_except_headline_tail_medians",
+        "full_sweep_stat": "single_run_except_medians;2x_movers_rerun_min",
         "full_sweep_steal_pct_per_chunk": [99.99] * 6,
         "full_sweep_loadavg_per_chunk": [999.9] * 6,
         "full_sweep_skipped": skipped,
+        # worst case: the re-run cap fully spent, max-width floats
+        "full_sweep_reruns": [
+            {
+                "query": f"q_very_long_query_name_number_{i:03d}",
+                "prev": wide,
+                "first": wide,
+                "rerun": wide,
+            }
+            for i in range(bench.MAX_RERUNS)
+        ],
+        "full_sweep_rerun_canary": 9999.9999,
         "sf": 0.1,
         # widest realistic value of the producer label (VERDICT r11 #5)
         "source": "builder-local",
@@ -281,3 +292,52 @@ def test_artifact_path_is_next_round(tmp_path) -> None:
     assert bench._artifact_path(str(tmp_path)).endswith("BENCH_full_sweep_r07.json")
     # unreadable dir degrades to round 1, never raises
     assert bench._artifact_path(str(tmp_path / "nope")).endswith("BENCH_full_sweep_r01.json")
+
+
+def test_prev_full_sweep_reads_newest_and_degrades(tmp_path) -> None:
+    """The re-run trigger's reference (VERDICT r12 #3): newest
+    full-sweep artifact on disk wins (a builder-local same-round commit
+    is a fresher reference than the previous round's), non-numeric /
+    non-positive entries are dropped, and every failure mode degrades
+    to {} (feature off), never an exception mid-bench."""
+    import json
+
+    import bench
+
+    # fresh tree -> no reference
+    assert bench._prev_full_sweep(str(tmp_path)) == {}
+    (tmp_path / "BENCH_full_sweep_r11.json").write_text(
+        json.dumps({"full_sweep": {"q_a": 1.0, "q_stale": 9.0}})
+    )
+    (tmp_path / "BENCH_full_sweep_r12.json").write_text(
+        json.dumps(
+            {"full_sweep": {"q_a": 2.0, "q_bad": "x", "q_zero": 0.0}}
+        )
+    )
+    # newest round wins; junk values filtered
+    assert bench._prev_full_sweep(str(tmp_path)) == {"q_a": 2.0}
+    # malformed newest -> {} (no fallback to older: partial trust in a
+    # half-written file is worse than no re-runs for one round)
+    (tmp_path / "BENCH_full_sweep_r13.json").write_text("{not json")
+    assert bench._prev_full_sweep(str(tmp_path)) == {}
+    # unreadable dir degrades too
+    assert bench._prev_full_sweep(str(tmp_path / "nope")) == {}
+
+
+def test_rerun_block_rides_bulk_count_rides_final() -> None:
+    """full_sweep_reruns (both samples per mover) is bulk/artifact
+    data; the final line of record carries only the COUNT, and that
+    count survives line reduction (_FINAL_CORE)."""
+    import bench
+
+    result = _worst_case_result()
+    bulk, final = bench._split_result(result)
+    assert bulk["full_sweep_reruns"] == result["full_sweep_reruns"]
+    assert "full_sweep_reruns" not in final
+    assert final["full_sweep_reruns_n"] == bench.MAX_RERUNS
+    assert "full_sweep_reruns_n" in bench._FINAL_CORE
+    # a result predating the feature (or with the sweep disabled)
+    # still gets an exact count of zero
+    no_rerun = {k: v for k, v in result.items() if k != "full_sweep_reruns"}
+    _, final2 = bench._split_result(no_rerun)
+    assert final2["full_sweep_reruns_n"] == 0
