@@ -50,15 +50,32 @@ _DRIVER_FIRST = [
     "q_window_lag_lead",
     "q_window_running",
     # CODE TOUCHED IN r13: the q_tfidf single-corpus-pass rewrite
-    # (df now derives from the eagerly-checkpointed tf relation —
-    # operators/text.py, the r12 verdict's one `weak` flag):
+    # (operators/text.py, the r12 verdict's one `weak` flag); the
+    # shingle/grams restructure on BOTH rails (the length axis found
+    # the oracle's lateral re-split AND the engine's _shingles lambda
+    # re-split — O(tokens x bytes) per doc — churning every consumer
+    # of _SHINGLE_SQL/_GRAMS_SQL/_GRAPH_SQL/_doc_shingle_arrays); the
+    # linear block-concat gram rewrite in q_text_fingerprint; the
+    # RFC-bounded EMAIL_RE (q_pii_redact, in the r10 tier above); and
+    # the Arrow-backend-safe token counter (python_udfs, ADVICE r12):
     "q_tfidf",
-    # The rest of the window: the 31 alphabetically-first of the 42
-    # r11-vintage rows (catalog, scans, scalar/date/math, joins,
-    # subqueries, percentiles, event-time batch windows):
+    "q_dedup_ngram_jaccard",
+    "q_dedup_containment",
+    "q_dedup_clusters",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_keep_list",
+    "q_repetition",
+    "q_contamination",
+    "q_boilerplate_spans",
+    "q_graph_degree",
+    "q_graph_pagerank",
+    "q_pandas_udf_scalar",
+    "q_text_fingerprint",
+    # The rest of the window: the 18 alphabetically-first of the
+    # remaining r11-vintage rows:
     "q_approx_distinct",
     "q_array_funcs",
-    "q_boilerplate_spans",
     "q_catalog_columns",
     "q_catalog_tables",
     "q_cdc_compact",
@@ -75,6 +92,9 @@ _DRIVER_FIRST = [
     "q_join_anti",
     "q_join_broadcast",
     "q_join_full_outer",
+    # --- beyond the ~50-row driver window: PRE-STAGED r14 ROTATION ---
+    # the next-oldest 16 r11-vintage rows; if the driver reads past 50
+    # they get rows a round early, and r14's reorder starts from here.
     "q_join_outer",
     "q_join_range",
     "q_join_semi",
@@ -87,28 +107,10 @@ _DRIVER_FIRST = [
     "q_pivot_event_types",
     "q_session_window",
     "q_sessionize",
-    # --- beyond the ~50-row driver window: PRE-STAGED r14 ROTATION ---
-    # the next-oldest 16: the 11 remaining r11-vintage rows (sim
-    # family, sliding/tumbling windows, set-op pair, stats, ranks) +
-    # the 5 alphabetically-first r12-vintage rows; if the driver reads
-    # past 50 they get rows a round early, and r14's reorder starts
-    # from here.
     "q_sim_ivf",
     "q_sim_lsh_bucketed",
     "q_sim_topk_bruteforce",
     "q_sliding_window",
-    "q_stats_moments",
-    "q_topk_per_group",
-    "q_tumbling_window",
-    "q_union",
-    "q_union_all_counts",
-    "q_window_range_frame",
-    "q_window_ranks",
-    "q_conditional_agg",
-    "q_contamination",
-    "q_count_distinct",
-    "q_cube",
-    "q_dedup_clusters",
 ]
 
 

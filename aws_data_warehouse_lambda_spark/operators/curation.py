@@ -73,7 +73,15 @@ VAL_BUCKET, TEST_BUCKET = 8, 9
 
 #: PII patterns, limited to syntax Java regex and DuckDB's RE2 read
 #: identically (character classes, bounded repetition, literal +).
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+#: BOUNDED quantifiers on the email atoms (RFC 5321 limits: local
+#: part <= 64, domain <= 255): with an unbounded `+`, Java's
+#: backtracking scanner costs O(len^2) on a long unbroken run of
+#: class characters — 61.6 s for ONE 100 KB single-token document
+#: (r13 length axis), against which RE2 stays linear, so the two
+#: rails diverge in COST while agreeing on rows. The bound caps the
+#: per-start work at 64 -> linear, and both rails share the constant
+#: so the (degenerate-only) match-length change is engine-identical.
+EMAIL_RE = r"[a-z0-9._%+-]{1,64}@[a-z0-9.-]{1,255}\.[a-z]{2,}"
 PHONE_RE = r"\+1-555-[0-9]{4}"
 
 #: Corpus-common shingle threshold for the boilerplate stat: a word
@@ -163,12 +171,17 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Non-distinct per-doc 3-gram hashes (duplicates preserved — that is
 #: the point of the repetition measure), mirroring dedup._SHINGLE_SQL.
+#: (Same fast shape as dedup._SHINGLE_SQL: list built once per doc,
+#: direct indexing — the lateral + per-row re-split form is
+#: O(tokens x bytes) per doc; see the length axis.)
 _GRAMS_SQL = f"""
     grams AS (
         SELECT doc_id,
-               {h60_sql("array_to_string(string_split(text, ' ')[i:i+2], ' ')")} AS sh
-        FROM documents,
-             UNNEST(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)) t(i)
+               UNNEST(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> {h60_sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+               )) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     )
 """
 
@@ -198,13 +211,18 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction of 3-grams that are repeats and the share of the single
     most frequent 3-gram. Grams are hashed to 60-bit ints BEFORE the
     shuffle (16 bytes/row exchange payload regardless of text size);
-    both aggs are partial-combinable."""
-    from .dedup import _shingles
+    both aggs are partial-combinable. Words are projected before the
+    shingle transform (the _shingles lambda re-split trap — inlined,
+    this query was O(tokens x bytes) per doc: 281 s on the length
+    axis's five 128 KB documents, 1.3 s projected)."""
+    from .dedup import _shingles, _words
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
-    ).select("doc_id", h60(F.col("s")).alias("sh"))
+    grams = (
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(_shingles(F.col("w"))).alias("s"))
+        .select("doc_id", h60(F.col("s")).alias("sh"))
+    )
     per_gram = grams.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
     total = F.sum("c").cast("double")
     dup_frac = F.lit(1.0) - F.count(F.lit(1)).cast("double") / total

@@ -85,9 +85,17 @@ def _words(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def _shingles(text: Column) -> Column:
-    """Word 3-gram shingles as an array<string> (JVM-side, no UDF)."""
-    w = _words(text)
+def _shingles(w: Column) -> Column:
+    """Word 3-gram shingles as an array<string> (JVM-side, no UDF).
+
+    ``w`` must be an already-PROJECTED words-array column (a bound
+    attribute), never the inline ``split(text)`` expression: the split
+    appears inside the transform's per-element lambda (via slice), and
+    lambda-bearing expressions are exempt from codegen subexpression
+    elimination (the r12 trap), so an inlined split re-splits the FULL
+    text once per element — O(tokens x bytes) per document, 26.6 s for
+    ONE 128 KB doc vs 0.6 s projected (found by the r13 length axis;
+    invisible on KB-scale fixture docs for 12 rounds)."""
     n = F.size(w) - F.lit(2)
     return F.when(
         n >= 1,
@@ -97,13 +105,15 @@ def _shingles(text: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _shingle_hash_set(text: Column) -> Column:
+def _shingle_hash_set(w: Column) -> Column:
     """The per-doc shingle-hash SET expression (sorted distinct
-    array<long>), shared by :func:`_doc_shingle_arrays` and the
-    inline-explode path of :func:`_shingle_hashes` so the two can
-    never silently drift (the plan-pin test checks only the Filter
-    trap, not expression equality)."""
-    return F.array_sort(F.array_distinct(F.transform(_shingles(text), h60)))
+    array<long>) over a PROJECTED words column (see :func:`_shingles`
+    for why it must be an attribute), shared by
+    :func:`_doc_shingle_arrays` and the inline-explode path of
+    :func:`_shingle_hashes` so the two can never silently drift (the
+    plan-pin test checks only the Filter trap, not expression
+    equality)."""
+    return F.array_sort(F.array_distinct(F.transform(_shingles(w), h60)))
 
 
 def _doc_shingle_arrays(
@@ -140,8 +150,18 @@ def _doc_shingle_arrays(
     # run interpreted, outside whole-stage codegen) — spread a
     # single-split fixture scan before it (functions/spread.py).
     docs = spread_if_few_splits(load_table(spark, sf_dir, "documents"))
-    shs = _shingle_hash_set(F.col("text"))
-    return docs.select("doc_id", shs.alias("shs"), F.size(shs).alias("n"))
+    # THREE projection steps, each boundary load-bearing: words bound
+    # once (the _shingles lambda re-split trap), the hash-set chain
+    # evaluated once (``shs`` and ``size(shs)`` in one projection would
+    # run the lambda-bearing chain twice — codegen subexpression
+    # elimination skips lambdas, r12), then n derived from the bound
+    # attribute. CollapseProject keeps both boundaries: non-cheap and
+    # multiply-referenced (SPARK-36715).
+    return (
+        docs.select("doc_id", _words(F.col("text")).alias("w"))
+        .select("doc_id", _shingle_hash_set(F.col("w")).alias("shs"))
+        .select("doc_id", "shs", F.size("shs").alias("n"))
+    )
 
 
 def _shingle_hashes(
@@ -174,8 +194,12 @@ def _shingle_hashes(
         arr = _doc_shingle_arrays(spark, sf_dir, persist=True)
         return arr.select("doc_id", F.explode("shs").alias("sh"))
     docs = spread_if_few_splits(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id", F.explode(_shingle_hash_set(F.col("text"))).alias("sh")
+    # Words projected first (the _shingles re-split trap); the hash
+    # chain stays INLINE in the explode — its child is a non-cheap
+    # expression, not an attribute, so InferFiltersFromGenerate stays
+    # exempt exactly as documented above.
+    return docs.select("doc_id", _words(F.col("text")).alias("w")).select(
+        "doc_id", F.explode(_shingle_hash_set(F.col("w"))).alias("sh")
     )
 
 
@@ -300,12 +324,25 @@ def _rare(z: Column) -> Column:
 
 
 #: DuckDB CTEs mirroring :func:`_shingle_hashes` (sh) + per-doc set sizes.
+#:
+#: Shape matters at the length tail: the original
+#: ``FROM documents, UNNEST(range(..))`` lateral with a per-row
+#: ``string_split(text)[i:i+2]`` slice re-split the FULL text once per
+#: token (O(tokens x bytes) per doc — 48 s for ONE 128 KB document,
+#: found by tests/test_adversarial_length.py). The list is now built
+#: once per doc and the 3-gram joins use direct element indexing
+#: inside one list_transform (slices copy a sub-list per element —
+#: same trap); row set proven identical on real and degenerate docs.
 _SHINGLE_SQL = f"""
     sh AS (
-        SELECT DISTINCT doc_id,
-               {h60_sql("array_to_string(string_split(text, ' ')[i:i+2], ' ')")} AS sh
-        FROM documents,
-             UNNEST(range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)) t(i)
+        SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(w) - 2, 0) + 1),
+                       i -> {h60_sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+                   )) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """

@@ -34,16 +34,13 @@ from .text import TOKEN_RE
 from ..sources.tables import load_table
 from .registry import query
 
-#: The ONE tokenizer (imported, not re-declared — the two rails must
-#: not drift apart silently). COMPILED WITH re.ASCII: Python's default
-#: \s is Unicode-aware (NBSP, U+3000 ideographic space, U+2028 line
-#: separator all match), while Java regex and DuckDB's RE2 read \s as
-#: ASCII whitespace only — so a NBSP-bearing document counts one token
-#: fewer on the Python rail unless the class is pinned to ASCII (found
-#: by the Unicode adversarial fixture, tests/test_adversarial_unicode.py).
-_TOKEN_PAT = re.compile(TOKEN_RE, re.ASCII)
-
-
+# TOKEN_RE is the ONE tokenizer (imported, not re-declared — the two
+# rails must not drift apart silently), always applied WITH re.ASCII:
+# Python's default \s is Unicode-aware (NBSP, U+3000 ideographic space,
+# U+2028 line separator all match), while Java regex and DuckDB's RE2
+# read \s as ASCII whitespace only — so a NBSP-bearing document counts
+# one token fewer on the Python rail unless the class is pinned to
+# ASCII (found by tests/test_adversarial_unicode.py).
 @pandas_udf(T.IntegerType())
 def bpe_token_count(text: pd.Series) -> pd.Series:
     """Vectorized token counter (pandas str ops over an Arrow batch).
@@ -52,8 +49,13 @@ def bpe_token_count(text: pd.Series) -> pd.Series:
     produces — one null text would kill the whole batch. Lowercasing
     goes through the shared cross-engine fold (CPython's bare
     str.lower expands 'İ' exactly like the JVM's full mapping and
-    diverges from the DuckDB oracle)."""
-    return fold_pandas(text).str.count(_TOKEN_PAT).astype("Int32")
+    diverges from the DuckDB oracle). The pattern is passed as a
+    STRING with flags=re.ASCII, not pre-compiled: a
+    compiled pattern rides only the object-dtype str accessor, and an
+    Arrow-backed series (pandas ArrowDtype dispatches str.count to
+    pyarrow count_substring_regex) would raise on it at runtime —
+    the string+flags form survives both backends (ADVICE r12)."""
+    return fold_pandas(text).str.count(TOKEN_RE, flags=re.ASCII).astype("Int32")
 
 
 @query(

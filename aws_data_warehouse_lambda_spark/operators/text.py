@@ -54,6 +54,9 @@ TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
 
 FINGERPRINT_GRAM = 8  # char n-gram width
 FINGERPRINT_STRIDE = 4  # stride between grams (winnowing-lite)
+# q_text_fingerprint's linear block-concat gram shape requires this
+# exact ratio (gram = two adjacent stride-sized blocks):
+assert FINGERPRINT_GRAM == 2 * FINGERPRINT_STRIDE
 
 
 def _count(c: Column, pattern: str) -> Column:
@@ -441,21 +444,47 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fingerprint, giving an O(n) grouping-based near-dup screen —
     the cheapest pre-filter before the pairwise sketches in dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    n_grams = F.greatest(
-        F.length("text") - F.lit(FINGERPRINT_GRAM - 1), F.lit(0)
+    # Gram extraction is LINEAR via block concat, not a strided
+    # substring loop: substring(text, i, k) on a UTF8String seeks
+    # byte-wise from the start to find codepoint i (no O(1) indexing
+    # in UTF-8), so the strided loop costs O(len^2 / stride) per doc —
+    # 76 s on the length axis's five 128 KB docs (r13). Because
+    # GRAM == 2 x STRIDE, every gram at start 1+4t is exactly the
+    # concat of adjacent 4-char blocks b[t+1] || b[t+2], and the block
+    # list is ONE linear regexp scan ((?s) so '.' crosses newlines;
+    # Java '.' consumes full codepoints, so astral chars split exactly
+    # like substring did — equality proven on unicode/degenerate rows
+    # and the unicode axis re-proves it each run). Blocks project
+    # first (bound attribute) per the lambda-CSE rule; gram t+2 is
+    # always a FULL block since 4t+8 <= len.
+    b = F.col("b")
+    t_max = F.floor(
+        (F.length("text") - F.lit(FINGERPRINT_GRAM)) / F.lit(FINGERPRINT_STRIDE)
+    ).cast("int")
+    grams = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.regexp_extract_all(
+                "text", F.lit(f"(?s).{{1,{FINGERPRINT_STRIDE}}}"), 0
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.length("text") >= FINGERPRINT_GRAM,
+                    F.transform(
+                        F.sequence(F.lit(0), t_max),
+                        lambda t: F.concat(
+                            F.element_at(b, t + 1), F.element_at(b, t + 2)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .select("doc_id", h60(F.col("g")).alias("gh"))
     )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                n_grams >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n_grams, F.lit(FINGERPRINT_STRIDE)),
-                    lambda i: F.substring(F.col("text"), i, FINGERPRINT_GRAM),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    ).select("doc_id", h60(F.col("g")).alias("gh"))
     fp = grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))
     return (
         fp.groupBy("fingerprint")

@@ -260,3 +260,12 @@ def test_canonical_path_guards_colon_relative_inputs() -> None:
     # always absolute, so path-relative means not-a-URI):
     rel_s3 = "s3:backup/sf0.001/events.parquet"
     assert _canonical_local_path(rel_s3) == os.path.abspath(rel_s3)
+    # DELIBERATE residual loss (ADVICE r12): a relative local path
+    # whose first segment is a directory literally named 'word:' with
+    # an ABSOLUTE remainder — 'data:/v2/sf0.001' — is indistinguishable
+    # from Hadoop's single-slash URI form and takes the URI branch
+    # (canonicalizing to '/v2/sf0.001'). Hadoop itself reads the string
+    # the same way, so such a directory cannot be addressed through
+    # Spark at all; this pin records the trade-off as chosen, not as a
+    # regression for a future reviewer to "fix" back into the r9 hole.
+    assert _canonical_local_path("data:/v2/sf0.001") == "/v2/sf0.001"

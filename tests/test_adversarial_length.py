@@ -1,0 +1,164 @@
+"""Length/repetition content-axis parity (VERDICT r12 task #5): the
+document family must agree with its DuckDB oracles at the SIZE and
+DEGENERACY tails a 100 TB web corpus is guaranteed to contain and no
+other fixture stresses — >=100 KB bodies, single-token floods,
+whitespace-only documents, one-char-diff near-dup pairs at max length,
+and a corpus block engineered to cross the pair-generation DF_CAP.
+
+This is the axis where per-doc ARRAY BLOWUP and CAP behavior live: a
+128 KB document explodes to ~20k word-3-gram shingles and ~35k strided
+char-grams, so any path that ships text bytes (instead of 60-bit
+hashes) through a shuffle, or materializes a cross product of
+per-doc arrays, shows up here as a timeout/OOM long before the parity
+check even runs. The DF_CAP block (70 docs sharing one shingle, two
+of them also sharing a RARE shingle) pins BOTH sides of the cap
+contract against the oracles: a df>DF_CAP shingle proposes no pairs,
+while a rare shingle still pairs two docs that ALSO share the capped
+one.
+
+Deliberate degeneracy notes (settled NULL-on-degenerate policy):
+- whitespace-only text: Spark's split(text, ' ') and DuckDB's
+  string_split both yield N+1 EMPTY strings, so word-shingles exist
+  (hashes of '  ' joins) while TOKEN_RE counts zero tokens — the two
+  notions of "word" must diverge CONSISTENTLY in both engines.
+- a 100 KB single "word" (no separators) has one token, zero
+  3-gram shingles (greatest(n-2, 0) guard), and must flow through
+  every shingle consumer as an empty set, not an error.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.operators import dedup
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import copy_table, run_parity
+from .test_adversarial_documents import _DOC_QUERIES
+
+SRC = "/root/testdata/sf0.001"
+
+# ~140 KB of fully distinct tokens: 20k words, ~20k distinct shingles.
+_N_TOK = 20_000
+_BIG = " ".join(f"w{i:05d}" for i in range(_N_TOK))
+# one-token-diff near-dup of _BIG (single char flipped mid-document):
+# Jaccard ~ 0.9997 — must pair with _BIG in every sketch family.
+_BIG_NEAR = _BIG.replace(" w10000 ", " x10000 ", 1)
+assert len(_BIG_NEAR) == len(_BIG) and _BIG_NEAR != _BIG
+# first-char and last-char flips: the strided char-gram fingerprint and
+# any prefix-biased path must see these as DIFFERENT docs.
+_BIG_HEAD = "x" + _BIG[1:]
+_BIG_TAIL = _BIG[:-1] + "x"
+
+# single-token flood: 25k copies of one word -> ONE distinct shingle,
+# dup_gram_frac ~= 1, top_gram_frac ~= 1.
+_FLOOD = " ".join(["spam"] * 25_000)
+# one giant 100 KB "word": 1 token, ZERO 3-gram shingles.
+_MEGATOKEN = "a" * 100_000
+# whitespace-only bodies (see module docstring).
+_SPACES = " " * 50_000
+_WS_MIX = "\t\n\x0b\x0c\r " * 1_000
+# a 5-word sentence repeated 2000 times (~66 KB): repetition/
+# boilerplate flags must fire; ngram_topk's winner comes from here.
+_REPEAT = " ".join(["the quick brown fox jumps"] * 2_000)
+
+_DOCS: list[tuple[int, str | None, str, str]] = [
+    (0, _BIG, "en", "src0"),
+    (1, _BIG_NEAR, "en", "src0"),
+    (2, _BIG, "en", "src1"),  # exact dup of 0 at max length
+    (3, _BIG_HEAD, "en", "src1"),
+    (4, _BIG_TAIL, "en", "src1"),
+    (5, _FLOOD, "en", "src2"),
+    (6, _MEGATOKEN, "en", "src2"),
+    (7, _SPACES, "en", "src3"),
+    (8, _WS_MIX, "en", "src3"),
+    (9, _REPEAT, "en", "src4"),
+    (10, "x", "en", "src4"),  # single char
+    (11, "", "en", "src5"),  # empty (settled policy row)
+    (12, None, "en", "src5"),  # NULL (settled policy row)
+]
+# DF_CAP block: 70 docs (> DF_CAP=64) all sharing the shingle
+# "common boiler plate"; ids 100/101 are ALSO genuine near-dups via a
+# 30-word shared tail (one trailing word differs -> J = 31/33 ~ 0.94,
+# over the 0.8 threshold, proposed through ~30 df=2 RARE shingles) —
+# so the capped shingle suppresses the 68 filler pairings while the
+# rare ones still surface exactly the (100, 101) pair.
+_SHARED_TAIL = " ".join(f"tail{j:02d}" for j in range(30))
+for _i in range(70):
+    _body = (
+        f"common boiler plate {_SHARED_TAIL} end{_i}"
+        if _i < 2
+        else f"common boiler plate doc{_i} unique{_i} filler"
+    )
+    _DOCS.append((100 + _i, _body, "xx", "src6"))
+
+
+@pytest.fixture(scope="module")
+def length_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_length")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        copy_table(table_path(SRC, t), table_path(str(root), t))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in _DOCS], pa.int64()),
+            "text": pa.array([d[1] for d in _DOCS], pa.string()),
+            "lang": pa.array([d[2] for d in _DOCS], pa.string()),
+            "source": pa.array([d[3] for d in _DOCS], pa.string()),
+            "n_chars": pa.array(
+                [len(d[1]) if d[1] is not None else None for d in _DOCS],
+                pa.int64(),
+            ),
+        }
+    )
+    pq.write_table(docs, table_path(str(root), "documents"))
+    yield str(root)
+    dedup.reset_shared_relations()
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES)
+def test_length_parity(spark, length_sf, name) -> None:
+    run_parity(spark, length_sf, name, _QUERIES[name], _ORACLES[name])
+
+
+def test_df_cap_contract(spark, length_sf) -> None:
+    """Both sides of the DF_CAP contract, asserted on the RESULT rows
+    (the parity run above already proved oracle agreement; this pins
+    the semantics the fixture was built to exercise, so a fixture edit
+    that silently stops crossing the cap fails here, not nowhere):
+    the 70-doc block's shared shingle (df=70 > DF_CAP=64) proposes no
+    pairs among the 68 filler docs, while docs 100/101 still pair via
+    their rare shared tail."""
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _QUERIES["q_dedup_ngram_jaccard"](spark, length_sf)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    block_pairs = {p for p in pairs if p[0] >= 100 and p[1] >= 100}
+    assert block_pairs == {(100, 101)}, block_pairs
+    # and the max-length near-dup pair + exact dup both surfaced
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_degenerate_shingle_sets(spark, length_sf) -> None:
+    """The megatoken doc (one 100 KB word) must flow through the
+    shingle pipeline as an EMPTY set; the flood doc collapses to ONE
+    distinct shingle; repetition flags fire on flood/repeat docs."""
+    rep = {
+        r.doc_id: r
+        for r in _QUERIES["q_repetition"](spark, length_sf).collect()
+    }
+    assert 6 not in rep or rep[6].n_grams == 0  # no 3-grams to score
+    assert rep[5].top_gram_frac == 1.0 and rep[5].flagged
+    assert rep[9].dup_gram_frac > 0.9 and rep[9].flagged
+    assert rep[0].dup_gram_frac == 0.0 and not rep[0].flagged

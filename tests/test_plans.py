@@ -513,6 +513,37 @@ def test_tfidf_single_corpus_pass(spark) -> None:
     assert optimized.count(" parquet") == 1, optimized[:2000]
 
 
+def test_shingle_words_projected_once(spark) -> None:
+    """The r13 length-axis find (the Spark-side sibling of the oracle's
+    lateral re-split): _shingles' per-element lambda references the
+    words array via slice(), and lambda-bearing expressions are exempt
+    from codegen subexpression elimination, so an INLINED split(text)
+    re-split the full text once per element — O(tokens x bytes) per
+    doc (q_repetition: 281 s -> 3 s on five 128 KB docs). Pin: every
+    shingle consumer's optimized plan evaluates split() exactly once,
+    on a projected column."""
+    import __spark_entry__ as entrymod
+
+    from aws_data_warehouse_lambda_spark.operators.dedup import (
+        _doc_shingle_arrays,
+        _shingle_hashes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = entrymod.queries()["q_repetition"](spark, sf)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan[:2000]
+    for rel in (
+        _doc_shingle_arrays(spark, sf, persist=False),
+        _shingle_hashes(spark, sf, persist=False),
+    ):
+        plan = rel._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, plan[:2000]
+        # and the hash chain itself appears once (shs + size(shs) in
+        # one projection would instantiate the md5 chain twice)
+        assert plan.count("md5(") == 1, plan[:2000]
+
+
 def test_shingle_paths_agree(spark) -> None:
     """The packed-array path (_doc_shingle_arrays -> explode) and the
     inline-explode path (_shingle_hashes persist=False) must produce

@@ -316,15 +316,17 @@ def _final_sessions(spark, path: str) -> dict:
     (_sessionize_bucket's late-data policy), so max(n_events) — with
     session_end as the tiebreak for replayed identical rows — is the
     final state regardless of which intermediate emissions a kill left
-    behind. Timestamps compare as strings within one session (same
-    rendering both sides)."""
+    behind. Timestamps compare as the RAW datetime objects collect()
+    yields — already ordering-correct and cross-leg comparable, where
+    a str() rendering could differ between equal instants (e.g.
+    fractional-second formatting varying by value; ADVICE r12)."""
     best: dict = {}
     df = spark.read.parquet(path)
     for r in df.select(
         "user_id", "n_events", "session_start", "session_end"
     ).collect():
-        k = (r.user_id, str(r.session_start))
-        v = (r.n_events, str(r.session_end))
+        k = (r.user_id, r.session_start)
+        v = (r.n_events, r.session_end)
         if k not in best or v > best[k]:
             best[k] = v
     return best
