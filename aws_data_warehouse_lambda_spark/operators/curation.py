@@ -47,6 +47,7 @@ from ..functions.numeric import dsum, dsum_expr
 from ..functions.porthash import h60, h60_sql
 from ..sources.tables import load_table
 from .dedup import (
+    GRAM_ROWS_SQL,
     _JACCARD_PAIRS_SQL,
     _SHINGLE_SQL,
     _doc_annotated_arrays,
@@ -170,19 +171,12 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Non-distinct per-doc 3-gram hashes (duplicates preserved — that is
-#: the point of the repetition measure), mirroring dedup._SHINGLE_SQL.
-#: (Same fast shape as dedup._SHINGLE_SQL: list built once per doc,
-#: direct indexing — the lateral + per-row re-split form is
-#: O(tokens x bytes) per doc; see the length axis.)
+#: the point of the repetition measure): the SHARED fragment from
+#: dedup (one copy of the fast projected-list shape; see GRAM_ROWS_SQL
+#: for why it is shared), without the DISTINCT the set-semantics
+#: consumers wrap around it.
 _GRAMS_SQL = f"""
-    grams AS (
-        SELECT doc_id,
-               UNNEST(list_transform(
-                   range(1, greatest(len(w) - 2, 0) + 1),
-                   i -> {h60_sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
-               )) AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-    )
+    grams AS ({GRAM_ROWS_SQL})
 """
 
 

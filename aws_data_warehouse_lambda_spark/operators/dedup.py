@@ -333,16 +333,22 @@ def _rare(z: Column) -> Column:
 #: once per doc and the 3-gram joins use direct element indexing
 #: inside one list_transform (slices copy a sub-list per element —
 #: same trap); row set proven identical on real and degenerate docs.
-_SHINGLE_SQL = f"""
-    sh AS (
-        SELECT DISTINCT doc_id, sh FROM (
+#: The ONE per-doc 3-gram rows fragment (doc_id, sh) — also consumed by
+#: curation._GRAMS_SQL (non-distinct), so the fast shape can never be
+#: fixed on one rail's copy and left quadratic on the other (this round
+#: applied the same fix twice before sharing it; r13 review pass 1).
+GRAM_ROWS_SQL = f"""
             SELECT doc_id,
                    UNNEST(list_transform(
                        range(1, greatest(len(w) - 2, 0) + 1),
                        i -> {h60_sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
                    )) AS sh
             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        )
+"""
+
+_SHINGLE_SQL = f"""
+    sh AS (
+        SELECT DISTINCT doc_id, sh FROM ({GRAM_ROWS_SQL})
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """

@@ -35,12 +35,13 @@ from ..sources.tables import load_table
 from .registry import query
 
 # TOKEN_RE is the ONE tokenizer (imported, not re-declared — the two
-# rails must not drift apart silently), always applied WITH re.ASCII:
-# Python's default \s is Unicode-aware (NBSP, U+3000 ideographic space,
-# U+2028 line separator all match), while Java regex and DuckDB's RE2
-# read \s as ASCII whitespace only — so a NBSP-bearing document counts
-# one token fewer on the Python rail unless the class is pinned to
-# ASCII (found by tests/test_adversarial_unicode.py).
+# rails must not drift apart silently). It is Unicode-flag-PROOF by
+# construction: every class is spelled explicitly (no \s/\w/\d/\b, the
+# r12 fix after the unicode axis found Python's default \s matching
+# NBSP/U+3000/U+2028 where Java and RE2 read ASCII), so it needs no
+# re.ASCII — and must not get one: ArrowDtype's str.count raises on
+# any non-zero flags (tests/test_adversarial_unicode.py +
+# test_token_re_needs_no_flags pin both properties).
 @pandas_udf(T.IntegerType())
 def bpe_token_count(text: pd.Series) -> pd.Series:
     """Vectorized token counter (pandas str ops over an Arrow batch).
@@ -49,13 +50,16 @@ def bpe_token_count(text: pd.Series) -> pd.Series:
     produces — one null text would kill the whole batch. Lowercasing
     goes through the shared cross-engine fold (CPython's bare
     str.lower expands 'İ' exactly like the JVM's full mapping and
-    diverges from the DuckDB oracle). The pattern is passed as a
-    STRING with flags=re.ASCII, not pre-compiled: a
-    compiled pattern rides only the object-dtype str accessor, and an
-    Arrow-backed series (pandas ArrowDtype dispatches str.count to
-    pyarrow count_substring_regex) would raise on it at runtime —
-    the string+flags form survives both backends (ADVICE r12)."""
-    return fold_pandas(text).str.count(TOKEN_RE, flags=re.ASCII).astype("Int32")
+    diverges from the DuckDB oracle). The pattern is passed as a BARE
+    STRING — no compiled pattern (only the object-dtype str accessor
+    accepts one) and no flags (ArrowDtype's _str_count raises
+    NotImplementedError on ANY non-zero flags; verified on this
+    container's pandas). No re.ASCII is NEEDED here: TOKEN_RE spells
+    every character class explicitly (r12) — no \\s/\\w/\\d/\\b — so
+    the flag was a semantic no-op whose only runtime effects were the
+    ArrowDtype crash and forcing the slow fallback (ADVICE r12,
+    corrected by r13 review pass 1)."""
+    return fold_pandas(text).str.count(TOKEN_RE).astype("Int32")
 
 
 @query(

@@ -55,8 +55,16 @@ TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
 FINGERPRINT_GRAM = 8  # char n-gram width
 FINGERPRINT_STRIDE = 4  # stride between grams (winnowing-lite)
 # q_text_fingerprint's linear block-concat gram shape requires this
-# exact ratio (gram = two adjacent stride-sized blocks):
-assert FINGERPRINT_GRAM == 2 * FINGERPRINT_STRIDE
+# exact ratio (gram = two adjacent stride-sized blocks). ValueError,
+# not assert: a bare assert vanishes under python -O, and a constants
+# edit would then silently compute a different fingerprint function
+# than the oracle's strided-substring shape (r13 review pass 1).
+if FINGERPRINT_GRAM != 2 * FINGERPRINT_STRIDE:
+    raise ValueError(
+        "q_text_fingerprint's block-concat grams require "
+        "FINGERPRINT_GRAM == 2 * FINGERPRINT_STRIDE; got "
+        f"{FINGERPRINT_GRAM} / {FINGERPRINT_STRIDE}"
+    )
 
 
 def _count(c: Column, pattern: str) -> Column:

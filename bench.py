@@ -198,14 +198,18 @@ def _artifact_path(repo_dir: str) -> str:
     return os.path.join(repo_dir, f"BENCH_full_sweep_r{max(rounds) + 1:02d}.json")
 
 
-def _prev_full_sweep(repo_dir: str) -> dict[str, float]:
+def _prev_full_sweep(repo_dir: str, sf) -> dict[str, float]:
     """Per-query seconds from the newest committed full-sweep artifact
     on disk — the re-run trigger's reference values. Newest, not
     "previous round": a builder-local sweep committed earlier in the
     SAME round (the designed filename collision, see `source`) is a
-    strictly fresher reference for the driver's run. {} on a fresh
-    tree or any read/shape failure — the feature degrades to no
-    re-runs, never to a failed bench."""
+    strictly fresher reference for the driver's run. The artifact's
+    recorded ``sf`` must equal the current run's (r13 review pass 1:
+    a reference from a different scale factor turns nearly every
+    query into a false >2x mover — or masks every real one — burning
+    the bounded rerun slots on scale mismatch, not noise). {} on a
+    fresh tree, sf mismatch, or any read/shape failure — the feature
+    degrades to no re-runs, never to a failed bench."""
     best, best_n = None, -1
     try:
         names = os.listdir(repo_dir)
@@ -219,7 +223,10 @@ def _prev_full_sweep(repo_dir: str) -> dict[str, float]:
         return {}
     try:
         with open(os.path.join(repo_dir, best)) as fh:
-            sweep = json.load(fh).get("full_sweep", {})
+            artifact = json.load(fh)
+        if artifact.get("sf") != sf:
+            return {}
+        sweep = artifact.get("full_sweep", {})
         return {
             k: float(v)
             for k, v in sweep.items()
@@ -480,12 +487,19 @@ def main() -> None:
     # window is localizable to the chunk it landed on.
     # SPARK_GRAFT_FULL_SWEEP=0 skips it for quick local iteration; the
     # driver's plain `python bench.py` always includes it.
+    # sf label computed BEFORE the sweep: the mover-rerun reference
+    # must be same-sf (see _prev_full_sweep).
+    _sf_str = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    sf_value = (
+        float(_sf_str) if _sf_str.replace(".", "", 1).isdigit() else _sf_str
+    )
     full_sweep: dict[str, float] = {}
     full_sweep_steal: list[float | None] = []
     full_sweep_load: list[float] = []
     full_sweep_canary: list[float] = []
     full_sweep_skipped: list[str] = []
     full_sweep_reruns: list[dict] = []
+    full_sweep_reruns_skipped: list[str] = []
     full_sweep_rerun_canary: float | None = None
     if os.environ.get("SPARK_GRAFT_FULL_SWEEP", "1") != "0":
         # Wall-clock budget: an external runner that kills the whole
@@ -532,11 +546,18 @@ def main() -> None:
         # `rest` samples qualify — med_all entries are already medians.
         # Worst ratios first so the cap spends its slots on the
         # loudest movers; skipped entirely when the budget truncated
-        # the sweep (the budget is already spent) or no reference
-        # artifact exists.
-        if not full_sweep_skipped:
+        # the sweep or already expired (budget BEFORE the canary — a
+        # canary on an over-budget host is a Spark job the budget
+        # exists to prevent, same rule as the chunk loop) or no
+        # same-sf reference artifact exists. Detected movers NOT
+        # re-run (cap overflow, budget expiry mid-loop) are recorded
+        # in full_sweep_reruns_skipped — never silently absent, same
+        # contract as full_sweep_skipped (r13 review pass 1).
+        if not full_sweep_skipped and (
+            time.perf_counter() - sweep_t0 <= budget_s
+        ):
             prev_sweep = _prev_full_sweep(
-                os.path.dirname(os.path.abspath(__file__))
+                os.path.dirname(os.path.abspath(__file__)), sf_value
             )
             movers = sorted(
                 (
@@ -554,8 +575,11 @@ def main() -> None:
                 # under an elevated canary is still host-suspect; one
                 # that holds flat-canary is bisect-grade evidence.
                 full_sweep_rerun_canary = canary()
-            for n in movers[:MAX_RERUNS]:
-                if time.perf_counter() - sweep_t0 > budget_s:
+            for j, n in enumerate(movers):
+                if j >= MAX_RERUNS or (
+                    time.perf_counter() - sweep_t0 > budget_s
+                ):
+                    full_sweep_reruns_skipped = movers[j:]
                     break
                 second = round(one_run(n), 3)
                 full_sweep_reruns.append(
@@ -570,7 +594,6 @@ def main() -> None:
         full_sweep.update(med_all)
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -636,7 +659,9 @@ def main() -> None:
         # a normal run; non-empty = the artifact is partial and
         # says so (no silent caps).
         "full_sweep_skipped": full_sweep_skipped,
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        # Detected movers that did NOT get their re-run (cap/budget).
+        "full_sweep_reruns_skipped": full_sweep_reruns_skipped,
+        "sf": sf_value,
     }
     bulk, final = _split_result(result)
     # Order of durability: (1) the bulk line prints FIRST so tail

@@ -238,3 +238,33 @@ def test_fold_map_shape() -> None:
     assert len(set(FOLD_SRC)) == len(FOLD_SRC)
     assert "'" not in FOLD_SRC and "'" not in FOLD_DST
     assert "İ" in FOLD_SRC and "Σ" in FOLD_SRC
+
+
+def test_token_re_needs_no_flags() -> None:
+    """r13 review pass 1 (corrects ADVICE r12): TOKEN_RE must stay
+    flag-proof BY CONSTRUCTION — every class spelled explicitly, no
+    \\s/\\w/\\d/\\b whose meaning shifts with re.ASCII/re.UNICODE —
+    because the pandas rail cannot pass flags at all: ArrowDtype's
+    str.count raises NotImplementedError on ANY non-zero flags value
+    (pinned below against the installed pandas, so an upgrade that
+    starts accepting flags re-opens the decision visibly)."""
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from aws_data_warehouse_lambda_spark.operators.text import TOKEN_RE
+
+    # no shorthand class may appear (escaped or not, there is no
+    # legitimate \s/\w/\d/\b in an explicitly-spelled tokenizer)
+    assert not re.search(r"\\[swdb]", TOKEN_RE, re.IGNORECASE), TOKEN_RE
+    # flags are a semantic no-op on this pattern...
+    probe = "ab12 -- NBSP ideo　sep  vt\x0b"
+    assert re.findall(TOKEN_RE, probe) == re.findall(TOKEN_RE, probe, re.ASCII)
+    # ...and the Arrow-backed rail rejects them outright, so the UDF
+    # must pass the bare pattern (the environment pin)
+    s = pd.Series(["a b", "c"], dtype=pd.ArrowDtype(pa.string()))
+    assert list(s.str.count(TOKEN_RE)) == [2, 1]
+    with _pytest.raises(NotImplementedError):
+        s.str.count(TOKEN_RE, flags=re.ASCII)

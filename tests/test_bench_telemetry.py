@@ -107,6 +107,9 @@ def _worst_case_result() -> dict:
             for i in range(bench.MAX_RERUNS)
         ],
         "full_sweep_rerun_canary": 9999.9999,
+        "full_sweep_reruns_skipped": [
+            f"q_very_long_query_name_number_{i:03d}" for i in range(20)
+        ],
         "sf": 0.1,
         # widest realistic value of the producer label (VERDICT r11 #5)
         "source": "builder-local",
@@ -305,23 +308,27 @@ def test_prev_full_sweep_reads_newest_and_degrades(tmp_path) -> None:
     import bench
 
     # fresh tree -> no reference
-    assert bench._prev_full_sweep(str(tmp_path)) == {}
+    assert bench._prev_full_sweep(str(tmp_path), 0.1) == {}
     (tmp_path / "BENCH_full_sweep_r11.json").write_text(
-        json.dumps({"full_sweep": {"q_a": 1.0, "q_stale": 9.0}})
+        json.dumps({"sf": 0.1, "full_sweep": {"q_a": 1.0, "q_stale": 9.0}})
     )
     (tmp_path / "BENCH_full_sweep_r12.json").write_text(
         json.dumps(
-            {"full_sweep": {"q_a": 2.0, "q_bad": "x", "q_zero": 0.0}}
+            {"sf": 0.1, "full_sweep": {"q_a": 2.0, "q_bad": "x", "q_zero": 0.0}}
         )
     )
     # newest round wins; junk values filtered
-    assert bench._prev_full_sweep(str(tmp_path)) == {"q_a": 2.0}
+    assert bench._prev_full_sweep(str(tmp_path), 0.1) == {"q_a": 2.0}
+    # an sf-mismatched reference would turn every query into a false
+    # >2x mover (or mask all real ones) — rejected outright, no
+    # fallback to an older same-sf artifact (r13 review pass 1)
+    assert bench._prev_full_sweep(str(tmp_path), 0.001) == {}
     # malformed newest -> {} (no fallback to older: partial trust in a
     # half-written file is worse than no re-runs for one round)
     (tmp_path / "BENCH_full_sweep_r13.json").write_text("{not json")
-    assert bench._prev_full_sweep(str(tmp_path)) == {}
+    assert bench._prev_full_sweep(str(tmp_path), 0.1) == {}
     # unreadable dir degrades too
-    assert bench._prev_full_sweep(str(tmp_path / "nope")) == {}
+    assert bench._prev_full_sweep(str(tmp_path / "nope"), 0.1) == {}
 
 
 def test_rerun_block_rides_bulk_count_rides_final() -> None:
@@ -334,6 +341,10 @@ def test_rerun_block_rides_bulk_count_rides_final() -> None:
     bulk, final = bench._split_result(result)
     assert bulk["full_sweep_reruns"] == result["full_sweep_reruns"]
     assert "full_sweep_reruns" not in final
+    # movers denied their re-run (cap/budget) ride the bulk line too —
+    # recorded, never silently absent (r13 review pass 1)
+    assert bulk["full_sweep_reruns_skipped"] == result["full_sweep_reruns_skipped"]
+    assert "full_sweep_reruns_skipped" not in final
     assert final["full_sweep_reruns_n"] == bench.MAX_RERUNS
     assert "full_sweep_reruns_n" in bench._FINAL_CORE
     # a result predating the feature (or with the sweep disabled)
