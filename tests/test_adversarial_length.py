@@ -40,6 +40,18 @@ from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 from .oracle_harness import copy_table, run_parity
 from .test_adversarial_documents import _DOC_QUERIES
 
+#: Like the unicode axis: the document family PLUS the four
+#: Python-rail queries (Arrow batches carry the 140 KB strings; the
+#: UDTF chunker and its lateral oracle both walk the 20k-word lists)
+#: and the array-function pack (list ops over 20k-element splits).
+_LENGTH_QUERIES = _DOC_QUERIES + [
+    "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg",
+    "q_pandas_udf_iterator",
+    "q_udtf_chunks",
+    "q_array_funcs",
+]
+
 SRC = "/root/testdata/sf0.001"
 
 # ~140 KB of fully distinct tokens: 20k words, ~20k distinct shingles.
@@ -125,7 +137,7 @@ _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
 
 
-@pytest.mark.parametrize("name", _DOC_QUERIES)
+@pytest.mark.parametrize("name", _LENGTH_QUERIES)
 def test_length_parity(spark, length_sf, name) -> None:
     run_parity(spark, length_sf, name, _QUERIES[name], _ORACLES[name])
 
