@@ -81,7 +81,15 @@ VAL_BUCKET, TEST_BUCKET = 8, 9
 #: (r13 length axis), against which RE2 stays linear, so the two
 #: rails diverge in COST while agreeing on rows. The bound caps the
 #: per-start work at 64 -> linear, and both rails share the constant
-#: so the (degenerate-only) match-length change is engine-identical.
+#: so the match-length change is engine-identical. DELIBERATE
+#: residual (r13 review pass 2): text shaped like an email but
+#: EXCEEDING the RFC bounds is no longer (fully) redacted — a >64-char
+#: local part keeps its leading excess, a >255-char domain stops
+#: matching entirely. Both constructs are RFC-invalid (not deliverable
+#: addresses), so what survives is not contact PII; a corpus owner
+#: who wants over-redaction of invalid lookalikes should add a
+#: separate bounded pattern, not re-open the unbounded quantifier.
+#: Pinned by tests/test_adversarial_length.py::test_email_bounds_residual.
 EMAIL_RE = r"[a-z0-9._%+-]{1,64}@[a-z0-9.-]{1,255}\.[a-z]{2,}"
 PHONE_RE = r"\+1-555-[0-9]{4}"
 

@@ -227,11 +227,25 @@ def _prev_full_sweep(repo_dir: str, sf) -> dict[str, float]:
         if artifact.get("sf") != sf:
             return {}
         sweep = artifact.get("full_sweep", {})
-        return {
+        ref = {
             k: float(v)
             for k, v in sweep.items()
             if isinstance(v, (int, float)) and v > 0
         }
+        # De-bias queries the reference round itself re-ran: its
+        # full_sweep carries min(first, rerun) — a biased-LOW
+        # estimator that would make chronically noisy queries easier
+        # to re-flag every round (r13 review pass 2). The reference
+        # uses the MEAN of the two samples instead; the artifact's
+        # recorded sweep values are untouched.
+        for e in artifact.get("full_sweep_reruns", []):
+            try:
+                q, first, rerun = e["query"], float(e["first"]), float(e["rerun"])
+            except (KeyError, TypeError, ValueError):
+                continue
+            if q in ref and first > 0 and rerun > 0:
+                ref[q] = round((first + rerun) / 2, 3)
+        return ref
     except (OSError, ValueError, AttributeError):
         return {}
 
@@ -501,6 +515,7 @@ def main() -> None:
     full_sweep_reruns: list[dict] = []
     full_sweep_reruns_skipped: list[str] = []
     full_sweep_rerun_canary: float | None = None
+    full_sweep_rerun_ref_n = 0
     if os.environ.get("SPARK_GRAFT_FULL_SWEEP", "1") != "0":
         # Wall-clock budget: an external runner that kills the whole
         # bench on a timeout would lose the ENTIRE artifact (the one
@@ -559,6 +574,11 @@ def main() -> None:
             prev_sweep = _prev_full_sweep(
                 os.path.dirname(os.path.abspath(__file__)), sf_value
             )
+            # An inert trigger (no same-sf reference) must be
+            # distinguishable from a clean zero-mover sweep in the
+            # artifact (r13 review pass 2): ref_n == 0 means the
+            # mechanism never ran, not that nothing moved.
+            full_sweep_rerun_ref_n = len(prev_sweep)
             movers = sorted(
                 (
                     n
@@ -654,6 +674,9 @@ def main() -> None:
         # recorded; full_sweep carries the min. Empty on a clean sweep.
         "full_sweep_reruns": full_sweep_reruns,
         "full_sweep_rerun_canary": full_sweep_rerun_canary,
+        # 0 = the mover trigger was INERT this run (fresh tree /
+        # sf-mismatched or malformed reference), not "no movers".
+        "full_sweep_rerun_ref_n": full_sweep_rerun_ref_n,
         # Queries dropped by the sweep's wall-clock budget
         # (SPARK_GRAFT_SWEEP_BUDGET_S, default 900s). Empty on
         # a normal run; non-empty = the artifact is partial and

@@ -174,3 +174,43 @@ def test_degenerate_shingle_sets(spark, length_sf) -> None:
     assert rep[5].top_gram_frac == 1.0 and rep[5].flagged
     assert rep[9].dup_gram_frac > 0.9 and rep[9].flagged
     assert rep[0].dup_gram_frac == 0.0 and not rep[0].flagged
+
+
+def test_email_bounds_residual(spark) -> None:
+    """The RFC-bounded EMAIL_RE's deliberate residual (r13 review
+    pass 2): lookalikes EXCEEDING the bounds are not (fully) redacted —
+    a 100-char local part keeps its leading 36 chars, an over-long
+    domain stops matching. Both are RFC-invalid (not deliverable), so
+    nothing that survives is contact PII; this pin records the
+    trade-off as chosen and fails loudly if the bounds ever change
+    semantics again. Both rails must agree exactly."""
+    import duckdb
+
+    from aws_data_warehouse_lambda_spark.operators.curation import EMAIL_RE
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "a" * 100 + "@example.com after"),     # long local: partial
+        (1, "user@" + "d" * 300 + ".com after"),   # long domain: no match
+        (2, "user@example.com after"),             # valid: full redact
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r.i: r.red
+        for r in df.select(
+            "i", F.regexp_replace("t", EMAIL_RE, "<EMAIL>").alias("red")
+        ).collect()
+    }
+    assert got[0] == "a" * 36 + "<EMAIL> after"
+    assert got[1] == rows[1][1]  # untouched — RFC-invalid lookalike
+    assert got[2] == "<EMAIL> after"
+    con = duckdb.connect()
+    try:
+        for i, t in rows:
+            (oracle,) = con.execute(
+                f"select regexp_replace(?, '{EMAIL_RE}', '<EMAIL>', 'g')", [t]
+            ).fetchone()
+            assert oracle == got[i], (i, oracle, got[i])
+    finally:
+        con.close()

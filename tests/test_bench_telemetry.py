@@ -110,6 +110,7 @@ def _worst_case_result() -> dict:
         "full_sweep_reruns_skipped": [
             f"q_very_long_query_name_number_{i:03d}" for i in range(20)
         ],
+        "full_sweep_rerun_ref_n": 110,
         "sf": 0.1,
         # widest realistic value of the producer label (VERDICT r11 #5)
         "source": "builder-local",
@@ -323,6 +324,27 @@ def test_prev_full_sweep_reads_newest_and_degrades(tmp_path) -> None:
     # >2x mover (or mask all real ones) — rejected outright, no
     # fallback to an older same-sf artifact (r13 review pass 1)
     assert bench._prev_full_sweep(str(tmp_path), 0.001) == {}
+    # queries the reference round itself re-ran are de-biased to the
+    # MEAN of both samples (its sweep records the min, a biased-low
+    # estimator that would re-flag chronically noisy queries every
+    # round; r13 review pass 2) — malformed entries skipped
+    (tmp_path / "BENCH_full_sweep_r12.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "full_sweep": {"q_a": 2.0, "q_n": 0.968},
+                "full_sweep_reruns": [
+                    {"query": "q_n", "prev": 0.8, "first": 2.068, "rerun": 0.968},
+                    {"query": "q_gone", "first": 1.0, "rerun": 1.0},
+                    {"query": "q_a", "first": "x", "rerun": 1.0},
+                ],
+            }
+        )
+    )
+    assert bench._prev_full_sweep(str(tmp_path), 0.1) == {
+        "q_a": 2.0,
+        "q_n": 1.518,
+    }
     # malformed newest -> {} (no fallback to older: partial trust in a
     # half-written file is worse than no re-runs for one round)
     (tmp_path / "BENCH_full_sweep_r13.json").write_text("{not json")

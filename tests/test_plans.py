@@ -542,6 +542,14 @@ def test_shingle_words_projected_once(spark) -> None:
         # and the hash chain itself appears once (shs + size(shs) in
         # one projection would instantiate the md5 chain twice)
         assert plan.count("md5(") == 1, plan[:2000]
+    # q_text_fingerprint's sibling boundary (r13 review pass 2): the
+    # block list must stay a projected column — CollapseProject
+    # inlining regexp_extract_all into the gram lambda would re-run
+    # the full-text regex once per array element, the exact
+    # O(len^2/stride) blowup the block-concat rewrite removed.
+    df = entrymod.queries()["q_text_fingerprint"](spark, sf)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all(") == 1, plan[:2000]
 
 
 def test_shingle_paths_agree(spark) -> None:
