@@ -33,10 +33,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 FINAL_LINE_MAX = 1900
 # Skip-list names shown inline on the final line; the full list always
 # rides the bulk line and the on-disk artifact. Was 5 (1901 chars,
-# exactly over the pin), then 3; the r13 rerun-count field +
-# stat-string growth pushed the worst case to 1934, so 2 now — the
-# inline sample is a courtesy, the exact list is one artifact away.
-SKIPPED_INLINE_MAX = 2
+# exactly over the pin), then 3 (rerun-count field: 1934), now 1
+# (canary_cpu_s: 1906) — the inline sample is a courtesy, the exact
+# list is one artifact away.
+SKIPPED_INLINE_MAX = 1
 
 # Phantom-mover self-adjudication (VERDICT r12 #3): the full sweep is
 # single-run per query, and four consecutive rounds produced 1-2
@@ -77,8 +77,9 @@ def _split_result(result: dict) -> tuple[dict, dict]:
     # Per-sweep canary detail rides the bulk line (and the disk
     # artifact); the line of record carries only the median canary_s —
     # the worst-case width budget has no room for another 5-float list.
-    if "canary_per_sweep" in result:
-        bulk["canary_per_sweep"] = result["canary_per_sweep"]
+    for k in ("canary_per_sweep", "canary_cpu_per_sweep"):
+        if k in result:
+            bulk[k] = result[k]
     # The bulk line (and therefore the per-round full-sweep file built
     # from `result`) self-labels its producer too — it is the payload
     # the filename collision actually clobbers.
@@ -88,7 +89,7 @@ def _split_result(result: dict) -> tuple[dict, dict]:
         k: v
         for k, v in result.items()
         if (not k.startswith("full_sweep") or k in _FINAL_SUMMARY)
-        and k != "canary_per_sweep"
+        and k not in ("canary_per_sweep", "canary_cpu_per_sweep")
     }
     skipped = result.get("full_sweep_skipped", [])
     final["full_sweep_skipped_n"] = len(skipped)
@@ -115,7 +116,7 @@ _FINAL_CORE = frozenset(
         "max_runs_noisy", "queries", "tail", "tail_total",
         "steal_pct_max", "full_sweep_total", "full_sweep_stat",
         "full_sweep_skipped_n", "full_sweep_reruns_n", "artifact",
-        "sf", "reduced", "canary_s", "source",
+        "sf", "reduced", "canary_s", "canary_cpu_s", "source",
     }
 )
 # Preferred drop order when the line must shrink; after these, any
@@ -365,6 +366,25 @@ def main() -> None:
 
     canary()  # untimed: pay Range codegen once, like the query warm-up
 
+    # COMPUTE canary (r13): the no-scan canary measures FIXED overhead
+    # only (Py4J + planning + submit) and is blind to data-path host
+    # variance — two same-day runs of an identical headline tree read
+    # 6.231 vs 7.07 at FLAT canary_s, drift uniform across provably
+    # untouched queries (page cache / CPU frequency / thermal state).
+    # This probe pushes 128M longs through whole-stage codegen (zero
+    # I/O, ~0.15 s quiet), so its wall time tracks compute THROUGHPUT.
+    # §6 adjudication gains a mechanical tiebreak: flat canary_s +
+    # moving canary_cpu_s => host, even though the old rule said
+    # "flat canary = code".
+    def canary_cpu() -> float:
+        from pyspark.sql import functions as _F
+
+        t0 = time.perf_counter()
+        spark.range(0, 128_000_000, 1, 8).agg(_F.sum("id")).collect()
+        return round(time.perf_counter() - t0, 4)
+
+    canary_cpu()  # untimed warm-up (codegen for the agg shape)
+
     N_RUNS = 3
     MAX_RUNS = 5
 
@@ -437,6 +457,7 @@ def main() -> None:
         def one_sweep(qs: list[str]) -> None:
             s0 = _cpu_ticks()
             sweep_canary.append(canary())
+            sweep_canary_cpu.append(canary_cpu())
             load_samples: list[float] = []
             for name in qs:
                 allruns[name].append(one_run(name))
@@ -480,6 +501,7 @@ def main() -> None:
     sweep_steal: list[float | None] = []
     sweep_load: list[float] = []
     sweep_canary: list[float] = []
+    sweep_canary_cpu: list[float] = []
     tail_names = [n for n in TAIL if n in queries]
     med_all, spread_all = time_queries(names + tail_names)
     timings = {n: med_all[n] for n in names}
@@ -659,7 +681,13 @@ def main() -> None:
         "canary_s": sorted(sweep_canary)[len(sweep_canary) // 2]
         if sweep_canary
         else None,
+        # Median compute-throughput canary (see canary_cpu above): the
+        # data-path complement to canary_s's fixed-overhead probe.
+        "canary_cpu_s": sorted(sweep_canary_cpu)[len(sweep_canary_cpu) // 2]
+        if sweep_canary_cpu
+        else None,
         "canary_per_sweep": sweep_canary,
+        "canary_cpu_per_sweep": sweep_canary_cpu,
         # One run of every registered query (headline/tail keep
         # their medians) — the whole-surface regression smoke
         # that HEADLINE/TAIL structurally cannot provide.

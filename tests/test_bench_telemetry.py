@@ -88,7 +88,9 @@ def _worst_case_result() -> dict:
         "steal_pct_max": 99.99,
         "loadavg_per_sweep": [999.9] * 5,
         "canary_s": 9999.9999,
+        "canary_cpu_s": 9999.9999,
         "canary_per_sweep": [9999.9999] * 5,
+        "canary_cpu_per_sweep": [9999.9999] * 5,
         "full_sweep_canary_per_chunk": [9999.9999] * 6,
         "full_sweep": sweep,
         "full_sweep_total": wide,
@@ -159,8 +161,11 @@ def test_split_result_partitions_without_loss() -> None:
     # the canary MEDIAN rides the line of record (VERDICT r7 #2); the
     # per-sweep detail stays on the bulk line + disk artifact
     assert final["canary_s"] == result["canary_s"]
+    assert final["canary_cpu_s"] == result["canary_cpu_s"]
     assert "canary_per_sweep" not in final
+    assert "canary_cpu_per_sweep" not in final
     assert bulk["canary_per_sweep"] == result["canary_per_sweep"]
+    assert bulk["canary_cpu_per_sweep"] == result["canary_cpu_per_sweep"]
     # skipped: exact count, capped sample under a DISTINCT name (the
     # full-list key must never appear inline with a truncated payload)
     assert final["full_sweep_skipped_n"] == 100
