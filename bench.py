@@ -10,8 +10,13 @@ Output protocol (the driver captures only the LAST ~2000 stdout chars):
             unit-pinned to < FINAL_LINE_MAX chars.
 
 Each query is executed once after a warm-up pass of the smallest query to
-amortize JVM/codegen startup; timing covers plan + execution to a driver-side
-count (foreach-noop would undercount sinks; collect would bias large results).
+amortize JVM/codegen startup; timing covers plan + execution into the NOOP
+write sink, which materializes EVERY output column (a driver-side count lets
+Catalyst prune unprojected expressions — the r13 length axis proved .count()
+probes vacuous for projection-heavy queries, and a same-tree A/B measured
+2-17x understatement on a third of the surface; collect would bias large
+results with transfer cost). Artifacts self-describe the protocol via the
+"action" field: "count" for every artifact up to r12, "noop_write" since.
 """
 
 from __future__ import annotations
@@ -117,6 +122,7 @@ _FINAL_CORE = frozenset(
         "steal_pct_max", "full_sweep_total", "full_sweep_stat",
         "full_sweep_skipped_n", "full_sweep_reruns_n", "artifact",
         "sf", "reduced", "canary_s", "canary_cpu_s", "source",
+        "action",
     }
 )
 # Preferred drop order when the line must shrink; after these, any
@@ -138,6 +144,7 @@ _FINAL_MINIMAL = (
     "metric", "value", "unit", "sf", "tail_total",
     "full_sweep_total", "full_sweep_skipped_n",
     "canary_s", "steal_pct_max", "artifact", "source",
+    "action",
 )
 
 
@@ -226,6 +233,11 @@ def _prev_full_sweep(repo_dir: str, sf) -> dict[str, float]:
         with open(os.path.join(repo_dir, best)) as fh:
             artifact = json.load(fh)
         if artifact.get("sf") != sf:
+            return {}
+        # Protocol gate: a count-based (pre-r13 / absent field)
+        # reference under-states projection-heavy queries 2-17x, so a
+        # noop-run sample would false-flag as a mover on every one.
+        if artifact.get("action") != "noop_write":
             return {}
         sweep = artifact.get("full_sweep", {})
         ref = {
@@ -429,7 +441,12 @@ def main() -> None:
         # block-manager pressure from run N-1 pollute run N's timing.
         gc.collect()
         t0 = time.perf_counter()
-        queries[name](spark, SF_DIR).count()
+        # noop sink: full-plan materialization of every output column
+        # (see module docstring — count() measured a column-pruned
+        # plan; SERIES BREAK vs artifacts <= r12 documented in §6).
+        queries[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
         return time.perf_counter() - t0
 
     def time_queries(qnames: list[str]) -> tuple[dict[str, float], dict[str, float]]:
@@ -649,6 +666,10 @@ def main() -> None:
         # SPARK_GRAFT_BENCH_SOURCE=builder-local; the driver invokes
         # bench.py bare and inherits the default.
         "source": os.environ.get("SPARK_GRAFT_BENCH_SOURCE", "driver"),
+        # The measured action (protocol): artifacts <= r12 recorded
+        # "count" timings (column-pruned plans); "noop_write" times
+        # full materialization. Cross-protocol numbers do not compare.
+        "action": "noop_write",
         "runs_per_query": N_RUNS,
         "max_runs_noisy": MAX_RUNS,
         "stat": "median",

@@ -14,7 +14,11 @@ the statistic is a plain median over ALL runs INCLUDING the cold run 0
 (robust to that one outlier; bench trims min/max only on its extended
 noisy-query windows), and there is no interleaving — this script
 exists for one query at a time. If bench.py's per-run protocol
-(reset + gc + count) changes, update the loop below to match.
+(reset + gc + noop write) changes, update the loop below to match.
+Since r13 the measured action is the NOOP WRITE SINK, matching bench
+(a .count() lets Catalyst prune unprojected expressions — vacuous for
+projection-heavy queries), and a compute canary is co-read beside the
+fixed-overhead one (§6 tiebreak).
 
 Usage: python tests/adjudicate_tfidf.py [query_name] [n_runs]
 """
@@ -65,18 +69,30 @@ def main() -> int:
         spark.range(1).count()
         return round(time.perf_counter() - t0, 4)
 
+    def canary_cpu() -> float:
+        from pyspark.sql import functions as _F
+
+        t0 = time.perf_counter()
+        spark.range(0, 128_000_000, 1, 8).agg(_F.sum("id")).collect()
+        return round(time.perf_counter() - t0, 4)
+
     # warm-up: flagship once (JVM/codegen/footers), canary codegen once
     queries["q_revenue_by_nation"](spark, sf_dir).count()
     canary()
+    canary_cpu()
 
     runs: list[float] = []
     canaries: list[float] = []
+    canaries_cpu: list[float] = []
     for _ in range(n_runs):
         canaries.append(canary())
+        canaries_cpu.append(canary_cpu())
         reset_shared_relations()
         gc.collect()
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         runs.append(round(time.perf_counter() - t0, 3))
     print(
         json.dumps(
@@ -85,8 +101,11 @@ def main() -> int:
                 "sf_dir": sf_dir,
                 "runs": runs,
                 "median": round(statistics.median(runs), 3),
+                "action": "noop_write",
                 "canary_per_run": canaries,
                 "canary_median": round(statistics.median(canaries), 4),
+                "canary_cpu_per_run": canaries_cpu,
+                "canary_cpu_median": round(statistics.median(canaries_cpu), 4),
             }
         )
     )

@@ -116,6 +116,7 @@ def _worst_case_result() -> dict:
         "sf": 0.1,
         # widest realistic value of the producer label (VERDICT r11 #5)
         "source": "builder-local",
+        "action": "noop_write",
     }
 
 
@@ -316,11 +317,21 @@ def test_prev_full_sweep_reads_newest_and_degrades(tmp_path) -> None:
     # fresh tree -> no reference
     assert bench._prev_full_sweep(str(tmp_path), 0.1) == {}
     (tmp_path / "BENCH_full_sweep_r11.json").write_text(
-        json.dumps({"sf": 0.1, "full_sweep": {"q_a": 1.0, "q_stale": 9.0}})
+        json.dumps(
+            {
+                "sf": 0.1,
+                "action": "noop_write",
+                "full_sweep": {"q_a": 1.0, "q_stale": 9.0},
+            }
+        )
     )
     (tmp_path / "BENCH_full_sweep_r12.json").write_text(
         json.dumps(
-            {"sf": 0.1, "full_sweep": {"q_a": 2.0, "q_bad": "x", "q_zero": 0.0}}
+            {
+                "sf": 0.1,
+                "action": "noop_write",
+                "full_sweep": {"q_a": 2.0, "q_bad": "x", "q_zero": 0.0},
+            }
         )
     )
     # newest round wins; junk values filtered
@@ -337,6 +348,7 @@ def test_prev_full_sweep_reads_newest_and_degrades(tmp_path) -> None:
         json.dumps(
             {
                 "sf": 0.1,
+                "action": "noop_write",
                 "full_sweep": {"q_a": 2.0, "q_n": 0.968},
                 "full_sweep_reruns": [
                     {"query": "q_n", "prev": 0.8, "first": 2.068, "rerun": 0.968},
@@ -350,9 +362,24 @@ def test_prev_full_sweep_reads_newest_and_degrades(tmp_path) -> None:
         "q_a": 2.0,
         "q_n": 1.518,
     }
+    # protocol gate (r13 series break): a count-based reference —
+    # every artifact up to r12, recognizable by a missing/different
+    # "action" — under-states projection-heavy queries 2-17x and
+    # would false-flag movers across the break; rejected like an sf
+    # mismatch
+    (tmp_path / "BENCH_full_sweep_r13.json").write_text(
+        json.dumps({"sf": 0.1, "full_sweep": {"q_a": 2.0}})
+    )
+    assert bench._prev_full_sweep(str(tmp_path), 0.1) == {}
+    (tmp_path / "BENCH_full_sweep_r14.json").write_text(
+        json.dumps(
+            {"sf": 0.1, "action": "count", "full_sweep": {"q_a": 2.0}}
+        )
+    )
+    assert bench._prev_full_sweep(str(tmp_path), 0.1) == {}
     # malformed newest -> {} (no fallback to older: partial trust in a
     # half-written file is worse than no re-runs for one round)
-    (tmp_path / "BENCH_full_sweep_r13.json").write_text("{not json")
+    (tmp_path / "BENCH_full_sweep_r15.json").write_text("{not json")
     assert bench._prev_full_sweep(str(tmp_path), 0.1) == {}
     # unreadable dir degrades too
     assert bench._prev_full_sweep(str(tmp_path / "nope"), 0.1) == {}
