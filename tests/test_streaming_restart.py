@@ -48,6 +48,26 @@ is the adversarial case — os._exit skips every shutdown hook, so the
 checkpoint can be torn mid-batch (orphan sink files, partial state
 delta) and recovery must still deliver the baseline multiset exactly.
 
+BATCH-BOUNDARY ALIGNMENT (r13 — the three-round in-suite flake,
+finally bisected FROM ITS DIFF per the r12 standing rule): an
+interrupt can land BETWEEN the file source's metadata-log write
+(sources/0/N = "file N is batch N") and the engine's offset-WAL write
+(offsets/N). On restart the source's log is one entry ahead of the
+engine's, fetchMaxOffset continues from the SOURCE's log, and the
+resumed first batch legally spans TWO source-log entries (observed:
+offsets/3 = logOffset 4 — files 3 and 4 in one batch; maxFilesPerTrigger
+is planning-time advice, not a replay contract). Row-level
+exactly-once still holds — every file is processed exactly once — but
+the WATERMARK advances per BATCH, so the stateful operators' emission
+MULTISETS legitimately differ from the uninterrupted baseline (dedup
+re-emissions shift; 2/8 quiet-host repros, ~20 rows). That is Spark
+working as designed, and a scenario this axis does NOT mean to test:
+its contract is the boundary-ALIGNED restart. The fixture therefore
+detects the torn window after every interrupted leg (source log ahead
+of the offsets log) and re-runs that leg — bounded, loud on
+exhaustion — so the assertions stay exact instead of being weakened
+to boundary-independent shadows of themselves.
+
 Cost note: twenty-two subprocess JVMs, ~7 min total — the module runs
 all legs ONCE (module-scoped fixture) and every assertion reads from
 them.
@@ -57,6 +77,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -149,17 +170,61 @@ def _run_leg(
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
+def _max_log_entry(d: str) -> int:
+    """Highest numeric entry in an HDFSMetadataLog dir (N.compact
+    counts as N); -1 for missing/empty."""
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return -1
+    ids = [int(n.split(".")[0]) for n in names if n.split(".")[0].isdigit()]
+    return max(ids, default=-1)
+
+
+def _source_log_ahead(ckpt: str) -> bool:
+    """True when the interrupt landed in the torn window between the
+    file source's metadata-log write and the engine's offset WAL (see
+    the module docstring): the resumed first batch would then span two
+    source-log entries, shifting every subsequent batch boundary and
+    watermark step — a legal Spark execution, but not the
+    boundary-aligned scenario this axis pins."""
+    return _max_log_entry(f"{ckpt}/sources/0") > _max_log_entry(f"{ckpt}/offsets")
+
+
+def _run_interrupted(
+    mode, job, src, ckpt, out, work, stop_after, expect_rc=0, extra_env=None
+):
+    """Run an interrupted (partial/kill) leg, re-rolling the interrupt
+    until it lands OUTSIDE the torn source-log window (bounded, loud:
+    2/8 quiet-host repros landed inside it, so six attempts make a
+    persistent failure astronomically unlikely unless something is
+    actually broken)."""
+    for _ in range(6):
+        res = _run_leg(
+            mode, job, src, ckpt, out, work, stop_after,
+            expect_rc=expect_rc, extra_env=extra_env,
+        )
+        if not _source_log_ahead(ckpt):
+            return res
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+    raise AssertionError(
+        f"{job}/{mode}: interrupt landed in the source-log/offset-WAL "
+        "window on six consecutive attempts — not chance; investigate"
+    )
+
+
 @pytest.fixture(scope="module")
 def legs(restart_src, tmp_path_factory):
     w = str(tmp_path_factory.mktemp("restart_runs"))
     r: dict[str, object] = {"work": w}
     # dedup: uninterrupted baseline, graceful-stop pair, hard-kill pair
     r["full"] = _run_leg("full", "dedup", restart_src, f"{w}/ck_f", f"{w}/out_f", w)
-    r["partial"] = _run_leg(
+    r["partial"] = _run_interrupted(
         "partial", "dedup", restart_src, f"{w}/ck_p", f"{w}/out_p", w, STOP_AFTER
     )
     r["resume"] = _run_leg("resume", "dedup", restart_src, f"{w}/ck_p", f"{w}/out_p", w)
-    _run_leg(
+    _run_interrupted(
         "kill", "dedup", restart_src, f"{w}/ck_k", f"{w}/out_k", w, STOP_AFTER,
         expect_rc=137,
     )
@@ -170,7 +235,7 @@ def legs(restart_src, tmp_path_factory):
     r["full_s"] = _run_leg(
         "full", "session", restart_src, f"{w}/ck_sf", f"{w}/out_sf", w
     )
-    _run_leg(
+    _run_interrupted(
         "kill", "session", restart_src, f"{w}/ck_sk", f"{w}/out_sk", w, STOP_AFTER,
         expect_rc=137,
     )
@@ -182,7 +247,7 @@ def legs(restart_src, tmp_path_factory):
     )
     # stream-stream join: uninterrupted baseline, hard-kill pair
     r["full_j"] = _run_leg("full", "join", restart_src, f"{w}/ck_jf", f"{w}/out_jf", w)
-    _run_leg(
+    _run_interrupted(
         "kill", "join", restart_src, f"{w}/ck_jk", f"{w}/out_jk", w, STOP_AFTER,
         expect_rc=137,
     )
@@ -204,7 +269,7 @@ def legs(restart_src, tmp_path_factory):
     # runs, so checkpoint-keeps-its-partition-count is pinned under
     # BOTH providers.
     for job, tag in (("dedup", "rk"), ("session", "srk"), ("join", "jrk")):
-        _run_leg(
+        _run_interrupted(
             "kill", job, restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w,
             STOP_AFTER, expect_rc=137, extra_env=ROCKSDB_ENV,
         )
@@ -226,7 +291,7 @@ def legs(restart_src, tmp_path_factory):
         "full", "spandas", restart_src, f"{w}/ck_spf", f"{w}/out_spf", w
     )
     for tag, env in (("spk", None), ("sprk", ROCKSDB_ENV)):
-        _run_leg(
+        _run_interrupted(
             "kill", "spandas", restart_src, f"{w}/ck_{tag}", f"{w}/out_{tag}", w,
             STOP_AFTER, expect_rc=137, extra_env=env,
         )
