@@ -88,8 +88,9 @@ def _split_result(result: dict) -> tuple[dict, dict]:
     # The bulk line (and therefore the per-round full-sweep file built
     # from `result`) self-labels its producer too — it is the payload
     # the filename collision actually clobbers.
-    if "source" in result:
-        bulk["source"] = result["source"]
+    for k in ("source", "action"):
+        if k in result:
+            bulk[k] = result[k]
     final = {
         k: v
         for k, v in result.items()
@@ -143,7 +144,7 @@ _DROP_TO_FIT = (
 _FINAL_MINIMAL = (
     "metric", "value", "unit", "sf", "tail_total",
     "full_sweep_total", "full_sweep_skipped_n",
-    "canary_s", "steal_pct_max", "artifact", "source",
+    "canary_s", "canary_cpu_s", "steal_pct_max", "artifact", "source",
     "action",
 )
 
@@ -358,8 +359,13 @@ def main() -> None:
     queries = entrymod.queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm-up: run the flagship once to pay JVM/codegen/parquet-footer costs.
-    queries[names[0]](spark, SF_DIR).count()
+    # Warm-up: run the flagship once to pay JVM/codegen/parquet-footer
+    # costs — through the SAME noop write path the timed runs use, so
+    # the first timed sample does not absorb the write-path
+    # class-loading/codegen init (r13 review pass 3).
+    queries[names[0]](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # FIXED-OVERHEAD CANARY (VERDICT r7 #2): a constant no-scan query
     # timed at the start of every sweep. It does zero data work, so its

@@ -76,8 +76,14 @@ def main() -> int:
         spark.range(0, 128_000_000, 1, 8).agg(_F.sum("id")).collect()
         return round(time.perf_counter() - t0, 4)
 
-    # warm-up: flagship once (JVM/codegen/footers), canary codegen once
-    queries["q_revenue_by_nation"](spark, sf_dir).count()
+    # warm-up: flagship once (JVM/codegen/footers) through the SAME
+    # noop write path the timed runs use — the cold run 0 IS in this
+    # harness's median, so an un-warmed write path would bias the very
+    # number used to rule movers host-vs-code (r13 review pass 3);
+    # canary codegen once
+    queries["q_revenue_by_nation"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     canary()
     canary_cpu()
 

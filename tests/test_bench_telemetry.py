@@ -399,6 +399,10 @@ def test_rerun_block_rides_bulk_count_rides_final() -> None:
     # recorded, never silently absent (r13 review pass 1)
     assert bulk["full_sweep_reruns_skipped"] == result["full_sweep_reruns_skipped"]
     assert "full_sweep_reruns_skipped" not in final
+    # the bulk recovery channel must self-describe its PROTOCOL like
+    # its producer — a recovered sweep with no action field would be
+    # count-vs-noop ambiguous post-hoc (r13 review pass 3)
+    assert bulk["action"] == result["action"]
     assert final["full_sweep_reruns_n"] == bench.MAX_RERUNS
     assert "full_sweep_reruns_n" in bench._FINAL_CORE
     # a result predating the feature (or with the sweep disabled)
