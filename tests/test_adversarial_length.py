@@ -214,3 +214,63 @@ def test_email_bounds_residual(spark) -> None:
             assert oracle == got[i], (i, oracle, got[i])
     finally:
         con.close()
+
+
+def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
+    """DOCUMENTED GAP, pinned until the r14 fix (found by extending
+    this axis's DF_CAP probe to full byte-identity): a cluster of 70
+    IDENTICAL documents exceeds DF_CAP on every shingle, so the
+    near-dup pair generator proposes nothing and q_dedup_keep_list
+    keeps ALL 70 as singleton clusters — while q_dedup_exact groups
+    them correctly (70 copies, min-id keeper). The oracles mirror the
+    engine on both, so parity holds; the gap is SEMANTIC: the
+    end-to-end keep/drop decision, run alone, passes the single most
+    duplicated content class (boilerplate pages) that dedup exists
+    for. The prescribed fix (r14): union O(n) exact-duplicate edges
+    (digest groupBy -> keeper joins, no pair explosion) into the CC
+    input — this test then flips to assert ONE cluster / one keeper
+    and documents the intended new contract."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "sf_massdup")
+    import os
+
+    os.makedirs(root)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        copy_table(table_path(SRC, t), table_path(root, t))
+    body = (
+        "identical mass duplicated boilerplate page body with enough "
+        "words to form shingles"
+    )
+    docs = [(i, body, "en", "src0") for i in range(70)] + [
+        (100, "a unique control document with different words entirely",
+         "en", "src1")
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "lang": pa.array([d[2] for d in docs], pa.string()),
+                "source": pa.array([d[3] for d in docs], pa.string()),
+                "n_chars": pa.array(
+                    [len(d[1]) for d in docs], pa.int64()
+                ),
+            }
+        ),
+        table_path(root, "documents"),
+    )
+    try:
+        keep = _QUERIES["q_dedup_keep_list"](spark, root).toPandas()
+        exact = _QUERIES["q_dedup_exact"](spark, root).toPandas()
+    finally:
+        dedup.reset_shared_relations()
+    # exact dedup sees the cluster...
+    assert int(exact["n_copies"].max()) == 70
+    # ...the near-dup keep list does NOT (the pinned gap): all 71 kept
+    assert int(keep["keep"].sum()) == 71, keep["keep"].sum()
