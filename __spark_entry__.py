@@ -56,8 +56,11 @@ _DRIVER_FIRST = [
     # re-split — O(tokens x bytes) per doc — churning every consumer
     # of _SHINGLE_SQL/_GRAMS_SQL/_GRAPH_SQL/_doc_shingle_arrays); the
     # linear block-concat gram rewrite in q_text_fingerprint; the
-    # RFC-bounded EMAIL_RE (q_pii_redact, in the r10 tier above); and
-    # the Arrow-backend-safe token counter (python_udfs, ADVICE r12):
+    # RFC-bounded EMAIL_RE (q_pii_redact, in the r10 tier above); the
+    # Arrow-backend-safe token counter (python_udfs, ADVICE r12); and
+    # the mass-duplication fix (exact-dup star edges unioned into the
+    # CC input — churns q_dedup_clusters / q_dedup_keep_list on both
+    # rails; both sit in this tier already):
     "q_tfidf",
     "q_dedup_ngram_jaccard",
     "q_dedup_containment",

@@ -48,6 +48,7 @@ from ..functions.porthash import h60, h60_sql
 from ..sources.tables import load_table
 from .dedup import (
     GRAM_ROWS_SQL,
+    _CC_COMP_SQL,
     _JACCARD_PAIRS_SQL,
     _SHINGLE_SQL,
     _doc_annotated_arrays,
@@ -490,17 +491,7 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_SQL},
     {_JACCARD_PAIRS_SQL},
-    edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM jpairs
-        UNION SELECT doc_b, doc_a FROM jpairs
-    ),
-    nodes AS (SELECT DISTINCT src AS n FROM edges),
-    reach(src, dst) AS (
-        SELECT n, n FROM nodes
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
-    comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+    {_CC_COMP_SQL}
     SELECT d.doc_id,
            coalesce(c.cluster_id, d.doc_id) AS cluster_id,
            coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
@@ -510,13 +501,16 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's final artifact: one keep/drop row per
-    document. Near-dup pairs (exact-Jaccard referee) -> alternating
-    large-star/small-star connected components -> keeper = min doc_id
-    per cluster; docs in no pair keep themselves. This is the table a
-    100 TB pipeline writes back and anti-joins training shards
-    against. The labeled-components relation is shared with
-    q_dedup_clusters (dedup.component_labels, persisted + memoized) —
-    one pair-generation + CC fixpoint serves both consumers."""
+    document. Near-dup pairs (exact-Jaccard referee) UNION exact-dup
+    star edges (digest groupBy -> keeper join, O(n) — so byte-identical
+    mass duplication is dropped even when every shared shingle exceeds
+    DF_CAP, the r13 length-axis finding) -> alternating large-star/
+    small-star connected components -> keeper = min doc_id per cluster;
+    docs in no edge keep themselves. This is the table a 100 TB
+    pipeline writes back and anti-joins training shards against. The
+    labeled-components relation is shared with q_dedup_clusters
+    (dedup.component_labels, persisted + memoized) — one
+    pair-generation + CC fixpoint serves both consumers."""
     labels = component_labels(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     cluster = F.coalesce(F.col("label"), F.col("doc_id"))

@@ -770,10 +770,42 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
     ).select("node", F.coalesce("label", "node").alias("label"))
 
 
+def _exact_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n) exact-duplicate edges: one (keeper, doc) STAR per content
+    digest — never the O(copies^2) pair explosion.
+
+    Closes the DF_CAP blind spot found by the r13 length axis: a
+    cluster of byte-identical documents larger than DF_CAP exceeds the
+    cap on EVERY shingle, so the near-dup pair generator proposes
+    nothing and mass-duplicated boilerplate sails through the keep
+    list untouched. Exact duplication needs no similarity search —
+    a digest groupBy finds it in one pass — so these edges are unioned
+    into the CC input (``component_labels``) instead of widening the
+    cap.
+
+    100 TB posture: shuffle key is the 128-bit digest (O(rows)
+    exchange, map-side partial min), the join fans out one row per
+    duplicate — O(n) total. NULL digests (NULL text) are excluded by
+    equi-join semantics on BOTH rails: GROUP BY groups NULLs, but a
+    NULL key never matches the join back, so NULL-text docs propose no
+    edges rather than clustering with each other.
+    """
+    dg = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("dg")
+    )
+    keepers = dg.groupBy("dg").agg(F.min("doc_id").alias("src"))
+    return (
+        dg.join(keepers, "dg")
+        .where(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+
+
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(node, label) components of the near-dup pair graph (exact-Jaccard
-    referee pairs, :func:`_jaccard_pairs`), persisted and memoized per
-    (session, fixture dir) — feeds BOTH q_dedup_clusters and
+    """(node, label) components of the dedup graph — near-dup referee
+    pairs (:func:`_jaccard_pairs`) UNION O(n) exact-duplicate star
+    edges (:func:`_exact_dup_edges`) — persisted and memoized per
+    (session, fixture dir); feeds BOTH q_dedup_clusters and
     q_dedup_keep_list; recomputing it would re-run pair generation plus
     the whole CC fixpoint."""
 
@@ -788,18 +820,32 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pipeline — 2-3x slower. Keep the checkpoint: it is the one
         # materialization pass either way, and it doubles as the block
         # landing for the memo.
-        return connected_components(pairs)
+        return connected_components(
+            pairs.unionByName(_exact_dup_edges(spark, sf_dir))
+        )
 
     return _memo(_LABELS_CACHE, spark, sf_dir, build)
 
 
-def _clusters_oracle() -> str:
-    return f"""
-    WITH RECURSIVE {_SHINGLE_SQL},
-    {_JACCARD_PAIRS_SQL},
+#: Shared oracle fragment: component labels over the SAME dedup graph
+#: the engine uses — near-dup jpairs UNION the exact-duplicate star
+#: (see _exact_dup_edges: digest groupBy -> keeper join; NULL digests
+#: drop out of the USING join, mirroring Spark's equi-join). Requires
+#: WITH RECURSIVE plus the _SHINGLE_SQL and _JACCARD_PAIRS_SQL CTEs
+#: upstream; yields comp(doc_id, cluster_id).
+_CC_COMP_SQL = """
+    dgk AS (SELECT doc_id, md5(text) AS dg FROM documents),
+    dkeep AS (SELECT dg, min(doc_id) AS keeper FROM dgk GROUP BY dg),
+    xedges AS (
+        SELECT k.keeper AS src, g.doc_id AS dst
+        FROM dgk g JOIN dkeep k USING (dg)
+        WHERE g.doc_id <> k.keeper
+    ),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM jpairs
         UNION SELECT doc_b, doc_a FROM jpairs
+        UNION SELECT src, dst FROM xedges
+        UNION SELECT dst, src FROM xedges
     ),
     nodes AS (SELECT DISTINCT src AS n FROM edges),
     reach(src, dst) AS (
@@ -808,6 +854,14 @@ def _clusters_oracle() -> str:
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
     ),
     comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+"""
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_JACCARD_PAIRS_SQL},
+    {_CC_COMP_SQL}
     SELECT cluster_id,
            CAST(count(*) AS BIGINT) AS n_members,
            array_to_string(list_sort(list(doc_id)), ',') AS member_ids
@@ -819,10 +873,15 @@ def _clusters_oracle() -> str:
 
 @query("q_dedup_clusters", oracle=_clusters_oracle())
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup cluster resolution: connected components over the near-dup
-    pair graph — the step that turns pairwise matches into keep/drop
+    """Dedup cluster resolution: connected components over the dedup
+    graph — near-dup referee pairs UNION O(n) exact-duplicate star
+    edges — the step that turns pairwise matches into keep/drop
     decisions (keeper = min doc_id per component; transitive: A~B, B~C
-    puts A,C in one cluster even if never directly compared).
+    puts A,C in one cluster even if never directly compared). The
+    exact-dup union means mass-duplicated identical content clusters
+    even when its shingles all exceed DF_CAP (the r13 length-axis
+    finding); near-identical-but-not-identical mass duplication stays
+    cap-bounded by design (q_text_fingerprint is the O(n) screen).
 
     Spark side is the alternating large-star/small-star algorithm
     (:func:`connected_components`): O(log^2 n) rounds worst-case,

@@ -217,19 +217,19 @@ def test_email_bounds_residual(spark) -> None:
 
 
 def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
-    """DOCUMENTED GAP, pinned until the r14 fix (found by extending
-    this axis's DF_CAP probe to full byte-identity): a cluster of 70
-    IDENTICAL documents exceeds DF_CAP on every shingle, so the
-    near-dup pair generator proposes nothing and q_dedup_keep_list
-    keeps ALL 70 as singleton clusters — while q_dedup_exact groups
-    them correctly (70 copies, min-id keeper). The oracles mirror the
-    engine on both, so parity holds; the gap is SEMANTIC: the
-    end-to-end keep/drop decision, run alone, passes the single most
-    duplicated content class (boilerplate pages) that dedup exists
-    for. The prescribed fix (r14): union O(n) exact-duplicate edges
-    (digest groupBy -> keeper joins, no pair explosion) into the CC
-    input — this test then flips to assert ONE cluster / one keeper
-    and documents the intended new contract."""
+    """THE MASS-DUPLICATION CONTRACT (gap found by this axis's DF_CAP
+    probe, fixed by unioning exact-duplicate edges into the CC input):
+    a cluster of 70 IDENTICAL documents exceeds DF_CAP on every
+    shingle, so the near-dup pair generator proposes nothing — before
+    the fix q_dedup_keep_list kept ALL 70 as singleton clusters while
+    q_dedup_exact grouped them, passing the single most duplicated
+    content class (boilerplate pages) that dedup exists for. Now the
+    CC input is near-dup jpairs UNION an O(n) exact-dup star (digest
+    groupBy -> keeper join, dedup._exact_dup_edges), so the end-to-end
+    keep/drop decision drops the 69 copies: ONE cluster, min-id
+    keeper, plus the untouched control doc. Oracle parity for the
+    same fixture shape is held by the length axis's run_parity rows;
+    this test is the direct semantic pin, independent of the oracle."""
     import shutil
 
     import pyarrow as pa
@@ -268,9 +268,17 @@ def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
     try:
         keep = _QUERIES["q_dedup_keep_list"](spark, root).toPandas()
         exact = _QUERIES["q_dedup_exact"](spark, root).toPandas()
+        clusters = _QUERIES["q_dedup_clusters"](spark, root).toPandas()
     finally:
         dedup.reset_shared_relations()
     # exact dedup sees the cluster...
     assert int(exact["n_copies"].max()) == 70
-    # ...the near-dup keep list does NOT (the pinned gap): all 71 kept
-    assert int(keep["keep"].sum()) == 71, keep["keep"].sum()
+    # ...and so does the keep list now: keeper 0 + the control doc
+    assert int(keep["keep"].sum()) == 2, keep["keep"].sum()
+    by_id = keep.set_index("doc_id")
+    assert set(by_id.index[by_id["keep"]]) == {0, 100}
+    assert (by_id.loc[range(70), "cluster_id"] == 0).all()
+    # cluster resolution reports the mass-dup component as ONE cluster
+    assert len(clusters) == 1
+    assert int(clusters.loc[0, "cluster_id"]) == 0
+    assert int(clusters.loc[0, "n_members"]) == 70
