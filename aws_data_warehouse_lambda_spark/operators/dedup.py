@@ -215,7 +215,14 @@ _ARRAYS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _ZDF_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_ALL_CACHES = (_ARRAYS_CACHE, _ZDF_CACHE, _PAIRS_CACHE, _LABELS_CACHE)
+_DIGEST_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ALL_CACHES = (
+    _ARRAYS_CACHE,
+    _ZDF_CACHE,
+    _PAIRS_CACHE,
+    _LABELS_CACHE,
+    _DIGEST_CACHE,
+)
 #: Same lock + generation pattern as the schema / hot-set caches
 #: (sources/tables.py, functions/skew.py): dict bookkeeping is
 #: serialized while plan construction runs OUTSIDE the lock, and a
@@ -785,20 +792,52 @@ def _exact_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: shuffle key is the 128-bit digest (O(rows)
     exchange, map-side partial min), the join fans out one row per
-    duplicate — O(n) total. NULL digests (NULL text) are excluded by
-    equi-join semantics on BOTH rails: GROUP BY groups NULLs, but a
-    NULL key never matches the join back, so NULL-text docs propose no
-    edges rather than clustering with each other.
+    duplicate — O(n) total, and with the keeper side broadcast the
+    probe rows never shuffle at all (skew-immune even for a digest
+    with millions of copies — the reason this is a join, not a
+    window-min, which would land every copy of a hot digest on one
+    task). NULL digests (NULL text) are excluded by equi-join
+    semantics on BOTH rails: GROUP BY groups NULLs, but a NULL key
+    never matches the join back, so NULL-text docs propose no edges
+    rather than clustering with each other. DELIBERATE contrast with
+    q_dedup_exact, which REPORTS the NULL-digest bucket as one group
+    (n_copies = count of NULL-text docs): that query is a digest
+    diagnostic; the keep list never drops a document for having no
+    content (pinned by test_null_text_mass_duplication_contract, and
+    the digest/keeper agreement on non-NULL groups is pinned by the
+    mass-duplication test).
     """
-    dg = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.col("text")).alias("dg")
-    )
+    # One corpus scan + hash: the slim (doc_id, digest) relation feeds
+    # BOTH the keeper aggregate (broadcast build side) and the probe
+    # side of the join below — without a materialization each subtree
+    # re-scans the table and re-hashes the full text (the tfidf
+    # double-pass class). The memoized persist is enough (no
+    # checkpoint: an eager one is its own job, measured +0.6s per
+    # build at sf0.1): the broadcast exchange runs first as its own
+    # job and lands the cache blocks the probe stage then reads.
+    dg = _digest_relation(spark, sf_dir)
     keepers = dg.groupBy("dg").agg(F.min("doc_id").alias("src"))
     return (
         dg.join(keepers, "dg")
         .where(F.col("doc_id") != F.col("src"))
         .select("src", F.col("doc_id").alias("dst"))
     )
+
+
+def _digest_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dg) slim content-digest relation — ~50 bytes/row,
+    persisted and memoized per (session, fixture dir) like the other
+    shared dedup relations. The digest definition (md5 of the raw
+    text, NULL for NULL text) MUST stay in lockstep with
+    q_dedup_exact's; the mass-duplication test pins the agreement
+    cross-query."""
+
+    def build() -> DataFrame:
+        return load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5(F.col("text")).alias("dg")
+        )
+
+    return _memo(_DIGEST_CACHE, spark, sf_dir, build)
 
 
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -227,9 +227,15 @@ def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
     CC input is near-dup jpairs UNION an O(n) exact-dup star (digest
     groupBy -> keeper join, dedup._exact_dup_edges), so the end-to-end
     keep/drop decision drops the 69 copies: ONE cluster, min-id
-    keeper, plus the untouched control doc. Oracle parity for the
-    same fixture shape is held by the length axis's run_parity rows;
-    this test is the direct semantic pin, independent of the oracle."""
+    keeper, plus the untouched control doc. This test BOTH runs full
+    oracle parity on the fixture (the only place the DuckDB recursive
+    closure walks a mass-identical star — 70 nodes, 4900 reach rows)
+    AND pins the semantics directly, independent of the oracle; it
+    also pins cross-query digest agreement: the keeper/copy-count
+    groups derived from dedup._exact_dup_edges must equal
+    q_dedup_exact's non-NULL groups (the two implementations hash
+    independently — this catches a silent digest de-sync that
+    per-query parity cannot see)."""
     import shutil
 
     import pyarrow as pa
@@ -266,9 +272,12 @@ def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
         table_path(root, "documents"),
     )
     try:
+        for name in ("q_dedup_exact", "q_dedup_clusters", "q_dedup_keep_list"):
+            run_parity(spark, root, name, _QUERIES[name], _ORACLES[name])
         keep = _QUERIES["q_dedup_keep_list"](spark, root).toPandas()
         exact = _QUERIES["q_dedup_exact"](spark, root).toPandas()
         clusters = _QUERIES["q_dedup_clusters"](spark, root).toPandas()
+        xedges = dedup._exact_dup_edges(spark, root).toPandas()
     finally:
         dedup.reset_shared_relations()
     # exact dedup sees the cluster...
@@ -282,3 +291,68 @@ def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
     assert len(clusters) == 1
     assert int(clusters.loc[0, "cluster_id"]) == 0
     assert int(clusters.loc[0, "n_members"]) == 70
+    # cross-query digest agreement: groups derived from the edge
+    # relation == q_dedup_exact's multi-copy groups (both rails hash
+    # independently; a digest de-sync would disagree here first)
+    from_edges = {
+        (int(src), int(n) + 1)
+        for src, n in xedges.groupby("src").size().items()
+    }
+    from_exact = {
+        (int(r.keeper_id), int(r.n_copies))
+        for r in exact.itertuples()
+        if r.n_copies > 1
+    }
+    assert from_edges == from_exact, (from_edges, from_exact)
+
+
+def test_null_text_mass_duplication_contract(spark, tmp_path) -> None:
+    """THE NULL-TEXT CONTRACT (r13 continuation review pass, finding
+    1): q_dedup_exact REPORTS k NULL-text documents as one digest
+    group (md5(NULL) = NULL, GROUP BY groups NULLs — a diagnostic that
+    content is missing), but the keep list NEVER drops a document for
+    having no content: NULL digests propose no exact-dup edges (a NULL
+    key never equi-joins back, identically on both rails), and NULL
+    texts produce no shingles, so no near-dup pairs either. Dropping
+    rows because extraction failed would discard recoverable
+    documents; the two queries answer different questions and this pin
+    makes the divergence a contract instead of an accident. Parity
+    runs first, so both rails are proven to agree on the shape."""
+    import os
+
+    root = str(tmp_path / "sf_nulltext")
+    os.makedirs(root)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        copy_table(table_path(SRC, t), table_path(root, t))
+    docs_text = [None] * 5 + ["a unique control document with words"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(5)) + [100], pa.int64()),
+                "text": pa.array(docs_text, pa.string()),
+                "lang": pa.array(["en"] * 6, pa.string()),
+                "source": pa.array(["src0"] * 6, pa.string()),
+                "n_chars": pa.array(
+                    [0] * 5 + [len(docs_text[-1])], pa.int64()
+                ),
+            }
+        ),
+        table_path(root, "documents"),
+    )
+    try:
+        for name in ("q_dedup_exact", "q_dedup_keep_list"):
+            run_parity(spark, root, name, _QUERIES[name], _ORACLES[name])
+        keep = _QUERIES["q_dedup_keep_list"](spark, root).toPandas()
+        exact = _QUERIES["q_dedup_exact"](spark, root).toPandas()
+    finally:
+        dedup.reset_shared_relations()
+    # exact dedup reports the NULL bucket as one group of 5...
+    null_group = exact[exact["text_md5"].isna()]
+    assert len(null_group) == 1
+    assert int(null_group["n_copies"].iloc[0]) == 5
+    assert int(null_group["keeper_id"].iloc[0]) == 0
+    # ...but no NULL-text doc is dropped: all 6 keep themselves
+    assert int(keep["keep"].sum()) == 6
+    assert (keep["cluster_id"] == keep["doc_id"]).all()
