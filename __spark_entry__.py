@@ -60,7 +60,10 @@ _DRIVER_FIRST = [
     # Arrow-backend-safe token counter (python_udfs, ADVICE r12); and
     # the mass-duplication fix (exact-dup star edges unioned into the
     # CC input — churns q_dedup_clusters / q_dedup_keep_list on both
-    # rails; both sit in this tier already):
+    # rails; both sit in this tier already); plus the JSON content
+    # axis's canonical-integer / typed-variant oracle contracts
+    # (functions/jsoncast.py — churns q_json_extract / q_json_agg /
+    # q_map_funcs / q_variant_extract, all in the r10 tier above):
     "q_tfidf",
     "q_dedup_ngram_jaccard",
     "q_dedup_containment",

@@ -1,0 +1,77 @@
+"""Cross-engine JSON scalar-cast contract (the r13 JSON content axis).
+
+The JSON queries extract ``$.k`` from ``events.props`` and cast the
+extracted STRING to INT. The two rails' native string->int casts
+disagree on real-corpus content:
+
+- Spark ``try_cast(s AS INT)`` trims ``[\\x00-\\x20]`` from both ends
+  (``UTF8String.trimAll``), then accepts an optional sign plus ASCII
+  digits ONLY -- ``"3.0"``, ``"1e2"``, ``"0x10"``, ``"1_2"`` are all
+  NULL.
+- DuckDB ``TRY_CAST(s AS INT)`` additionally accepts decimal forms
+  (``'3.0'`` -> 3, ``'3.7'`` -> 4 -- it ROUNDS), hex (``'0x10'`` ->
+  16), and underscore separators (``'1_2'`` -> 12).
+
+So identical query text silently returns different k-values on any
+corpus whose JSON carries stringified floats or hex -- the same
+silent-divergence class the unicode axis found in lower()/``\\b``.
+The pinned contract is Spark's (canonical integer literals only), and
+the oracle side mirrors it explicitly: gate on INT_RE after an
+explicit ``[\\x00-\\x20]`` trim, and only then TRY_CAST (which both
+engines agree on for pure sign+digits strings, including overflow ->
+NULL). ``tests/test_adversarial_json.py`` sweeps the equivalence over
+the hostile payload corpus.
+
+Engine side needs no wrapper: ``col.try_cast("int")`` IS the
+contract. This module pins the oracle fragment beside the regex so
+the two can never drift apart silently.
+"""
+
+from __future__ import annotations
+
+#: Canonical integer literal: optional sign, ASCII digits, nothing
+#: else (after trimming). Shared by the oracle fragment below and the
+#: equivalence sweep; identical syntax/semantics in RE2 (DuckDB) and
+#: Java regex (documentation only -- the engine rail never needs it,
+#: Spark's try_cast already implements this contract).
+INT_RE = "^[+-]?[0-9]+$"
+
+#: What Spark's cast trims: every code unit <= U+0020 (UTF8String
+#: .trimAll) -- ASCII space plus all C0 controls. NOT Unicode
+#: whitespace (NBSP etc. stays, and then fails INT_RE on both rails).
+_TRIM_RE = "^[\\x00-\\x20]+|[\\x00-\\x20]+$"
+
+
+def try_int_sql(expr: str) -> str:
+    """DuckDB SQL computing Spark's ``try_cast(<expr> AS INT)`` for a
+    VARCHAR operand. ``expr`` must be a side-effect-free SQL
+    expression; it is spliced multiple times."""
+    trimmed = f"regexp_replace({expr}, '{_TRIM_RE}', '', 'g')"
+    return (
+        f"CASE WHEN regexp_matches({trimmed}, '{INT_RE}') "
+        f"THEN TRY_CAST({trimmed} AS INT) END"
+    )
+
+
+def variant_int_sql(json_expr: str, path: str) -> str:
+    """DuckDB SQL mirroring Spark's
+    ``try_variant_get(try_parse_json(<json_expr>), '<path>', 'int')``
+    for payloads BOTH parsers accept (parser-leniency divergence
+    classes -- duplicate keys, NaN/Infinity, trailing commas, single
+    quotes -- are adjudicated and pinned in the JSON axis, not made to
+    agree). Caller must guard with ``json_valid``.
+
+    The variant cast is TYPED, unlike the string re-parse path:
+    booleans cast to 1/0, JSON numbers cast numerically (doubles
+    TRUNCATE toward zero -- Spark; DuckDB's string->int would round),
+    strings follow the canonical-integer contract, and objects/arrays/
+    null are NULL.
+    """
+    s = f"json_extract_string({json_expr}, '{path}')"
+    return f"""CASE json_type({json_expr}, '{path}')
+           WHEN 'BOOLEAN' THEN CASE {s} WHEN 'true' THEN 1 ELSE 0 END
+           WHEN 'UBIGINT' THEN TRY_CAST(TRY_CAST({s} AS BIGINT) AS INT)
+           WHEN 'BIGINT' THEN TRY_CAST(TRY_CAST({s} AS BIGINT) AS INT)
+           WHEN 'DOUBLE' THEN TRY_CAST(trunc(TRY_CAST({s} AS DOUBLE)) AS INT)
+           WHEN 'VARCHAR' THEN {try_int_sql(s)}
+           END"""

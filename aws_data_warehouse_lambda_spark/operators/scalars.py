@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.jsoncast import try_int_sql, variant_int_sql
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
@@ -144,10 +145,10 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_json_extract",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            CASE WHEN json_valid(props)
-                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                THEN {try_int_sql("json_extract_string(props, '$.k')")}
            END AS k_value,
            event_type
     FROM events ORDER BY event_id
@@ -155,7 +156,11 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: get_json_object over the events.props JSON
-    payload (SURVEY.md §2.B scalar row)."""
+    payload (SURVEY.md §2.B scalar row). The string->int cast follows
+    the canonical-integer contract (functions/jsoncast.py): Spark's
+    try_cast IS that contract, the oracle mirrors it explicitly —
+    DuckDB's bare TRY_CAST would accept '3.0'/'0x10'/'1_2' and
+    silently diverge (the r13 JSON content axis)."""
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -166,10 +171,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_json_agg",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(SUM(CASE WHEN json_valid(props)
-                         THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                         THEN {try_int_sql("json_extract_string(props, '$.k')")}
                     END) AS BIGINT) AS k_total,
            COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
@@ -218,14 +223,14 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_map_funcs",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(min(CASE WHEN json_valid(props)
-                         THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                         THEN {try_int_sql("json_extract_string(props, '$.k')")}
                     END) AS INT) AS k_min,
            CAST(max(CASE WHEN json_valid(props)
-                         THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                         THEN {try_int_sql("json_extract_string(props, '$.k')")}
                     END) AS INT) AS k_max
     FROM events
     GROUP BY event_type ORDER BY event_type
@@ -234,7 +239,10 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed access: parse the JSON props payload into a map column
     (from_json MapType) and aggregate over a looked-up key — the
-    semi-structured column shape (map access stays JVM-side)."""
+    semi-structured column shape (map access stays JVM-side). The
+    looked-up value casts under the canonical-integer contract
+    (functions/jsoncast.py; from_json renders scalars with the same
+    text get_json_object yields, so one contract covers both)."""
     e = load_table(spark, sf_dir, "events")
     k = F.from_json("props", "map<string,string>").getItem("k").try_cast("int")
     return (
@@ -251,10 +259,10 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_variant_extract",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            CASE WHEN props IS NOT NULL AND json_valid(props)
-                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                THEN {variant_int_sql("props", "$.k")}
            END AS k_variant,
            coalesce(json_valid(props), false) AS is_valid
     FROM events ORDER BY event_id
@@ -272,9 +280,15 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     # try_parse_json (not parse_json) end-to-end: a malformed or NULL
     # props row must surface as k_variant NULL + is_valid false — never
-    # crash the job. The oracle is written with the same defensive
-    # semantics (json_valid guard + TRY_CAST + coalesce on NULL props),
-    # so parity holds for dirty rows too, not just the clean fixture.
+    # crash the job. The oracle mirrors the variant's TYPED cast
+    # dispatch (functions/jsoncast.variant_int_sql: bool -> 1/0,
+    # doubles TRUNCATE, strings follow the canonical-integer
+    # contract), so parity holds for dirty rows too, not just the
+    # clean fixture. Parser-LENIENCY divergences (duplicate keys,
+    # NaN/Infinity, trailing commas, single quotes — where Jackson,
+    # yyjson, and the variant parser legitimately disagree on
+    # VALIDITY itself) are adjudicated and exact-behavior-pinned in
+    # tests/test_adversarial_json.py, not forced to agree.
     v = F.try_parse_json("props")
     return e.select(
         "event_id",

@@ -1,0 +1,274 @@
+"""JSON content-axis parity (r13 continuation): the semi-structured
+family must agree with its DuckDB oracles on the JSON corners a real
+event stream is guaranteed to contain — and where the probe found the
+two rails' NATIVE functions silently disagree (same class as the
+unicode axis's lower()/``\\b`` finds):
+
+- string->int casts: DuckDB's TRY_CAST accepts '3.0' (3), '3.7'
+  (ROUNDS to 4), '0x10' (hex, 16), '1_2' (separators, 12); Spark's
+  accepts canonical integers only. Pinned to Spark's contract via
+  functions/jsoncast.try_int_sql (the oracle gate).
+- typed VARIANT extraction: try_variant_get(.., 'int') casts
+  booleans to 1/0 and TRUNCATES doubles (3.7 -> 3) where the oracle's
+  old string re-parse produced NULL / 4. Mirrored via
+  variant_int_sql's json_type dispatch.
+- parser LENIENCY diverges on validity itself: Spark's variant parser
+  rejects duplicate keys; Jackson (get_json_object/from_json) accepts
+  single-quoted JSON; DuckDB's yyjson accepts trailing commas and
+  NaN/Infinity. No shared predicate exists on both rails, so these
+  four classes are ADJUDICATED: exact per-rail behavior is pinned by
+  test_parser_leniency_divergence_pinned, and such payloads stay out
+  of the parity fixture (the contract is documented, not faked).
+
+The parity fixture swaps `events` for rows whose props walk every
+AGREEING corner: number forms (float/exponent/overflow at int32 and
+int64/negative zero), quoted numbers with hostile padding, hex and
+separator strings, JSON null/true, object/array/nested/missing keys,
+escaped keys, case-sensitive keys, array and scalar roots, malformed
+tails, deep nesting, and empty/whitespace strings.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.functions.jsoncast import try_int_sql
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import copy_table, run_parity
+
+SRC = "/root/testdata/sf0.001"
+
+#: props payloads on which all four JSON queries must match their
+#: oracles exactly (values chosen from the probe: every class where a
+#: fix CAN make the rails agree).
+_PARITY_PROPS = [
+    '{"k": 1}',
+    '{"k": -7}',
+    '{"k": 3.0}',                   # float form: string-cast NULL, variant 3
+    '{"k": 3.7}',                   # variant truncates to 3 (never 4)
+    '{"k": -3.7}',                  # truncation toward zero: -3
+    '{"k": 1e2}',                   # exponent: string-cast NULL, variant 100
+    '{"k": 007}',                   # leading zero: invalid JSON on both
+    '{"k": 99999999999999999999}',  # > int64: NULL everywhere
+    '{"k": 2147483648}',            # int32 overflow: NULL
+    '{"k": -2147483649}',           # int32 underflow: NULL
+    '{"k": 9.999999999999999e15}',  # double > int32: NULL
+    '{"k": 2147483647.5}',          # truncates INTO int32 range
+    '{"k": null}',
+    '{"k": true}',                  # variant: 1; string-cast: NULL
+    '{"k": false}',                 # variant: 0
+    '{"k": "7"}',
+    '{"k": " 7 "}',                 # cast trims [\x00-\x20]
+    '{"k": "+11"}',
+    '{"k": "12\\n"}',               # trailing control char: trimmed
+    '{"k": "-0"}',
+    '{"k": "007"}',                 # leading zeros OK as a string
+    '{"k": "3.0"}',                 # canonical-int gate: NULL (DuckDB alone: 3)
+    '{"k": "0x10"}',                # hex: NULL (DuckDB alone: 16)
+    '{"k": "1_2"}',                 # separators: NULL (DuckDB alone: 12)
+    '{"k": "1e2"}',                 # exponent string: NULL
+    '{"k": ""}',
+    '{"k": "   "}',
+    '{"k": "٧"}',                   # non-ASCII digit: NULL on both
+    '{"k": {"x": 1}}',              # object value
+    '{"k": [1,2]}',                 # array value
+    '{"K": 1}',                     # keys are case-sensitive
+    '{"k ": 1}',
+    '{"\\u006b": 8}',               # escaped key resolves to k
+    '{"a": {"k": 9}}',              # $.k is top-level only
+    '[{"k": 10}]',                  # array root
+    '7',                            # scalar root (valid JSON, no $.k)
+    '{k: 1}',                       # unquoted key: invalid on both
+    '{"k": 12, "j": }',             # malformed tail: invalid on both
+    '  {"k": 5}  ',                 # surrounding whitespace: valid
+    '﻿{"k": 6}',               # BOM: invalid on both
+    '{"k": 21, "d": ' + '{"a":' * 40 + "1" + "}" * 40 + "}",  # deep nesting
+    '{"k": "' + "x" * 4000 + '"}',  # long string value
+    "{}",
+    "",
+    None,
+    "not json",
+]
+
+_JSON_QUERIES = [
+    "q_json_extract",
+    "q_json_agg",
+    "q_map_funcs",
+    "q_variant_extract",
+]
+
+
+@pytest.fixture(scope="module")
+def json_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_adv_json")
+    for t in TABLES:
+        if t == "events":
+            continue
+        copy_table(table_path(SRC, t), table_path(str(root), t))
+    n = len(_PARITY_PROPS)
+    base = dt.datetime(2024, 2, 1)
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+            # several groups so q_json_agg/q_map_funcs aggregate
+            # mixed-divergence-class payload sets per group
+            "event_type": pa.array(
+                [("view", "click", "purchase")[i % 3] for i in range(n)],
+                pa.string(),
+            ),
+            "value": pa.array([float(i) for i in range(n)], pa.float64()),
+            "props": pa.array(_PARITY_PROPS, pa.string()),
+        }
+    )
+    pq.write_table(ev, table_path(str(root), "events"))
+    return str(root)
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _JSON_QUERIES)
+def test_json_parity(spark, json_sf, name) -> None:
+    run_parity(spark, json_sf, name, _QUERIES[name], _ORACLES[name])
+
+
+def test_parser_leniency_divergence_pinned(spark) -> None:
+    """ADJUDICATED divergence classes: the three JSON parsers in play
+    (Jackson behind get_json_object/from_json, Spark's variant parser,
+    DuckDB's yyjson) disagree about what is VALID JSON, and no
+    DuckDB-expressible predicate can mirror the Spark side (e.g. a
+    duplicate key is unobservable after yyjson parses). Each class is
+    pinned EXACTLY on both rails so any engine upgrade that shifts the
+    behavior fails loudly here and gets re-adjudicated:
+
+    - duplicate keys: every extractor agrees on first-key-wins, but
+      the variant parser REJECTS the document (is_valid false) while
+      yyjson accepts it;
+    - trailing comma: yyjson accepts (extracts 1), every Spark parser
+      rejects;
+    - single-quoted JSON: Jackson accepts (lenient mode is on in
+      Spark's JacksonParser), yyjson and the variant parser reject;
+    - NaN/Infinity tokens: THREE-way split — yyjson calls them valid
+      (extracting NULL), get_json_object and the variant parser
+      reject the document, and from_json (allowNonNumericNumbers, on
+      by default) accepts them as the QUOTED strings '"NaN"' /
+      '"Infinity"' (which cast to NULL, so k-value parity still
+      holds; only the variant's is_valid diverges).
+
+    Contract: the ENGINE's answers are the product behavior; the
+    driver fixtures contain none of these payloads, so oracle parity
+    is unaffected. A pipeline needing cross-engine agreement on such
+    corpora must sanitize at ingest (documented here by pin)."""
+    from pyspark.sql import functions as F
+
+    cases = {
+        "dup": '{"k": 1, "k": 2}',
+        "trailing": '{"k": 1,}',
+        "squote": "{'k': 1}",
+        "nan": '{"k": NaN}',
+        "inf": '{"k": Infinity}',
+        "ninf": '{"k": -Infinity}',
+    }
+    rows = [(name, p) for name, p in cases.items()]
+    df = spark.createDataFrame(rows, ["case", "props"])
+    got = {
+        r["case"]: r
+        for r in df.select(
+            "case",
+            F.get_json_object("props", "$.k").alias("gjo"),
+            F.from_json("props", "map<string,string>")
+            .getItem("k")
+            .alias("fj"),
+            F.try_variant_get(
+                F.try_parse_json("props"), "$.k", "int"
+            ).alias("var"),
+            F.try_parse_json("props").isNotNull().alias("valid"),
+        ).collect()
+    }
+    # Spark rail, exact
+    assert (got["dup"]["gjo"], got["dup"]["fj"]) == ("1", "1")
+    assert got["dup"]["var"] is None and not got["dup"]["valid"]
+    assert got["trailing"]["gjo"] is None and got["trailing"]["fj"] is None
+    assert got["trailing"]["var"] is None and not got["trailing"]["valid"]
+    # the non-numeric tokens: get_json_object rejects the doc,
+    # from_json yields the QUOTED token string (casts to NULL)
+    for c, tok in (("nan", '"NaN"'), ("inf", '"Infinity"'),
+                   ("ninf", '"-Infinity"')):
+        assert got[c]["gjo"] is None and got[c]["fj"] == tok, c
+        assert got[c]["var"] is None and not got[c]["valid"], c
+    assert (got["squote"]["gjo"], got["squote"]["fj"]) == ("1", "1")
+    assert got["squote"]["var"] is None and not got["squote"]["valid"]
+    # DuckDB rail, exact
+    con = duckdb.connect()
+    try:
+        def dk(p):
+            return con.execute(
+                "select coalesce(json_valid(?), false),"
+                " case when json_valid(?) then json_extract_string(?, '$.k') end",
+                [p, p, p],
+            ).fetchone()
+
+        assert dk(cases["dup"]) == (True, "1")       # accepts, first wins
+        assert dk(cases["trailing"]) == (True, "1")  # yyjson leniency
+        assert dk(cases["squote"]) == (False, None)
+        # yyjson types the tokens as DOUBLE and renders them verbatim
+        # (the gated cast then yields NULL, so k-value parity holds)
+        assert dk(cases["nan"]) == (True, "NaN")
+        assert dk(cases["inf"]) == (True, "Infinity")
+        assert dk(cases["ninf"]) == (True, "-Infinity")
+    finally:
+        con.close()
+
+
+def test_try_int_contract_sweep(spark) -> None:
+    """Equivalence sweep for the canonical-integer cast contract: over
+    a hostile string corpus, Spark's try_cast(s AS INT) must equal the
+    DuckDB oracle fragment (functions/jsoncast.try_int_sql) EXACTLY —
+    the fragment claims to BE Spark's semantics, so any Spark upgrade
+    or fragment edit that shifts one rail fails here first (textfold
+    sweep precedent)."""
+    atoms = [
+        "7", "007", "+11", "-0", "3.0", "3.7", "1e2", "0x10", "1_2",
+        "2147483647", "2147483648", "-2147483648", "-2147483649",
+        "99999999999999999999", "", " ", "abc", "+", "-", "++1", "+-1",
+        "1 2", "٧", "۱۲", " 7", "7 ", "InfInity", "NaN",
+    ]
+    pads = ["", " ", "  ", "\t", "\n", "\r", "\x0b", "\x00", "\x1f"]
+    corpus = sorted(
+        {p1 + a + p2 for a in atoms for p1 in pads for p2 in pads}
+    )
+    df = spark.createDataFrame([(s,) for s in corpus], ["s"])
+    from pyspark.sql import functions as F
+
+    got = {
+        r["s"]: r["i"]
+        for r in df.select("s", F.col("s").try_cast("int").alias("i")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        frag = try_int_sql("s")
+        oracle = dict(
+            con.execute(
+                f"SELECT s, {frag} FROM (SELECT unnest(?) AS s)", [corpus]
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    diverged = {
+        s: (got[s], oracle[s]) for s in corpus if got[s] != oracle[s]
+    }
+    assert not diverged, diverged
