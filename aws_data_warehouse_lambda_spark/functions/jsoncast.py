@@ -59,7 +59,12 @@ def variant_int_sql(json_expr: str, path: str) -> str:
     for payloads BOTH parsers accept (parser-leniency divergence
     classes -- duplicate keys, NaN/Infinity, trailing commas, single
     quotes -- are adjudicated and pinned in the JSON axis, not made to
-    agree). Caller must guard with ``json_valid``.
+    agree). Caller must guard with ``json_valid`` (json_type raises on
+    malformed input; the guard's CASE short-circuits correctly).
+    Splice rules as in :func:`try_int_sql`, and additionally both
+    operands land inside single-quoted SQL literals, so ``json_expr``
+    and ``path`` must be quote-free (current callers pass column
+    names and '$.'-style constants only).
 
     The variant cast is TYPED, unlike the string re-parse path:
     booleans cast to 1/0, JSON numbers cast numerically (doubles
