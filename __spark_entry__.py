@@ -78,8 +78,14 @@ _DRIVER_FIRST = [
     "q_graph_pagerank",
     "q_pandas_udf_scalar",
     "q_text_fingerprint",
-    # The rest of the window: the 18 alphabetically-first of the
-    # remaining r11-vintage rows:
+    # ... and the embeddings-axis NaN-tier contract (finite_vec
+    # excludes non-finite vectors; churns q_embedding_quantize here
+    # plus q_kmeans_iter / q_embedding_centroids already in-window):
+    "q_embedding_quantize",
+    # The rest of the window: the 17 alphabetically-first of the
+    # remaining r11-vintage rows (q_join_full_outer slid past the
+    # boundary to make room for the quantize churn row; it leads the
+    # pre-staged r14 tier instead):
     "q_approx_distinct",
     "q_array_funcs",
     "q_catalog_columns",
@@ -97,10 +103,10 @@ _DRIVER_FIRST = [
     "q_incremental_scan",
     "q_join_anti",
     "q_join_broadcast",
-    "q_join_full_outer",
     # --- beyond the ~50-row driver window: PRE-STAGED r14 ROTATION ---
-    # the next-oldest 16 r11-vintage rows; if the driver reads past 50
+    # the next-oldest r11-vintage rows; if the driver reads past 50
     # they get rows a round early, and r14's reorder starts from here.
+    "q_join_full_outer",
     "q_join_outer",
     "q_join_range",
     "q_join_semi",

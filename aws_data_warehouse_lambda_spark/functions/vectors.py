@@ -40,3 +40,31 @@ DOT_SQL = (
 
 def norm_sql(a: str) -> str:
     return f"sqrt({DOT_SQL.format(a=a, b=a)})"
+
+
+def finite_vec(a: Column) -> Column:
+    """True iff every element of the float array is non-NULL and
+    finite; NULL for a NULL array (so both ``filter`` and ``when``
+    treat it as not-finite). The shared degenerate-vector predicate
+    (r13 NULL-on-degenerate policy): one NaN/Inf element must exclude
+    a vector from centroid/k-means aggregation and NULL its quantized
+    form — NEVER crash the job (plain ``round(NaN).cast('int')`` is an
+    ANSI CAST_OVERFLOW abort on one bad row) and never poison a
+    decimal-exact accumulator on either rail (NaN/Inf -> DECIMAL
+    raises in DuckDB)."""
+    inf = F.lit(float("inf"))
+    return F.forall(
+        a,
+        lambda v: v.isNotNull()
+        & ~F.isnan(v.cast("double"))
+        & (F.abs(v.cast("double")) != inf),
+    )
+
+
+def finite_vec_sql(a: str) -> str:
+    """DuckDB SQL computing exactly :func:`finite_vec` (NULL for a
+    NULL array, since list_filter/len propagate NULL)."""
+    return (
+        f"len(list_filter({a}, "
+        "v -> v IS NULL OR NOT isfinite(CAST(v AS DOUBLE)))) = 0"
+    )

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, dsum_expr
 from ..functions.porthash import h60, h60_sql
+from ..functions.vectors import finite_vec, finite_vec_sql
 from ..sources.tables import load_table
 from .dedup import (
     GRAM_ROWS_SQL,
@@ -352,6 +353,7 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS centroid
     FROM embeddings,
          UNNEST(range(1, len(embedding) + 1)) t(i)
+    WHERE {finite_vec_sql('embedding')}
     GROUP BY label, i
     ORDER BY label, dim
     """,
@@ -363,8 +365,17 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — the distributed way to compute centroids over 1e9
     vectors (collecting vectors to the driver is the anti-pattern).
     Also the building block q_sim_ivf's coarse quantizer would train
-    with (k-means assign/update is exactly this plan in a loop)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    with (k-means assign/update is exactly this plan in a loop).
+
+    Degenerate-vector contract (r13 embeddings axis, NaN tier): a
+    vector with any NULL/NaN/Inf element is excluded WHOLESALE
+    (functions/vectors.finite_vec) — one poisoned element would
+    otherwise corrupt that dim's mean and crash the decimal-exact
+    accumulator (NaN/Inf -> DECIMAL raises on both rails); per-element
+    exclusion would skew n_vecs across dims of one label."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        finite_vec(F.col("embedding"))
+    )
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vectors import finite_vec, finite_vec_sql
 from ..sources.tables import load_table
 from .registry import query
 
@@ -154,19 +155,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_quantize",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            round(mx, 6) AS max_abs,
-           array_to_string(
+           CASE WHEN mx IS NOT NULL THEN array_to_string(
                list_transform(embedding,
                               v -> CASE WHEN mx = 0 THEN 0
                                    ELSE CAST(round(CAST(v AS DOUBLE) / mx * 127)
                                              AS INT) END),
-               ',') AS qvec
+               ',') END AS qvec
     FROM (
         SELECT vec_id, embedding,
-               list_max(list_transform(embedding,
-                                       v -> abs(CAST(v AS DOUBLE)))) AS mx
+               CASE WHEN {finite_vec_sql('embedding')}
+                    THEN list_max(list_transform(embedding,
+                                       v -> abs(CAST(v AS DOUBLE)))) END AS mx
         FROM embeddings
     )
     ORDER BY vec_id
@@ -179,10 +181,21 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and in shuffle; all JVM array transforms, no Python. Dequantize is
     the inverse transform with the carried max_abs scale. The int8
     vector is emitted comma-joined (driver canonicalization hashes
-    scalars, not arrays); a downstream consumer keeps the array form."""
+    scalars, not arrays); a downstream consumer keeps the array form.
+
+    Degenerate-vector contract (r13 embeddings axis, NaN tier): a
+    vector with any NULL/NaN/Inf element (or a NULL vector) has no
+    meaningful absmax scale — max_abs and qvec are NULL
+    (functions/vectors.finite_vec). Without the guard a SINGLE NaN
+    element is an ANSI CAST_OVERFLOW job abort (round(NaN).cast(int))
+    — one bad row killing a 100 TB quantize pass."""
     emb = load_table(spark, sf_dir, "embeddings")
     v_abs = F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
-    scaled = emb.select("vec_id", "embedding", F.array_max(v_abs).alias("mx"))
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.when(finite_vec(F.col("embedding")), F.array_max(v_abs)).alias("mx"),
+    )
     # mx = 0 (the all-zero vector) quantizes to all zeros explicitly —
     # the division would be an ANSI DIVIDE_BY_ZERO job abort on one
     # degenerate row (found by the adversarial-embeddings fixture).
@@ -195,7 +208,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id",
         F.round("mx", 6).alias("max_abs"),
-        F.array_join(qvec, ",").alias("qvec"),
+        # the when() keeps the round/cast branch unevaluated for
+        # non-finite rows (CaseWhen is lazy per row, also in codegen)
+        F.when(F.col("mx").isNotNull(), F.array_join(qvec, ",")).alias(
+            "qvec"
+        ),
     ).orderBy("vec_id")
 
 

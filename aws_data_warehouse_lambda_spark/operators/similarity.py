@@ -32,7 +32,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import DOT_SQL, dot, norm, norm_sql
+from ..functions.vectors import (
+    DOT_SQL,
+    dot,
+    finite_vec,
+    finite_vec_sql,
+    norm,
+    norm_sql,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -336,7 +343,8 @@ def _kmeans_oracle() -> str:
     )"""
 
     ctes = [
-        "emb AS (SELECT vec_id, embedding FROM embeddings)",
+        "emb AS (SELECT vec_id, embedding FROM embeddings "
+        f"WHERE {finite_vec_sql('embedding')})",
         f"""seeds AS (
         SELECT vec_id, embedding,
                {h60_sql("'km-' || CAST(vec_id AS VARCHAR)")} AS h
@@ -384,11 +392,22 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output is the final-assignment census: per cluster, member count
     and exact-decimal-summed inertia.
+
+    Degenerate-vector contract (r13 embeddings axis, NaN tier):
+    non-finite vectors (any NULL/NaN/Inf element) are excluded from
+    clustering entirely — seeding, assignment, and updates
+    (functions/vectors.finite_vec, mirrored in the oracle's emb CTE).
+    One NaN element would otherwise poison every centroid it touches
+    and crash the decimal-exact inertia/mean sums on both rails.
     """
     from ..functions.numeric import dsum
     from ..functions.porthash import h60
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(finite_vec(F.col("embedding")))
+    )
     h = h60(F.concat(F.lit("km-"), F.col("vec_id").cast("string")))
     seeds = emb.withColumn("h", h).orderBy("h").limit(KMEANS_K)
     cents = seeds.select(

@@ -8,6 +8,17 @@ near-duplicates, anti-parallel pairs (cos = -1), a one-hot, tiny and
 huge magnitudes — across the id ranges the similarity queries carve up
 (query probes vec_id < 10, IVF centroids vec_id < 8). Dimensions stay
 64 like the fixture: fixed dims are the table's schema contract.
+
+The NaN tier (r13): vectors carrying NaN / +-Inf elements, a NULL
+vector, and a NULL-element vector. Contract
+(functions/vectors.finite_vec, NULL-on-degenerate policy): such
+vectors are excluded from centroid/k-means aggregation and quantize
+to NULL max_abs/qvec; the similarity queries tolerate them natively
+(NaN scores order identically on both rails). Found as three
+first-run crash classes: q_embedding_quantize was an ANSI
+CAST_OVERFLOW job abort on ONE NaN element, and the decimal-exact
+accumulators (centroids, kmeans) raise on NaN/Inf -> DECIMAL in the
+oracle rail.
 """
 
 from __future__ import annotations
@@ -28,6 +39,18 @@ DIM = 64
 
 
 def _vec(kind: str, i: int) -> list[float]:
+    if kind == "nan":
+        v = [((j % 7) + 1.0) for j in range(DIM)]
+        v[3] = float("nan")
+        return v
+    if kind == "inf":
+        v = [((j % 7) + 1.0) for j in range(DIM)]
+        v[3] = float("inf")
+        return v
+    if kind == "ninf":
+        v = [((j % 7) + 1.0) for j in range(DIM)]
+        v[3] = float("-inf")
+        return v
     if kind == "zero":
         return [0.0] * DIM
     if kind == "onehot":
@@ -49,13 +72,26 @@ def _vec(kind: str, i: int) -> list[float]:
     raise ValueError(kind)
 
 
-_ROWS: list[tuple[int, list[float], int]] = []
+_ROWS: list[tuple[int, list[float] | None, int]] = []
 # Query-probe range (vec_id < 10) and IVF-centroid range (vec_id < 8)
 # get the degenerate shapes so they flow through BOTH sides of every
-# join; the corpus range repeats them so matches exist.
-_KINDS = ["zero", "base", "near", "anti", "onehot", "tiny", "huge"]
-for i in range(30):
+# join; the corpus range repeats them so matches exist. The NaN tier
+# (r13): non-finite vectors must be EXCLUDED from centroid/k-means
+# aggregation and quantize to NULL (functions/vectors.finite_vec) —
+# before that contract, one NaN element was an ANSI CAST_OVERFLOW job
+# abort in q_embedding_quantize and a NaN->DECIMAL crash in the
+# oracle's exact accumulators (kmeans/centroids).
+_KINDS = [
+    "zero", "base", "near", "anti", "onehot", "tiny", "huge",
+    "nan", "inf", "ninf",
+]
+for i in range(40):
     _ROWS.append((i, _vec(_KINDS[i % len(_KINDS)], i), i % 3))
+# a NULL vector and a NULL-element vector: same degenerate contract
+_ROWS.append((100, None, 0))
+_ROWS.append(
+    (101, [None if j == 2 else float(j % 7 + 1) for j in range(DIM)], 1)
+)
 
 _VECTOR_QUERIES = [
     "q_dedup_embedding",
