@@ -82,18 +82,43 @@ _DRIVER_FIRST = [
     # excludes non-finite vectors; churns q_embedding_quantize here
     # plus q_kmeans_iter / q_embedding_centroids already in-window):
     "q_embedding_quantize",
-    # The rest of the window: the 17 alphabetically-first of the
-    # remaining r11-vintage rows (q_join_full_outer slid past the
-    # boundary to make room for the quantize churn row; it leads the
-    # pre-staged r14 tier instead):
+    # ... and the dsum-oracle isfinite guard (functions/numeric.py,
+    # the NaN-value tier of the events axis: Spark's double->decimal
+    # cast NULLs NaN/Inf even under ANSI, DuckDB's raises — the guard
+    # mirrors Spark's skip). 18 oracles churned; the 12 not already
+    # in-window take these slots, displacing 12 non-churned
+    # r11-vintage rows to the pre-staged tier (churn verification
+    # outranks staleness refresh):
+    "q_conditional_agg",
+    "q_cube",
+    "q_join_outer",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_rollup",
+    "q_shipping_priority",
+    "q_stats_moments",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_tumbling_window",
+    "q_unpivot",
+    # (q_embedding_centroids / q_kmeans_iter / q_join_salted /
+    # q_join_broadcast / q_graph_pagerank / q_spine_forward_fill also
+    # churned and already sit in the tiers above.)
+    "q_join_broadcast",
+    "q_embedding_centroids",
+    # The rest of the window: the alphabetically-first remaining
+    # non-churned r11-vintage rows:
     "q_approx_distinct",
     "q_array_funcs",
     "q_catalog_columns",
+    # --- beyond the ~50-row driver window: PRE-STAGED r14 ROTATION ---
+    # first the 12 r11-vintage rows displaced by the dsum churn, then
+    # the previously staged next-oldest; if the driver reads past 50
+    # they get rows a round early, and r14's reorder starts from here.
     "q_catalog_tables",
     "q_cdc_compact",
     "q_coerce_types",
     "q_date_funcs",
-    "q_embedding_centroids",
     "q_exists_subquery",
     "q_full_scan",
     "q_fuzzy_join",
@@ -102,12 +127,7 @@ _DRIVER_FIRST = [
     "q_in_subquery",
     "q_incremental_scan",
     "q_join_anti",
-    "q_join_broadcast",
-    # --- beyond the ~50-row driver window: PRE-STAGED r14 ROTATION ---
-    # the next-oldest r11-vintage rows; if the driver reads past 50
-    # they get rows a round early, and r14's reorder starts from here.
     "q_join_full_outer",
-    "q_join_outer",
     "q_join_range",
     "q_join_semi",
     "q_lateral_topk",

@@ -53,8 +53,23 @@ def dsum_expr(sql_expr: str) -> str:
     Decimal.toDouble is correctly rounded. VARCHAR carries the exact
     digits and the string->double parse is correctly rounded, matching
     Spark bit-for-bit.
+
+    Non-finite mirror (r13 NaN tier): Spark's double->decimal cast
+    yields NULL for NaN/+-Inf EVEN UNDER ANSI, so :func:`dsum`
+    silently skips them (SUM ignores NULL) — but DuckDB's CAST raises,
+    crashing the oracle rail on one bad row. The isfinite guard
+    reproduces Spark's skip exactly (a no-op for decimal inputs, which
+    are always finite). FINITE values that overflow decimal(38,10)
+    (|x| >= 1e28) raise on BOTH rails identically — pinned as the
+    loud-corruption contract, not worked around: silently dropping
+    1e40 from a revenue sum would hide data corruption, while a NaN is
+    a representational artifact with no magnitude to lose.
     """
-    return f"CAST(CAST(SUM(CAST(({sql_expr}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    guard = f"isfinite(CAST(({sql_expr}) AS DOUBLE))"
+    return (
+        f"CAST(CAST(SUM(CASE WHEN {guard} "
+        f"THEN CAST(({sql_expr}) AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def davg_expr(sql_expr: str) -> str:

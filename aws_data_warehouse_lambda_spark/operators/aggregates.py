@@ -23,9 +23,12 @@ def _dsum_if(cond: F.Column, value: F.Column) -> F.Column:
 
 
 def _dsum_if_expr(cond_sql: str, value_sql: str) -> str:
-    """DuckDB spelling of :func:`_dsum_if` (VARCHAR detour per dsum_expr)."""
+    """DuckDB spelling of :func:`_dsum_if` (VARCHAR detour + isfinite
+    guard per dsum_expr — Spark's cast NULLs NaN/Inf, DuckDB's
+    raises)."""
     return (
-        f"CAST(CAST(SUM(CAST(({value_sql}) AS DECIMAL(38,10))) "
+        f"CAST(CAST(SUM(CASE WHEN isfinite(CAST(({value_sql}) AS DOUBLE)) "
+        f"THEN CAST(({value_sql}) AS DECIMAL(38,10)) END) "
         f"FILTER (WHERE {cond_sql}) AS VARCHAR) AS DOUBLE)"
     )
 

@@ -7,7 +7,9 @@ gap `>` or `>=`?), pairs one microsecond either side of it, identical
 timestamps for one user (ordering ties), events exactly on hour/window
 boundaries and at x:59:59.999999, an event exactly AT the CDC
 watermark (strict `>` must exclude it), duplicate event_ids,
-out-of-order ids vs time, NULL/negative/zero values, and malformed /
+out-of-order ids vs time, NULL/negative/zero values, NaN/+-Inf values
+(the r13 NaN tier: decimal-exact sums SKIP non-finite values on both
+rails — functions/numeric.dsum_expr's isfinite guard), and malformed /
 empty / NULL JSON props. Streaming queries run their full
 readStream->state-store path over the same rows, so the stateful
 sessionizer's boundary arithmetic is checked against SQL semantics,
@@ -88,6 +90,19 @@ _E: list[tuple[int, dt.datetime, int, str, float | None, str | None]] = [
     # rows — a singleton null-ts user cannot expose engine-default
     # NULL-placement divergence.
     (28, None, 5, "click", 31.0, '{"k": 31}'),
+    # NaN tier (r13): non-finite values through every value-summing
+    # aggregate. Contract (functions/numeric.dsum_expr): Spark's
+    # double->decimal cast yields NULL for NaN/+-Inf even under ANSI,
+    # so decimal-exact sums SKIP them; the oracle fragments mirror
+    # that with an isfinite guard — before the guard one NaN value
+    # crashed the oracle rail of q_tumbling_window /
+    # q_spine_forward_fill / q_stream_tumbling / q_stream_sliding
+    # (NaN/Inf -> DECIMAL raises in DuckDB). One user, one window, so
+    # the same bucket mixes finite and non-finite mass.
+    (29, _ts("2024-01-11 10:00:00"), 12, "view", float("nan"), '{"k": 32}'),
+    (30, _ts("2024-01-11 10:05:00"), 12, "view", float("inf"), '{"k": 33}'),
+    (31, _ts("2024-01-11 10:10:00"), 12, "view", float("-inf"), '{"k": 34}'),
+    (32, _ts("2024-01-11 10:15:00"), 12, "view", 4.25, '{"k": 35}'),
 ]
 
 _EVENT_QUERIES = [
