@@ -23,14 +23,12 @@ def _dsum_if(cond: F.Column, value: F.Column) -> F.Column:
 
 
 def _dsum_if_expr(cond_sql: str, value_sql: str) -> str:
-    """DuckDB spelling of :func:`_dsum_if` (VARCHAR detour + isfinite
-    guard per dsum_expr — Spark's cast NULLs NaN/Inf, DuckDB's
-    raises)."""
-    return (
-        f"CAST(CAST(SUM(CASE WHEN isfinite(CAST(({value_sql}) AS DOUBLE)) "
-        f"THEN CAST(({value_sql}) AS DECIMAL(38,10)) END) "
-        f"FILTER (WHERE {cond_sql}) AS VARCHAR) AS DOUBLE)"
-    )
+    """DuckDB spelling of :func:`_dsum_if`, composed from dsum_expr so
+    the fragment (VARCHAR detour, isfinite guard) can never drift
+    between the two spellings: SUM skips the CASE's NULLs for
+    non-matching rows exactly like FILTER, mirroring the Spark side's
+    F.sum(F.when(cond, value)...) one-for-one."""
+    return dsum_expr(f"CASE WHEN ({cond_sql}) THEN ({value_sql}) END")
 
 
 @query(

@@ -103,6 +103,13 @@ _E: list[tuple[int, dt.datetime, int, str, float | None, str | None]] = [
     (30, _ts("2024-01-11 10:05:00"), 12, "view", float("inf"), '{"k": 33}'),
     (31, _ts("2024-01-11 10:10:00"), 12, "view", float("-inf"), '{"k": 34}'),
     (32, _ts("2024-01-11 10:15:00"), 12, "view", 4.25, '{"k": 35}'),
+    # ... and on PURCHASE rows: q_spine_forward_fill and the funnel /
+    # stream-stream-join paths filter event_type = 'purchase' before
+    # summing, so view-only non-finite rows never reach them (r13
+    # continuation review finding).
+    (33, _ts("2024-01-11 10:20:00"), 12, "purchase", float("nan"), '{"k": 36}'),
+    (34, _ts("2024-01-11 10:25:00"), 12, "purchase", float("inf"), '{"k": 37}'),
+    (35, _ts("2024-01-11 10:30:00"), 12, "purchase", 1.75, '{"k": 38}'),
 ]
 
 _EVENT_QUERIES = [
