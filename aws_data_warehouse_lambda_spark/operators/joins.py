@@ -278,7 +278,14 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join is exhaustive; at scale the same verify predicate runs
     AFTER a candidate blocker (q-gram overlap or the MinHash banding in
     dedup.py) so the pair space stays linear in collisions — never run
-    levenshtein over an unblocked n^2."""
+    levenshtein over an unblocked n^2.
+
+    Distance contract: Spark's levenshtein counts CODEPOINT edits (one
+    typo = one edit regardless of UTF-8 width); DuckDB's counts BYTES,
+    so the two rails diverge on non-ASCII keys — adjudicated and
+    exact-pinned in tests/test_adversarial_unicode.py
+    (test_levenshtein_divergence_pinned); the fixture's brand keys are
+    ASCII, where the rails agree."""
     brands = (
         load_table(spark, sf_dir, "part").select("p_brand").distinct()
     )

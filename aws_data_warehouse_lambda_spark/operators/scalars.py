@@ -35,7 +35,16 @@ from .registry import query
     """,
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String expression pack (all JVM-side, whole-stage codegen'd)."""
+    """String expression pack (all JVM-side, whole-stage codegen'd).
+
+    name_upper follows the JVM's FULL Unicode case mapping (ß -> SS,
+    ligature expansion); DuckDB's upper() is the simple one-to-one
+    mapping, and the one-to-many expansions have no translate-style
+    pin target (unlike the tokenizer's textfold) — adjudicated and
+    exact-pinned in tests/test_adversarial_unicode.py, with positive
+    unicode parity on the agreeing subset (accents, Greek, astral,
+    RTL) via the unicode-customer fixture. length()/substring() agree
+    codepoint-wise on every probed shape including astral."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",

@@ -268,3 +268,148 @@ def test_token_re_needs_no_flags() -> None:
     assert list(s.str.count(TOKEN_RE)) == [2, 1]
     with _pytest.raises(NotImplementedError):
         s.str.count(TOKEN_RE, flags=re.ASCII)
+
+
+def test_scalar_upper_divergence_pinned(spark) -> None:
+    """ADJUDICATED divergence (r13 continuation — the case-mapping
+    family's FOURTH instance, after lower()/\\b/\\s): ``upper()`` is
+    the FULL Unicode mapping on the JVM but utf8proc's SIMPLE
+    one-to-one mapping in DuckDB, and unlike the tokenizer's fold
+    (textfold: translate divergent codepoints BEFORE lower) the full
+    mapping's one-to-MANY expansions have no translate-able pin
+    target: there is no single codepoint X with JVM upper(X) == 'SS'.
+    So q_string_funcs' name_upper column follows Spark's full mapping
+    as the product contract, the driver fixture stays within the
+    agreeing subset, and this pin records the exact split per class —
+    an engine upgrade that shifts either rail fails loudly here:
+
+    - one-to-many expansions: ß -> 'SS' (JVM) vs 'ẞ' (utf8proc),
+      ligature ﬁ -> 'FI' vs unchanged, ŉ -> 'ʼN' vs unchanged,
+      ypogegrammeni ᾖ -> 'ἮΙ' vs single 'ᾞ';
+    - Unicode-version skew: Vithkuqi U+10597 uppercases on the JVM's
+      newer tables, passes through utf8proc's older ones.
+
+    length()/substring() AGREE on every probed shape including astral
+    and combining (asserted by the parity test below), so the
+    divergence is confined to the case-mapping column."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = {
+        "sharp_s": ("straße", "STRASSE", "STRAẞE"),
+        "ligature": ("ﬁle", "FILE", "ﬁLE"),
+        "apostrophe_n": ("ŉore", "ʼNORE", "ŉORE"),
+        "ypogegrammeni": ("ᾖτα", "ἮΙΤΑ", "ᾞΤΑ"),
+        "version_skew": ("𐖗ab", "𐕰AB", "𐖗AB"),
+    }
+    df = spark.createDataFrame(
+        [(k, s) for k, (s, _, _) in cases.items()], ["k", "s"]
+    )
+    got = {r.k: r.up for r in df.select("k", F.upper("s").alias("up")).collect()}
+    con = duckdb.connect()
+    try:
+        for k, (s, spark_want, duck_want) in cases.items():
+            assert got[k] == spark_want, (k, got[k])
+            (duck_up,) = con.execute("select upper(?)", [s]).fetchone()
+            assert duck_up == duck_want, (k, duck_up)
+    finally:
+        con.close()
+
+
+@pytest.fixture(scope="module")
+def unicode_customer_sf(tmp_path_factory) -> str:
+    """Customer fixture with non-ASCII names drawn from the AGREEING
+    upper() subset (accents, Greek incl. final sigma, Cyrillic, CJK,
+    astral, combining marks — everything except the pinned divergence
+    classes above), so the scalar string pack gets POSITIVE unicode
+    parity coverage, not just ASCII."""
+    root = tmp_path_factory.mktemp("sf_uni_cust")
+    for t in TABLES:
+        if t == "customer":
+            continue
+        copy_table(table_path(SRC, t), table_path(str(root), t))
+    names = [
+        "Customer#000000001",
+        "étude Dvořák",
+        "İSTANBUL branch",          # dotted capital: upper is identity-safe
+        "σίσυφος ΟΔΟΣ ς",           # final sigma: upper -> Σ on both
+        "Пётр Ильич",
+        "株式会社テスト",
+        "𝄞 clef 𐍈 gothic",          # astral: length/substring units
+        "étude combining",     # combining acute
+        "مرحبا بالعالم",             # RTL
+        None,
+    ]
+    n = len(names)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(1, n + 1), pa.int64()),
+                "c_name": pa.array(names, pa.string()),
+                "c_nationkey": pa.array([i % 5 for i in range(n)], pa.int32()),
+                "c_acctbal": pa.array([float(i) for i in range(n)], pa.float64()),
+                "c_mktsegment": pa.array(
+                    ["BUILDING" if i % 2 else None for i in range(n)],
+                    pa.string(),
+                ),
+            }
+        ),
+        table_path(str(root), "customer"),
+    )
+    return str(root)
+
+
+def test_string_funcs_unicode_parity(spark, unicode_customer_sf) -> None:
+    run_parity(
+        spark,
+        unicode_customer_sf,
+        "q_string_funcs",
+        _QUERIES["q_string_funcs"],
+        _ORACLES["q_string_funcs"],
+    )
+
+
+def test_levenshtein_divergence_pinned(spark) -> None:
+    """ADJUDICATED divergence (r13 continuation, found probing
+    q_fuzzy_join's primitive): Spark's levenshtein counts CODEPOINT
+    edits, DuckDB's counts BYTE edits — 'café' vs 'cafe' is 1 on the
+    JVM and 2 in DuckDB (é is two UTF-8 bytes), and an astral char
+    costs 4. On non-ASCII keys the two rails would return DIFFERENT
+    fuzzy-join result sets (the <= 1 threshold), and no pin target
+    exists: DuckDB has no codepoint variant, and no reversible
+    single-byte transcoding covers >256 codepoints. Contract:
+    q_fuzzy_join follows Spark's codepoint distance (the
+    linguistically meaningful one — one typo is one edit regardless
+    of encoding width); the driver fixture's brand keys are ASCII
+    where the rails agree; this pin records the exact split so an
+    engine upgrade on either side re-opens the adjudication visibly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (a, b, spark_codepoints, duckdb_bytes)
+        ("café", "cafe", 1, 2),
+        ("naïve", "naive", 1, 2),
+        ("ёж", "еж", 1, 2),
+        ("𝄞a", "a", 1, 4),
+        ("", "café", 4, 5),
+        ("straße", "strasse", 2, 2),  # agreeing case: 2-byte ß vs 'ss'
+        ("Brand#13", "Brand#31", 2, 2),  # ASCII (fixture shape) agrees
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b, _, _) in enumerate(cases)], ["i", "a", "b"]
+    )
+    got = {
+        r.i: r.d
+        for r in df.select("i", F.levenshtein("a", "b").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        for i, (a, b, want_spark, want_duck) in enumerate(cases):
+            assert got[i] == want_spark, (a, b, got[i])
+            (dd,) = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()
+            assert dd == want_duck, (a, b, dd)
+    finally:
+        con.close()
