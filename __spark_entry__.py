@@ -106,18 +106,20 @@ _DRIVER_FIRST = [
     # churned and already sit in the tiers above.)
     "q_join_broadcast",
     "q_embedding_centroids",
+    # ... and q_coerce_types (engine churn: the sort-before-project
+    # restructure — narrow-row shuffle, measured 2.43 -> 1.36 s):
+    "q_coerce_types",
     # The rest of the window: the alphabetically-first remaining
     # non-churned r11-vintage rows:
     "q_approx_distinct",
     "q_array_funcs",
-    "q_catalog_columns",
     # --- beyond the ~50-row driver window: PRE-STAGED r14 ROTATION ---
-    # first the 12 r11-vintage rows displaced by the dsum churn, then
-    # the previously staged next-oldest; if the driver reads past 50
-    # they get rows a round early, and r14's reorder starts from here.
+    # first the r11-vintage rows displaced by the dsum/coerce churn,
+    # then the previously staged next-oldest; if the driver reads past
+    # 50 they get rows a round early, and r14's reorder starts here.
+    "q_catalog_columns",
     "q_catalog_tables",
     "q_cdc_compact",
-    "q_coerce_types",
     "q_date_funcs",
     "q_exists_subquery",
     "q_full_scan",

@@ -104,14 +104,32 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(h, 17, 4),
         F.substring(h, 21, 12),
     )
-    return o.select(
-        "o_orderkey",
-        uuid_to_hex(dashed_uuid).alias("uuid_hex"),
-        timestamp_to_str("o_orderdate").alias("ts_str"),
-        decimal_to_str(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-            "price_str"
-        ),
-    ).orderBy("o_orderkey")
+    # Sort BEFORE stringifying: the projection triples row width
+    # (32-char hex + 26-char timestamp + decimal text vs three native
+    # columns), and Catalyst does not push computed projections below
+    # a Sort — declared the other way round, the range-partition
+    # shuffle carries the wide strings (measured 2.43 s vs 1.36 s at
+    # sf0.1; at 100 TB it is 2-3x the sort's shuffle bytes). A
+    # projection is order-preserving, so the contract is unchanged.
+    # NOTE on the inlined expression tree: the optimized-plan TEXT
+    # prints the md5+concat chain once per reference (15 md5 tokens),
+    # but plain expressions are runtime-CSE'd by whole-stage codegen —
+    # the r12 re-evaluation trap applies to LAMBDA-bearing expressions
+    # only (those are exempt from subexpression elimination). Measured:
+    # pre-projecting the chain through two extra Project layers costs
+    # +0.3 s at sf0.1 and saves nothing, so the inlined form stays.
+    return (
+        o.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+        .select(
+            "o_orderkey",
+            uuid_to_hex(dashed_uuid).alias("uuid_hex"),
+            timestamp_to_str("o_orderdate").alias("ts_str"),
+            decimal_to_str(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "price_str"
+            ),
+        )
+    )
 
 
 @query(

@@ -673,3 +673,33 @@ def test_dedup_memo_concurrent_build_and_reset(spark) -> None:
         "a build that started before reset_shared_relations() "
         "re-inserted its entry after the reset"
     )
+
+
+def test_coerce_types_sorts_before_stringify(spark) -> None:
+    """q_coerce_types' range-partition sort must run on the NARROW
+    native columns with the stringifying projection (md5/uuid/ts/
+    decimal text — ~3x the row width) applied ABOVE it: Catalyst does
+    not push computed projections below a Sort, so the declared order
+    decides which rows the exchange carries (measured 2.43 s vs
+    1.36 s at sf0.1; at 100 TB it is the sort's shuffle bytes). A
+    projection is order-preserving, so the result contract is
+    unchanged — this pin fails if a refactor re-inlines the
+    projection under the orderBy."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_coerce_types"](spark, "/root/testdata/sf0.001")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    md5_at = optimized.index("md5(")
+    sort_at = optimized.index("Sort ")
+    # plan prints top-down: the md5-bearing Project must sit ABOVE
+    # (before) the Sort node. (The chain prints once per reference in
+    # the tree TEXT — that is fine: plain expressions are runtime-CSE'd
+    # by codegen; only lambda-bearing expressions re-evaluate, the r12
+    # rule. Pre-projecting the chain was measured +0.3 s of pure
+    # Project-layer overhead at sf0.1 and reverted.)
+    assert md5_at < sort_at, optimized[:2000]
+    # the Sort's child must stay the narrow native projection: below
+    # the Sort line no stringifying expression may appear
+    below_sort = optimized[sort_at:]
+    for token in ("md5(", "date_format(", "regexp_replace("):
+        assert token not in below_sort, (token, optimized[:2000])
