@@ -51,7 +51,7 @@ from aws_data_warehouse_lambda_spark.functions.textfold import (
 from aws_data_warehouse_lambda_spark.operators import dedup
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import copy_table, run_parity
+from .oracle_harness import clone_sf, copy_table, run_parity
 from .test_adversarial_documents import _DOC_QUERIES
 
 #: Beyond the document family shared with the content axis: the four
@@ -324,11 +324,6 @@ def unicode_customer_sf(tmp_path_factory) -> str:
     astral, combining marks — everything except the pinned divergence
     classes above), so the scalar string pack gets POSITIVE unicode
     parity coverage, not just ASCII."""
-    root = tmp_path_factory.mktemp("sf_uni_cust")
-    for t in TABLES:
-        if t == "customer":
-            continue
-        copy_table(table_path(SRC, t), table_path(str(root), t))
     names = [
         "Customer#000000001",
         "étude Dvořák",
@@ -342,22 +337,31 @@ def unicode_customer_sf(tmp_path_factory) -> str:
         None,
     ]
     n = len(names)
-    pq.write_table(
-        pa.table(
-            {
-                "c_custkey": pa.array(range(1, n + 1), pa.int64()),
-                "c_name": pa.array(names, pa.string()),
-                "c_nationkey": pa.array([i % 5 for i in range(n)], pa.int32()),
-                "c_acctbal": pa.array([float(i) for i in range(n)], pa.float64()),
-                "c_mktsegment": pa.array(
-                    ["BUILDING" if i % 2 else None for i in range(n)],
-                    pa.string(),
-                ),
-            }
-        ),
-        table_path(str(root), "customer"),
+
+    def make_customer(_src: str, dst: str) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array(range(1, n + 1), pa.int64()),
+                    "c_name": pa.array(names, pa.string()),
+                    "c_nationkey": pa.array(
+                        [i % 5 for i in range(n)], pa.int32()
+                    ),
+                    "c_acctbal": pa.array(
+                        [float(i) for i in range(n)], pa.float64()
+                    ),
+                    "c_mktsegment": pa.array(
+                        ["BUILDING" if i % 2 else None for i in range(n)],
+                        pa.string(),
+                    ),
+                }
+            ),
+            dst,
+        )
+
+    return clone_sf(
+        SRC, tmp_path_factory.mktemp("sf_uni_cust"), "customer", make_customer
     )
-    return str(root)
 
 
 def test_string_funcs_unicode_parity(spark, unicode_customer_sf) -> None:

@@ -687,7 +687,7 @@ def test_coerce_types_sorts_before_stringify(spark) -> None:
     projection under the orderBy."""
     import __spark_entry__ as entrymod
 
-    df = entrymod.queries()["q_coerce_types"](spark, "/root/testdata/sf0.001")
+    df = entrymod.queries()["q_coerce_types"](spark, SF)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     md5_at = optimized.index("md5(")
     sort_at = optimized.index("Sort ")
