@@ -272,7 +272,17 @@ def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
         table_path(root, "documents"),
     )
     try:
-        for name in ("q_dedup_exact", "q_dedup_clusters", "q_dedup_keep_list"):
+        # graph_degree/pagerank run on the NEAR-DUP pair graph, which
+        # DF_CAP leaves EMPTY on this corpus — the empty-edge-set path
+        # must agree on both rails (probed r13 continuation: 7 dedup/
+        # graph queries parity-green on this shape; locked here)
+        for name in (
+            "q_dedup_exact",
+            "q_dedup_clusters",
+            "q_dedup_keep_list",
+            "q_graph_degree",
+            "q_graph_pagerank",
+        ):
             run_parity(spark, root, name, _QUERIES[name], _ORACLES[name])
         keep = _QUERIES["q_dedup_keep_list"](spark, root).toPandas()
         exact = _QUERIES["q_dedup_exact"](spark, root).toPandas()

@@ -160,3 +160,81 @@ def test_nanos_watermark_still_reaches_pushed_filters(
     )
     assert "PushedFilters" in plan
     assert "GreaterThan(ts" in plan
+
+
+def test_dst_crossing_data_parity(spark, tmp_path) -> None:
+    """DST tier (r13 continuation): no standard fixture's timestamps
+    cross a daylight-saving transition (events span 2024-01 only), so
+    the hostile-TZ driver simulation never actually exercised one —
+    yet Spark's window()/date_trunc are session-TZ-aware while DuckDB
+    TIMESTAMP is naive, exactly where a non-UTC session would shear
+    buckets. session.tune pins spark.sql.session.timeZone=UTC, and
+    this test proves that protection ON DST-CROSSING DATA: events
+    stepping 20 min across BOTH America/New_York transitions
+    (2024-03-10 spring-forward, 2024-11-03 fall-back), run with the
+    session TZ set hostile mid-test (probe r13: 15 event-time queries
+    parity-green on this shape; the four cheapest lock it here)."""
+    import datetime as dt
+
+    import __spark_entry__ as entrymod
+
+    from aws_data_warehouse_lambda_spark.sources.tables import (
+        TABLES,
+        table_path,
+    )
+
+    from .oracle_harness import copy_table, run_parity
+
+    root = str(tmp_path / "sf_dst")
+    import os
+
+    os.makedirs(root)
+    for t in TABLES:
+        if t == "events":
+            continue
+        copy_table(table_path(SRC, t), table_path(root, t))
+    rows = []
+    eid = 0
+    for base in (
+        dt.datetime(2024, 3, 10, 5, 0, 0),   # 07:00 UTC = 02:00 EST jump
+        dt.datetime(2024, 11, 3, 4, 0, 0),   # 06:00 UTC = 01:00 repeat
+    ):
+        for i in range(12):
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(minutes=20 * i),
+                    eid % 3,
+                    ("view", "click", "purchase")[eid % 3],
+                    float(eid),
+                    '{"k": %d}' % eid,
+                )
+            )
+            eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        table_path(root, "events"),
+    )
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in (
+            "q_tumbling_window",
+            "q_session_window",
+            "q_time_spine_gapfill",
+            "q_sessionize",
+        ):
+            run_parity(spark, root, name, queries[name], oracles[name])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
