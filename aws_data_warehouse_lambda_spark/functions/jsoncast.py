@@ -72,6 +72,14 @@ def variant_int_sql(json_expr: str, path: str) -> str:
     strings follow the canonical-integer contract, and objects/arrays/
     null are NULL.
     """
+    if "'" in json_expr or "'" in path:
+        # Both operands are spliced into single-quoted SQL literals; a
+        # quote would inject into the oracle query. Fail at
+        # construction, not as a DuckDB parse error (ADVICE r13).
+        raise ValueError(
+            "variant_int_sql operands must be quote-free: "
+            f"{json_expr!r}, {path!r}"
+        )
     s = f"json_extract_string({json_expr}, '{path}')"
     return f"""CASE json_type({json_expr}, '{path}')
            WHEN 'BOOLEAN' THEN CASE {s} WHEN 'true' THEN 1 ELSE 0 END

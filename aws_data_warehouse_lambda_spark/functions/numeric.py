@@ -64,6 +64,12 @@ def dsum_expr(sql_expr: str) -> str:
     loud-corruption contract, not worked around: silently dropping
     1e40 from a revenue sum would hide data corruption, while a NaN is
     a representational artifact with no magnitude to lose.
+
+    ``sql_expr`` must be a side-effect-free, deterministic SQL
+    expression; it is spliced multiple times (the isfinite guard and
+    the summed value), so a volatile or expensive expression would
+    double-evaluate or diverge between guard and accumulator (same
+    splice contract as :func:`jsoncast.try_int_sql`).
     """
     guard = f"isfinite(CAST(({sql_expr}) AS DOUBLE))"
     return (

@@ -792,11 +792,16 @@ def _exact_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: shuffle key is the 128-bit digest (O(rows)
     exchange, map-side partial min), the join fans out one row per
-    duplicate — O(n) total, and with the keeper side broadcast the
-    probe rows never shuffle at all (skew-immune even for a digest
-    with millions of copies — the reason this is a join, not a
-    window-min, which would land every copy of a hot digest on one
-    task). NULL digests (NULL text) are excluded by equi-join
+    duplicate — O(n) total. The keeper side is one row per DISTINCT
+    digest, which at corpus scale exceeds broadcast thresholds, so the
+    expected plan is a digest-keyed shuffle join (AQE may still pick
+    broadcast when the distinct-digest count is small, as at fixture
+    scale); a hot digest's copies do land in one partition, but the
+    build side per key is a single row, so AQE's skew-join split
+    applies — the reason this is a join, not a window-min, whose
+    skewed partition AQE cannot split (ADVICE r13: the earlier
+    "keeper side broadcast" wording was aspirational, not enforced).
+    NULL digests (NULL text) are excluded by equi-join
     semantics on BOTH rails: GROUP BY groups NULLs, but a NULL key
     never matches the join back, so NULL-text docs propose no edges
     rather than clustering with each other. DELIBERATE contrast with
