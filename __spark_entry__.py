@@ -26,97 +26,22 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # r13 WINDOW (50). First: ALL 18 r10-vintage rows (the oldest in
-    # the ledger — two extra beyond the usual 16 because the r10 no-op
-    # round left a beat; pulling all 18 restores the steady cadence),
-    # pre-staged by r12 and pulled in on schedule; q_join_asof_pandas
-    # leads:
-    "q_join_asof_pandas",
-    "q_join_salted",
-    "q_json_agg",
-    "q_json_extract",
-    "q_kmeans_iter",
-    "q_map_funcs",
-    "q_min_max_exact",
-    "q_multi_distinct",
-    "q_multimodal_features",
-    "q_pandas_udf_iterator",
-    "q_pii_redact",
-    "q_spine_forward_fill",
-    "q_string_funcs",
-    "q_time_spine_gapfill",
-    "q_udtf_chunks",
-    "q_variant_extract",
-    "q_window_lag_lead",
-    "q_window_running",
-    # CODE TOUCHED IN r13: the q_tfidf single-corpus-pass rewrite
-    # (operators/text.py, the r12 verdict's one `weak` flag); the
-    # shingle/grams restructure on BOTH rails (the length axis found
-    # the oracle's lateral re-split AND the engine's _shingles lambda
-    # re-split — O(tokens x bytes) per doc — churning every consumer
-    # of _SHINGLE_SQL/_GRAMS_SQL/_GRAPH_SQL/_doc_shingle_arrays); the
-    # linear block-concat gram rewrite in q_text_fingerprint; the
-    # RFC-bounded EMAIL_RE (q_pii_redact, in the r10 tier above); the
-    # Arrow-backend-safe token counter (python_udfs, ADVICE r12); and
-    # the mass-duplication fix (exact-dup star edges unioned into the
-    # CC input — churns q_dedup_clusters / q_dedup_keep_list on both
-    # rails; both sit in this tier already); plus the JSON content
-    # axis's canonical-integer / typed-variant oracle contracts
-    # (functions/jsoncast.py — churns q_json_extract / q_json_agg /
-    # q_map_funcs / q_variant_extract, all in the r10 tier above):
-    "q_tfidf",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_containment",
+    # r14 WINDOW (50). CODE TOUCHED IN r14 leads: the high-df
+    # near-identical mass-dup screen (VERDICT r13 #2) is a two-rail
+    # contract change to the CC input — fingerprint-star candidates
+    # over cap-blindable docs, exact-Jaccard-verified vs the group
+    # keeper (dedup._screen_edges + the blind/bgrams/bfp/bcand/
+    # bshared/sedges oracle CTEs in dedup._CC_COMP_SQL) — churning
+    # q_dedup_clusters / q_dedup_keep_list on both rails; and the
+    # fingerprint gram shape moved to the shared
+    # functions/fingerprint.py (oracle rebuilt from fp_grams_sql,
+    # engine plan unchanged), lightly churning q_text_fingerprint:
     "q_dedup_clusters",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
     "q_dedup_keep_list",
-    "q_repetition",
-    "q_contamination",
-    "q_boilerplate_spans",
-    "q_graph_degree",
-    "q_graph_pagerank",
-    "q_pandas_udf_scalar",
     "q_text_fingerprint",
-    # ... and the embeddings-axis NaN-tier contract (finite_vec
-    # excludes non-finite vectors; churns q_embedding_quantize here
-    # plus q_kmeans_iter / q_embedding_centroids already in-window):
-    "q_embedding_quantize",
-    # ... and the dsum-oracle isfinite guard (functions/numeric.py,
-    # the NaN-value tier of the events axis: Spark's double->decimal
-    # cast NULLs NaN/Inf even under ANSI, DuckDB's raises — the guard
-    # mirrors Spark's skip). 18 oracles churned; the 12 not already
-    # in-window take these slots, displacing 12 non-churned
-    # r11-vintage rows to the pre-staged tier (churn verification
-    # outranks staleness refresh):
-    "q_conditional_agg",
-    "q_cube",
-    "q_join_outer",
-    "q_pricing_summary",
-    "q_revenue_by_nation",
-    "q_rollup",
-    "q_shipping_priority",
-    "q_stats_moments",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_tumbling_window",
-    "q_unpivot",
-    # (q_embedding_centroids / q_kmeans_iter / q_join_salted /
-    # q_join_broadcast / q_graph_pagerank / q_spine_forward_fill also
-    # churned and already sit in the tiers above.)
-    "q_join_broadcast",
-    "q_embedding_centroids",
-    # ... and q_coerce_types (engine churn: the sort-before-project
-    # restructure — narrow-row shuffle, measured 2.43 -> 1.36 s):
-    "q_coerce_types",
-    # The rest of the window: the alphabetically-first remaining
-    # non-churned r11-vintage rows:
-    "q_approx_distinct",
-    "q_array_funcs",
-    # --- beyond the ~50-row driver window: PRE-STAGED r14 ROTATION ---
-    # first the r11-vintage rows displaced by the dsum/coerce churn,
-    # then the previously staged next-oldest; if the driver reads past
-    # 50 they get rows a round early, and r14's reorder starts here.
+    # The pre-staged r13 tier, pulled in on schedule (all 28 remaining
+    # r11-vintage rows, q_catalog_columns first — the 12 displaced by
+    # the r13 dsum/coerce churn, then the next-oldest):
     "q_catalog_columns",
     "q_catalog_tables",
     "q_cdc_compact",
@@ -145,6 +70,48 @@ _DRIVER_FIRST = [
     "q_sim_lsh_bucketed",
     "q_sim_topk_bruteforce",
     "q_sliding_window",
+    # ... which retires the last r11 rows this round: the 5 r11-vintage
+    # rows the r13 staging list did not reach:
+    "q_topk_per_group",
+    "q_union",
+    "q_union_all_counts",
+    "q_window_range_frame",
+    "q_window_ranks",
+    # ... then the window fills with the 14 alphabetically-first
+    # r12-vintage rows (oldest remaining tier after this round: no
+    # ledger row older than r12, per VERDICT r13 #1's done-bar):
+    "q_count_distinct",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_except",
+    "q_except_all",
+    "q_frame_sample",
+    "q_funnel_steps",
+    "q_grouping_sets",
+    "q_intersect",
+    "q_intersect_all",
+    "q_join_asof",
+    "q_ngram_topk",
+    "q_quality_filter",
+    "q_sample_hash",
+    # --- beyond the 50-row driver window: PRE-STAGED r15 ROTATION ---
+    # the 13 remaining r12-vintage rows (q_sample_stratified first —
+    # boundary pinned by tests/test_entry.py); if the driver reads
+    # past 50 they get rows a round early, and r15's reorder starts
+    # here.
+    "q_sample_stratified",
+    "q_scalar_subquery",
+    "q_sort_limit",
+    "q_split_assign",
+    "q_stream_dedup",
+    "q_stream_session_window",
+    "q_stream_sessionize",
+    "q_stream_stream_join",
+    "q_text_langid",
+    "q_text_quality",
+    "q_token_stats",
+    "q_upsert_scan",
+    "q_window_frames",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Strided char-gram document fingerprint — the ONE gram shape shared
+by q_text_fingerprint (operators/text.py) and the dedup keep-list's
+high-df near-identical screen (operators/dedup.py, r14).
+
+Lives outside operators/ so dedup can import it without triggering
+text.py's query registrations ahead of its own (operators/__init__
+import order is the registry order, which the driver-window rotation
+bookkeeping relies on).
+
+The fingerprint is the min 60-bit hash over strided char 8-grams
+(winnowing-lite / rolling-hash family): near-identical documents agree
+on it whenever the edit does not disturb the minimal gram, giving an
+O(n) grouping-based near-dup screen — no reference counterpart (the
+reference has no string operations beyond identifier sanitization,
+/root/reference/src/db_extractor_full.py:462-474).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .porthash import h60, h60_sql
+
+FINGERPRINT_GRAM = 8  # char n-gram width
+FINGERPRINT_STRIDE = 4  # stride between grams (winnowing-lite)
+# The linear block-concat gram shape requires this exact ratio (gram =
+# two adjacent stride-sized blocks). ValueError, not assert: a bare
+# assert vanishes under python -O, and a constants edit would then
+# silently compute a different fingerprint function than the oracle's
+# strided-substring shape (r13 review pass 1).
+if FINGERPRINT_GRAM != 2 * FINGERPRINT_STRIDE:
+    raise ValueError(
+        "block-concat grams require FINGERPRINT_GRAM == 2 * "
+        f"FINGERPRINT_STRIDE; got {FINGERPRINT_GRAM} / {FINGERPRINT_STRIDE}"
+    )
+
+
+def fp_grams_sql(doc_rel: str) -> str:
+    """DuckDB fragment producing the strided char-gram rows
+    ``(doc_id, gh)`` for a relation exposing ``doc_id`` and ``text``
+    columns — the oracle twin of :func:`doc_fingerprints`'s gram
+    stage, shared by the q_text_fingerprint oracle and dedup's
+    high-df screen oracle so the rails can never drift (same policy
+    as dedup.GRAM_ROWS_SQL). ``doc_rel`` must be a side-effect-free
+    relation expression; it is spliced once."""
+    return f"""
+        SELECT doc_id,
+               {h60_sql(f"substring(text, i, {FINGERPRINT_GRAM})")} AS gh
+        FROM {doc_rel},
+             UNNEST(range(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 0) + 1,
+                          {FINGERPRINT_STRIDE})) t(i)
+"""
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """``(doc_id, fingerprint)`` — min 60-bit hash over strided char
+    8-grams per document, for a relation with ``doc_id``/``text``
+    columns. Docs shorter than one gram (< 8 chars, NULL included)
+    produce no gram rows and drop out.
+
+    Gram extraction is LINEAR via block concat, not a strided
+    substring loop: substring(text, i, k) on a UTF8String seeks
+    byte-wise from the start to find codepoint i (no O(1) indexing
+    in UTF-8), so the strided loop costs O(len^2 / stride) per doc —
+    76 s on the length axis's five 128 KB docs (r13). Because
+    GRAM == 2 x STRIDE, every gram at start 1+4t is exactly the
+    concat of adjacent 4-char blocks b[t+1] || b[t+2], and the block
+    list is ONE linear regexp scan ((?s) so '.' crosses newlines;
+    Java '.' consumes full codepoints, so astral chars split exactly
+    like substring did — equality proven on unicode/degenerate rows
+    and the unicode axis re-proves it each run). Blocks project
+    first (bound attribute) per the lambda-CSE rule; gram t+2 is
+    always a FULL block since 4t+8 <= len.
+    """
+    b = F.col("b")
+    t_max = F.floor(
+        (F.length("text") - F.lit(FINGERPRINT_GRAM)) / F.lit(FINGERPRINT_STRIDE)
+    ).cast("int")
+    grams = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.regexp_extract_all(
+                "text", F.lit(f"(?s).{{1,{FINGERPRINT_STRIDE}}}"), 0
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.length("text") >= FINGERPRINT_GRAM,
+                    F.transform(
+                        F.sequence(F.lit(0), t_max),
+                        lambda t: F.concat(
+                            F.element_at(b, t + 1), F.element_at(b, t + 2)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .select("doc_id", h60(F.col("g")).alias("gh"))
+    )
+    return grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))

@@ -515,9 +515,11 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     document. Near-dup pairs (exact-Jaccard referee) UNION exact-dup
     star edges (digest groupBy -> keeper join, O(n) — so byte-identical
     mass duplication is dropped even when every shared shingle exceeds
-    DF_CAP, the r13 length-axis finding) -> alternating large-star/
-    small-star connected components -> keeper = min doc_id per cluster;
-    docs in no edge keep themselves. This is the table a 100 TB
+    DF_CAP, the r13 length-axis finding) UNION the verified high-df
+    fingerprint screen (dedup._screen_edges, O(n), r14 — so
+    NEAR-identical mass duplication beyond the cap is dropped too) ->
+    alternating large-star/small-star connected components -> keeper =
+    min doc_id per cluster; docs in no edge keep themselves. This is the table a 100 TB
     pipeline writes back and anti-joins training shards against. The
     labeled-components relation is shared with q_dedup_clusters
     (dedup.component_labels, persisted + memoized) — one

@@ -43,7 +43,10 @@ import threading
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fractions import Fraction
+
 from ..functions.apps import live_app_ids
+from ..functions.fingerprint import doc_fingerprints, fp_grams_sql
 from ..functions.spread import spread_if_few_splits
 from ..functions.porthash import h60, h60_sql, perm, perm_sql
 from ..functions.vectors import DOT_SQL as _DOT_SQL
@@ -71,6 +74,19 @@ COSINE_THRESHOLD = 0.45  # fixture embeddings are near-orthogonal random
 #: regardless of corpus size; fixture max df is 25, so at test scale the
 #: capped result is bit-identical to the uncapped one.
 DF_CAP = 64
+
+#: High-df screen eligibility bound (r14, VERDICT r13 #2). The capped
+#: candidate generator can miss a J >= t pair ONLY when every SHARED
+#: shingle is above DF_CAP: overlap >= t*n per side, and only the
+#: above-cap portion can hide, so each side's above-cap fraction must
+#: reach t — equivalently its rare (df <= DF_CAP) fraction is at most
+#: 1 - t. Docs at or under this rare-fraction are "cap-blindable" and
+#: get the O(n) fingerprint screen (:func:`_screen_edges`); everyone
+#: else's near-dups are provably reachable through rare shingles.
+#: Kept as an exact Fraction so the Spark filter and the DuckDB HAVING
+#: use the same integer arithmetic (no float-rounding seam) and can't
+#: drift from JACCARD_THRESHOLD.
+SCREEN_RARE_FRACTION = Fraction(1) - Fraction(str(JACCARD_THRESHOLD))
 
 #: The embedding-cosine referee runs on the REFEREE_CAP docs with the
 #: smallest md5-derived hash of vec_id — a deterministic uniform sample
@@ -216,12 +232,14 @@ _ZDF_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _DIGEST_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SCREEN_CACHE: dict[tuple[str, str], DataFrame] = {}
 _ALL_CACHES = (
     _ARRAYS_CACHE,
     _ZDF_CACHE,
     _PAIRS_CACHE,
     _LABELS_CACHE,
     _DIGEST_CACHE,
+    _SCREEN_CACHE,
 )
 #: Same lock + generation pattern as the schema / hot-set caches
 #: (sources/tables.py, functions/skew.py): dict bookkeeping is
@@ -845,13 +863,89 @@ def _digest_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(_DIGEST_CACHE, spark, sf_dir, build)
 
 
+def _screen_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, fingerprint)`` strided-gram fingerprints
+    (functions/fingerprint.py — q_text_fingerprint's exact gram shape)
+    for the CAP-BLINDABLE docs only: those whose rare (df <= DF_CAP)
+    shingle fraction is at most ``SCREEN_RARE_FRACTION``, the docs
+    whose J >= t partners can hide entirely above the cap. The filter
+    is integer arithmetic on the memoized df-annotated relation (one
+    array_size pass, no new shuffle); only qualifying docs pay the
+    gram scan, via a doc_id equi-join back to the corpus. Docs with no
+    shingles (< 3 words, NULL text) are absent from the zdf relation
+    and docs shorter than one gram (< 8 chars) drop out at the gram
+    stage — both rails agree by construction. Memoized + persisted:
+    the relation feeds both the keeper aggregate and the probe side of
+    the star join (the _digest_relation precedent)."""
+
+    def build() -> DataFrame:
+        blind = (
+            _doc_annotated_arrays(spark, sf_dir)
+            .where(
+                F.size(_rare(F.col("z"))) * F.lit(SCREEN_RARE_FRACTION.denominator)
+                <= F.size("z") * F.lit(SCREEN_RARE_FRACTION.numerator)
+            )
+            .select("doc_id")
+        )
+        docs = load_table(spark, sf_dir, "documents").join(blind, "doc_id")
+        return doc_fingerprints(docs)
+
+    return _memo(_SCREEN_CACHE, spark, sf_dir, build)
+
+
+def _screen_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(n) high-df near-identical screen (r14, VERDICT r13 #2): the
+    half of the r13 mass-duplication finding the exact-dup star left
+    open. A block of one-token-diff near-identical pages larger than
+    DF_CAP shares NO under-cap shingle, so the pair generator proposes
+    nothing for it (each doc's handful of rare shingles are unique to
+    it and collide with nobody) — templated boilerplate, the dominant
+    duplication class in a web corpus, sailed through the keep list.
+
+    The screen: cap-blindable docs (:func:`_screen_fingerprints`)
+    group by their strided-gram fingerprint — ONE digest-keyed shuffle,
+    O(blindable docs) rows — then each group's min-doc_id keeper stars
+    out candidate edges, and every candidate is VERIFIED at exact
+    full-set Jaccard >= JACCARD_THRESHOLD against its keeper (the same
+    packed-set array_intersect as the referee), so an emitted edge is
+    never weaker than a referee pair: precision is exact, recall is
+    what the fingerprint catches. This is a deliberate TWO-RAIL
+    contract extension (oracle CTEs in _CC_COMP_SQL mirror every step;
+    the r5 precedent rejected UNVERIFIED band pairs — the verify step
+    is what makes this a contract, not a gamble). Documented residuals:
+    a near-dup pair whose edit disturbs the minimal gram (or shifts
+    gram offsets) fingerprints apart and is missed, and two docs that
+    are both J < t to their group keeper but J >= t to EACH OTHER get
+    no edge (the star verifies against the keeper only — keeping the
+    screen O(n) instead of O(group^2))."""
+    fp = _screen_fingerprints(spark, sf_dir)
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("src"))
+    cand = (
+        fp.join(keepers, "fingerprint")
+        .where(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+    sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
+    shared = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    scored = (
+        cand.join(sets.alias("sa"), F.col("src") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("dst") == F.col("sb.doc_id"))
+        .withColumn("shared", shared)
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    ).cast("double")
+    return scored.where(jac >= JACCARD_THRESHOLD).select("src", "dst")
+
+
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, label) components of the dedup graph — near-dup referee
     pairs (:func:`_jaccard_pairs`) UNION O(n) exact-duplicate star
-    edges (:func:`_exact_dup_edges`) — persisted and memoized per
-    (session, fixture dir); feeds BOTH q_dedup_clusters and
-    q_dedup_keep_list; recomputing it would re-run pair generation plus
-    the whole CC fixpoint."""
+    edges (:func:`_exact_dup_edges`) UNION the O(n) verified high-df
+    fingerprint screen (:func:`_screen_edges`, r14) — persisted and
+    memoized per (session, fixture dir); feeds BOTH q_dedup_clusters
+    and q_dedup_keep_list; recomputing it would re-run pair generation
+    plus the whole CC fixpoint."""
 
     def build() -> DataFrame:
         pairs = _jaccard_pairs(spark, sf_dir).select(
@@ -865,7 +959,9 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialization pass either way, and it doubles as the block
         # landing for the memo.
         return connected_components(
-            pairs.unionByName(_exact_dup_edges(spark, sf_dir))
+            pairs.unionByName(_exact_dup_edges(spark, sf_dir)).unionByName(
+                _screen_edges(spark, sf_dir)
+            )
         )
 
     return _memo(_LABELS_CACHE, spark, sf_dir, build)
@@ -874,10 +970,14 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Shared oracle fragment: component labels over the SAME dedup graph
 #: the engine uses — near-dup jpairs UNION the exact-duplicate star
 #: (see _exact_dup_edges: digest groupBy -> keeper join; NULL digests
-#: drop out of the USING join, mirroring Spark's equi-join). Requires
-#: WITH RECURSIVE plus the _SHINGLE_SQL and _JACCARD_PAIRS_SQL CTEs
-#: upstream; yields comp(doc_id, cluster_id).
-_CC_COMP_SQL = """
+#: drop out of the USING join, mirroring Spark's equi-join) UNION the
+#: verified high-df fingerprint screen (see _screen_edges: blindable
+#: docs -> fingerprint star -> exact-Jaccard-vs-keeper verify; the
+#: blind CTE's HAVING is the same integer-arithmetic rare-fraction
+#: bound as the Spark filter). Requires WITH RECURSIVE plus the
+#: _SHINGLE_SQL and _JACCARD_PAIRS_SQL CTEs upstream (sh/sizes/sdf);
+#: yields comp(doc_id, cluster_id).
+_CC_COMP_SQL = f"""
     dgk AS (SELECT doc_id, md5(text) AS dg FROM documents),
     dkeep AS (SELECT dg, min(doc_id) AS keeper FROM dgk GROUP BY dg),
     xedges AS (
@@ -885,11 +985,45 @@ _CC_COMP_SQL = """
         FROM dgk g JOIN dkeep k USING (dg)
         WHERE g.doc_id <> k.keeper
     ),
+    blind AS (
+        SELECT s.doc_id
+        FROM sh s JOIN sdf USING (sh)
+        GROUP BY s.doc_id
+        HAVING sum(CASE WHEN sdf.df <= {DF_CAP} THEN 1 ELSE 0 END)
+                   * {SCREEN_RARE_FRACTION.denominator}
+               <= count(*) * {SCREEN_RARE_FRACTION.numerator}
+    ),
+    bgrams AS ({fp_grams_sql("(SELECT d.doc_id, d.text FROM documents d JOIN blind USING (doc_id)) db")}    ),
+    bfp AS (SELECT doc_id, min(gh) AS fp FROM bgrams GROUP BY doc_id),
+    bkeep AS (SELECT fp, min(doc_id) AS keeper FROM bfp GROUP BY fp),
+    bcand AS (
+        SELECT k.keeper AS src, f.doc_id AS dst
+        FROM bfp f JOIN bkeep k USING (fp)
+        WHERE f.doc_id <> k.keeper
+    ),
+    bshared AS (
+        SELECT c.src, c.dst, count(*) AS shared
+        FROM bcand c
+        JOIN sh a ON a.doc_id = c.src
+        JOIN sh b ON b.doc_id = c.dst AND b.sh = a.sh
+        GROUP BY 1, 2
+    ),
+    sedges AS (
+        SELECT s.src, s.dst
+        FROM bshared s
+        JOIN sizes sa ON sa.doc_id = s.src
+        JOIN sizes sb ON sb.doc_id = s.dst
+        WHERE CAST(s.shared AS DOUBLE)
+              / CAST(sa.n + sb.n - s.shared AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+    ),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM jpairs
         UNION SELECT doc_b, doc_a FROM jpairs
         UNION SELECT src, dst FROM xedges
         UNION SELECT dst, src FROM xedges
+        UNION SELECT src, dst FROM sedges
+        UNION SELECT dst, src FROM sedges
     ),
     nodes AS (SELECT DISTINCT src AS n FROM edges),
     reach(src, dst) AS (
@@ -919,13 +1053,16 @@ def _clusters_oracle() -> str:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster resolution: connected components over the dedup
     graph — near-dup referee pairs UNION O(n) exact-duplicate star
-    edges — the step that turns pairwise matches into keep/drop
-    decisions (keeper = min doc_id per component; transitive: A~B, B~C
-    puts A,C in one cluster even if never directly compared). The
-    exact-dup union means mass-duplicated identical content clusters
-    even when its shingles all exceed DF_CAP (the r13 length-axis
-    finding); near-identical-but-not-identical mass duplication stays
-    cap-bounded by design (q_text_fingerprint is the O(n) screen).
+    edges UNION the O(n) verified high-df fingerprint screen — the
+    step that turns pairwise matches into keep/drop decisions (keeper
+    = min doc_id per component; transitive: A~B, B~C puts A,C in one
+    cluster even if never directly compared). The exact-dup union
+    catches byte-identical mass duplication beyond DF_CAP (the r13
+    length-axis finding); the fingerprint screen (r14,
+    :func:`_screen_edges`) catches its near-identical half — blocks of
+    one-token-diff templated pages whose shared shingles all exceed
+    the cap — via fingerprint-star candidates verified at exact
+    Jaccard against the group keeper.
 
     Spark side is the alternating large-star/small-star algorithm
     (:func:`connected_components`): O(log^2 n) rounds worst-case,

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.porthash import h60, h60_sql
+from ..functions.fingerprint import (
+    doc_fingerprints,
+    fp_grams_sql,
+)
+from ..functions.porthash import h60_sql
 from ..functions.spread import spread_if_few_splits
 from ..functions.textfold import fold, fold_sql
 from ..sources.tables import load_table
@@ -52,19 +56,6 @@ STOPWORDS_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
 #: the escapes below identically.
 TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]"
 
-FINGERPRINT_GRAM = 8  # char n-gram width
-FINGERPRINT_STRIDE = 4  # stride between grams (winnowing-lite)
-# q_text_fingerprint's linear block-concat gram shape requires this
-# exact ratio (gram = two adjacent stride-sized blocks). ValueError,
-# not assert: a bare assert vanishes under python -O, and a constants
-# edit would then silently compute a different fingerprint function
-# than the oracle's strided-substring shape (r13 review pass 1).
-if FINGERPRINT_GRAM != 2 * FINGERPRINT_STRIDE:
-    raise ValueError(
-        "q_text_fingerprint's block-concat grams require "
-        "FINGERPRINT_GRAM == 2 * FINGERPRINT_STRIDE; got "
-        f"{FINGERPRINT_GRAM} / {FINGERPRINT_STRIDE}"
-    )
 
 
 def _count(c: Column, pattern: str) -> Column:
@@ -430,13 +421,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_fingerprint",
     oracle=f"""
-    WITH grams AS (
-        SELECT doc_id,
-               {h60_sql(f"substring(text, i, {FINGERPRINT_GRAM})")} AS gh
-        FROM documents,
-             UNNEST(range(1, greatest(length(text) - {FINGERPRINT_GRAM - 1}, 0) + 1,
-                          {FINGERPRINT_STRIDE})) t(i)
-    ),
+    WITH grams AS ({fp_grams_sql("documents")}    ),
     fp AS (SELECT doc_id, min(gh) AS fingerprint FROM grams GROUP BY doc_id)
     SELECT fingerprint,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -450,50 +435,11 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: min 60-bit hash over strided char 8-grams
     (winnowing-lite / rolling-hash family). Near-identical docs collide
     on the fingerprint, giving an O(n) grouping-based near-dup screen —
-    the cheapest pre-filter before the pairwise sketches in dedup.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Gram extraction is LINEAR via block concat, not a strided
-    # substring loop: substring(text, i, k) on a UTF8String seeks
-    # byte-wise from the start to find codepoint i (no O(1) indexing
-    # in UTF-8), so the strided loop costs O(len^2 / stride) per doc —
-    # 76 s on the length axis's five 128 KB docs (r13). Because
-    # GRAM == 2 x STRIDE, every gram at start 1+4t is exactly the
-    # concat of adjacent 4-char blocks b[t+1] || b[t+2], and the block
-    # list is ONE linear regexp scan ((?s) so '.' crosses newlines;
-    # Java '.' consumes full codepoints, so astral chars split exactly
-    # like substring did — equality proven on unicode/degenerate rows
-    # and the unicode axis re-proves it each run). Blocks project
-    # first (bound attribute) per the lambda-CSE rule; gram t+2 is
-    # always a FULL block since 4t+8 <= len.
-    b = F.col("b")
-    t_max = F.floor(
-        (F.length("text") - F.lit(FINGERPRINT_GRAM)) / F.lit(FINGERPRINT_STRIDE)
-    ).cast("int")
-    grams = (
-        docs.select(
-            "doc_id",
-            "text",
-            F.regexp_extract_all(
-                "text", F.lit(f"(?s).{{1,{FINGERPRINT_STRIDE}}}"), 0
-            ).alias("b"),
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.length("text") >= FINGERPRINT_GRAM,
-                    F.transform(
-                        F.sequence(F.lit(0), t_max),
-                        lambda t: F.concat(
-                            F.element_at(b, t + 1), F.element_at(b, t + 2)
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("g"),
-        )
-        .select("doc_id", h60(F.col("g")).alias("gh"))
-    )
-    fp = grams.groupBy("doc_id").agg(F.min("gh").alias("fingerprint"))
+    the cheapest pre-filter before the pairwise sketches in dedup.py
+    (and since r14 wired into the keep-list pipeline as the high-df
+    screen, dedup._screen_edges). Gram shape and linearity notes in
+    :func:`doc_fingerprints`."""
+    fp = doc_fingerprints(load_table(spark, sf_dir, "documents"))
     return (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))

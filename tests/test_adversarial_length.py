@@ -235,7 +235,32 @@ def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
     groups derived from dedup._exact_dup_edges must equal
     q_dedup_exact's non-NULL groups (the two implementations hash
     independently — this catches a silent digest de-sync that
-    per-query parity cannot see)."""
+    per-query parity cannot see).
+
+    r14 extension — THE NEAR-IDENTICAL HALF (VERDICT r13 #2), pinning
+    dedup._screen_edges on both rails through four planted blocks:
+
+    * block 2 (ids 200-269): 70 ONE-TOKEN-DIFF near-identical docs —
+      41 words, the final 3-char token unique per doc. Every shared
+      shingle has df=70 > DF_CAP and each doc's single rare shingle is
+      unique to it, so the pair generator proposes NOTHING; the docs
+      are cap-blindable (rare fraction 1/39 <= 0.2), and the differing
+      token occupies exactly the chars no strided gram covers
+      ((len-8) mod 4 == 3 tail), so all 70 fingerprints are EQUAL by
+      construction. Verify vs keeper: J = 38/40 = 0.95 >= 0.8 ->
+      ONE cluster of 70, keeper 200.
+    * block 3 (ids 300-369): the PRECISION pin — same construction at
+      9 words, so fingerprints are again all equal and the docs
+      blindable, but J vs keeper = 6/8 = 0.75 < 0.8: the exact-Jaccard
+      verify must REJECT all 69 candidates on both rails; fingerprint
+      equality alone never merges (the r5 unverified-band precedent).
+      All 70 stay self-kept singletons.
+    * block 4 (ids 400-469): 70 byte-identical copies of 'a b c' —
+      blindable (its one shingle has df=70) but SHORTER THAN ONE GRAM,
+      so the screen's fingerprint stage drops them; the exact-dup star
+      still clusters them. Pins the sub-gram dropout agreeing across
+      rails.
+    """
     import shutil
 
     import pyarrow as pa
@@ -257,6 +282,25 @@ def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
         (100, "a unique control document with different words entirely",
          "en", "src1")
     ]
+    # block 2: near-identical, fingerprint-stable by construction. The
+    # 40-word prefix is 199 chars (199 % 4 == 3), so with the space
+    # the full doc is 203 chars and chars 201-203 — exactly the unique
+    # token — fall past the last gram (starts 1+4t, t_max=48, last
+    # covered char 200).
+    prefix2 = " ".join(f"nd{j:02d}" for j in range(40))
+    assert len(prefix2) % 4 == 3
+    docs += [
+        (200 + i, f"{prefix2} z{i:02d}", "en", "src2") for i in range(70)
+    ]
+    # block 3: same shape at 8 prefix words (39 chars, 39 % 4 == 3):
+    # blindable, fingerprint-equal, but J vs keeper = 6/8 < 0.8.
+    prefix3 = " ".join(f"sh{j:02d}" for j in range(8))
+    assert len(prefix3) % 4 == 3
+    docs += [
+        (300 + i, f"{prefix3} y{i:02d}", "en", "src3") for i in range(70)
+    ]
+    # block 4: blindable but shorter than one 8-char gram.
+    docs += [(400 + i, "a b c", "en", "src4") for i in range(70)]
     pq.write_table(
         pa.table(
             {
@@ -288,19 +332,44 @@ def test_mass_duplication_semantics_pinned(spark, tmp_path) -> None:
         exact = _QUERIES["q_dedup_exact"](spark, root).toPandas()
         clusters = _QUERIES["q_dedup_clusters"](spark, root).toPandas()
         xedges = dedup._exact_dup_edges(spark, root).toPandas()
+        sfp = dedup._screen_fingerprints(spark, root).toPandas()
+        sedges = dedup._screen_edges(spark, root).toPandas()
     finally:
         dedup.reset_shared_relations()
     # exact dedup sees the cluster...
     assert int(exact["n_copies"].max()) == 70
-    # ...and so does the keep list now: keeper 0 + the control doc
-    assert int(keep["keep"].sum()) == 2, keep["keep"].sum()
+    # the screen's premise holds by construction: every blindable block
+    # is in the fingerprint relation (except sub-gram block 4) and each
+    # block's 70 fingerprints are equal
+    fp_by_id = sfp.set_index("doc_id")["fingerprint"]
+    assert set(fp_by_id.index) == set(range(70)) | set(
+        range(200, 270)
+    ) | set(range(300, 370)), sorted(set(fp_by_id.index))[:5]
+    for lo in (0, 200, 300):
+        assert fp_by_id.loc[range(lo, lo + 70)].nunique() == 1, lo
+    # screen edges: block 0 (J=1) and block 2 (J=0.95) star out; the
+    # precision block 3 (J=0.75) is fully rejected by the verify
+    got_edges = {(int(r.src), int(r.dst)) for r in sedges.itertuples()}
+    want = {(0, i) for i in range(1, 70)} | {
+        (200, i) for i in range(201, 270)
+    }
+    assert got_edges == want, (len(got_edges), sorted(got_edges)[:5])
+    # keep list: keepers 0/100/200/400 plus the 70 rejected singletons
+    assert int(keep["keep"].sum()) == 74, keep["keep"].sum()
     by_id = keep.set_index("doc_id")
-    assert set(by_id.index[by_id["keep"]]) == {0, 100}
+    assert set(by_id.index[by_id["keep"]]) == {0, 100, 200, 400} | set(
+        range(300, 370)
+    )
     assert (by_id.loc[range(70), "cluster_id"] == 0).all()
-    # cluster resolution reports the mass-dup component as ONE cluster
-    assert len(clusters) == 1
-    assert int(clusters.loc[0, "cluster_id"]) == 0
-    assert int(clusters.loc[0, "n_members"]) == 70
+    assert (by_id.loc[range(200, 270), "cluster_id"] == 200).all()
+    assert (by_id.loc[range(300, 370), "cluster_id"]
+            == list(range(300, 370))).all()
+    assert (by_id.loc[range(400, 470), "cluster_id"] == 400).all()
+    # cluster resolution: the identical, near-identical, and sub-gram
+    # blocks each resolve to ONE 70-member cluster
+    assert len(clusters) == 3
+    assert list(clusters["cluster_id"]) == [0, 200, 400]
+    assert list(clusters["n_members"]) == [70, 70, 70]
     # cross-query digest agreement: groups derived from the edge
     # relation == q_dedup_exact's multi-copy groups (both rails hash
     # independently; a digest de-sync would disagree here first)
