@@ -204,57 +204,87 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-key as-of semantics vectorized inside the bucket (40s -> ~2s
     at sf0.1 vs per-key cogroups). Bucket count trades parallelism
     against invocation overhead — at 100 TB set it ~4x the executor
-    core count and let each bucket stream as one Arrow batch group."""
-    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    core count and let each bucket stream as one Arrow batch group.
+
+    Timestamps cross the Python boundary as INT64 EPOCH MICROS
+    (unix_micros in, timestamp_micros out), never as Arrow timestamps:
+    the Arrow->pandas bridge casts timestamp[us] to [ns] unsafely, so
+    ONE garbage row outside pandas' ns range (pre-1677 / post-2262 —
+    a 1582 scan date in a 100 TB corpus) killed the whole bucket with
+    ArrowInvalid, while every JVM-side operator handles the full
+    0001-9999 range (r14 temporal axis). merge_asof on int64 is the
+    same backward search, minus two datetime conversions per row."""
+    def micros(df: DataFrame, col: str) -> Column:
+        # unix_micros wants TIMESTAMP (ltz); the tsencoding axis
+        # delivers fixtures as TIMESTAMP_NTZ too, where the cast is a
+        # pure reinterpretation under the UTC-pinned session tz — the
+        # same rule as streaming/jobs.events_stream's watermark column.
+        c = F.col(col)
+        if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+            c = c.cast("timestamp")
+        return F.unix_micros(c)
+
+    e = load_table(spark, sf_dir, "events")
+    e = e.select("event_id", "user_id", micros(e, "ts").alias("ts_us"))
+    o = load_table(spark, sf_dir, "orders")
+    o = o.select("o_custkey", micros(o, "o_orderdate").alias("od_us"))
     eb = e.withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(N_ASOF_BUCKETS)))
     ob = o.withColumn("bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(N_ASOF_BUCKETS)))
 
     out_schema = T.StructType([
         T.StructField("event_id", T.LongType()),
         T.StructField("user_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("last_order_date", T.TimestampType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
     ])
 
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # NULL-safe split: merge_asof REFUSES null merge keys (raises on
-        # NaT/NaN in `on`/`by`), so one null user_id or timestamp would
+        # NaN in `on`/`by`), so one null user_id or timestamp would
         # kill the whole bucket. Rows that cannot participate keep the
         # oracle's semantics — the event row survives with a NULL match
         # (correlated MAX over an empty set); null-keyed orders can
         # never be anyone's match and drop from the right side.
-        bad = left["user_id"].isna() | left["ts"].isna()
-        nomatch = left[bad].assign(last_order_date=pd.NaT)
-        good = left[~bad].sort_values("ts", kind="mergesort")
-        right = right.dropna(subset=["o_custkey", "o_orderdate"])
+        bad = left["user_id"].isna() | left["ts_us"].isna()
+        nomatch = left[bad].assign(last_us=pd.NA)
+        good = left[~bad].sort_values("ts_us", kind="mergesort")
+        right = right.dropna(subset=["o_custkey", "od_us"])
         # Re-pin the key dtypes: Arrow delivers a null-CONTAINING int64
         # column as float64, so a bucket whose other side had no nulls
-        # would hand merge_asof int64-vs-float64 by-keys — MergeError,
+        # would hand merge_asof int64-vs-float64 keys — MergeError,
         # whole bucket dead. After the null split both sides are
         # losslessly int64 again.
-        good = good.astype({"user_id": "int64"})
-        right = right.astype({"o_custkey": "int64"})
+        good = good.astype({"user_id": "int64", "ts_us": "int64"})
+        right = right.astype({"o_custkey": "int64", "od_us": "int64"})
         if right.empty or good.empty:
-            out = pd.concat([good.assign(last_order_date=pd.NaT), nomatch])
+            out = pd.concat([good.assign(last_us=pd.NA), nomatch])
         else:
-            right = right.sort_values("o_orderdate", kind="mergesort").rename(
+            right = right.sort_values("od_us", kind="mergesort").rename(
                 columns={"o_custkey": "user_id"}
             )
             matched = pd.merge_asof(
-                good, right, left_on="ts", right_on="o_orderdate", by="user_id",
+                good, right, left_on="ts_us", right_on="od_us", by="user_id",
                 direction="backward", allow_exact_matches=True,
-            ).rename(columns={"o_orderdate": "last_order_date"})
+            ).rename(columns={"od_us": "last_us"})
             out = pd.concat([matched, nomatch])
         # Nullable Int64: concat with the (possibly float64) nomatch
         # frame must not smuggle NaN into the integer output columns.
-        out = out.astype({"event_id": "Int64", "user_id": "Int64"})
-        return out[["event_id", "user_id", "ts", "last_order_date"]]
+        out = out.astype(
+            {"event_id": "Int64", "user_id": "Int64",
+             "ts_us": "Int64", "last_us": "Int64"}
+        )
+        return out[["event_id", "user_id", "ts_us", "last_us"]]
 
     return (
         eb.groupBy("bucket")
         .cogroup(ob.groupBy("bucket"))
         .applyInPandas(merge, out_schema)
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            F.timestamp_micros("last_us").alias("last_order_date"),
+        )
         .orderBy("event_id")
     )
 

@@ -38,6 +38,28 @@ RUNTIME_CONF: dict[str, str] = {
     # (verified via parquet footers; pinned by a conftest assertion), so
     # this conf is inert today: the loaders branch on the observed dtype.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Proleptic Gregorian END TO END (r14 temporal axis). DEFENSIVE
+    # pins: every parquet input here is written by a proleptic writer
+    # (pyarrow / Spark 3+), and DuckDB is proleptic, but the default
+    # EXCEPTION mode decides per-file from writer METADATA — absent on
+    # non-Spark files — and can raise mid-scan (or heuristically
+    # rebase) the first time a pre-1583 timestamp appears at 100 TB.
+    # CORRECTED states the contract: stored micros ARE proleptic,
+    # never reinterpret them, read or write.
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInWrite": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInWrite": "CORRECTED",
+    # ... and EXTERNAL timestamp objects are java.time (proleptic), not
+    # java.sql.Timestamp (hybrid Julian calendar). The memory sink the
+    # streaming drains use stores EXTERNAL rows, and the legacy
+    # Timestamp round-trip is identity everywhere EXCEPT the
+    # 1582-10-05..14 cutover gap, where it clamps forward to 10-15 —
+    # a streaming query emitting a gap-date session/window bound
+    # returned a value 5 days off its batch twin (r14 temporal axis;
+    # pinned by tests/test_adversarial_temporal.py). Proleptic
+    # java.time makes every external round-trip exact over 0001-9999.
+    "spark.sql.datetime.java8API.enabled": "true",
 }
 
 #: Production-only confs, two distinct kinds: S3A sink tuning (inert

@@ -370,8 +370,14 @@ def run_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The stateful sessionizer's raw output carries session bounds as
+#: INT64 EPOCH MICROS — like its input (ts_us) and its state arrays,
+#: timestamps never cross the Arrow/pandas boundary as timestamps (the
+#: us->ns bridge cast is unsafe; see sessionize_stream's docstring).
+#: sessionize_stream converts back to TimestampType JVM-side, so
+#: downstream consumers see the same timestamp schema as before.
 SESSION_OUTPUT_SCHEMA = (
-    "user_id long, n_events long, session_start timestamp, session_end timestamp"
+    "user_id long, n_events long, session_start_us long, session_end_us long"
 )
 #: Open sessions for every user of one bucket, as parallel arrays —
 #: applyInPandasWithState state must be a fixed struct, and array fields
@@ -422,8 +428,13 @@ def _sessionize_bucket(
     out_sessions: list[tuple[int, int, int]] = []
     if frames:
         batch = pd.concat(frames)
+        # ts_us is already int64 epoch micros (projected JVM-side by
+        # sessionize_stream; NULLs filtered there) — no datetime
+        # conversion at either Arrow boundary, so a pre-1677/post-2262
+        # garbage timestamp flows through like any other int (r14
+        # temporal axis; the old datetime64 round-trip crashed on it).
         batch = batch.assign(
-            _us=batch["ts"].values.astype("datetime64[us]").astype("int64")
+            _us=batch["ts_us"].astype("int64")
         ).sort_values(["user_id", "_us"], kind="mergesort")
         # dropna=False: NULL user_ids form ONE session group, exactly
         # like the engine's native groupBy/session_window and the SQL
@@ -466,12 +477,8 @@ def _sessionize_bucket(
             {
                 "user_id": out_u,
                 "n_events": [s[2] for s in out_sessions],
-                "session_start": pd.to_datetime(
-                    [s[0] for s in out_sessions], unit="us"
-                ),
-                "session_end": pd.to_datetime(
-                    [s[1] for s in out_sessions], unit="us"
-                ),
+                "session_start_us": [s[0] for s in out_sessions],
+                "session_end_us": [s[1] for s in out_sessions],
             }
         )
 
@@ -486,25 +493,41 @@ def sessionize_stream(
     NoTimeout because AvailableNow drains the source (a 24/7 deployment
     would use EventTimeTimeout to expire idle sessions).
     ``source_options`` passes through to the file source (the restart
-    axis reads with maxFilesPerTrigger=1, same as the other jobs)."""
+    axis reads with maxFilesPerTrigger=1, same as the other jobs).
+
+    Event times cross the Python boundary as INT64 EPOCH MICROS
+    (unix_micros before the stateful op, timestamp_micros after): the
+    Arrow->pandas bridge casts timestamp[us] to [ns] unsafely, so one
+    garbage row outside pandas' ns range (pre-1677 / post-2262) killed
+    the whole stream with ArrowInvalid while the JVM-side streaming
+    operators handle the full 0001-9999 range (r14 temporal axis).
+    The state arrays were already micros; now input and output are
+    too, and the output select restores the public timestamp schema."""
     # NULL event times never enter an event-time operator: the
     # watermarked jobs drop them inside F.window/session_window, and
     # this watermark-less custom operator must apply the same rule
-    # itself — a NaT would otherwise sort to int64-min and fabricate an
-    # epoch-adjacent session.
+    # itself — a NULL would otherwise sort to the front and fabricate
+    # an epoch-adjacent session.
     e = (
         events_stream(spark, sf_dir, source_options)
         .where(F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
         .withColumn(
             "bucket", F.pmod(F.xxhash64("user_id"), F.lit(N_SESSION_BUCKETS))
         )
     )
-    return e.groupBy("bucket").applyInPandasWithState(
+    raw = e.groupBy("bucket").applyInPandasWithState(
         _sessionize_bucket,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return raw.select(
+        "user_id",
+        "n_events",
+        F.timestamp_micros("session_start_us").alias("session_start"),
+        F.timestamp_micros("session_end_us").alias("session_end"),
     )
 
 

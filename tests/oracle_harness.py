@@ -275,3 +275,48 @@ def run_parity(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
     finally:
         con.close()
     compare(sdf, odf, name)
+
+
+def run_parity_ts(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
+    """run_parity for fixtures carrying timestamps OUTSIDE pandas' ns
+    range (pre-1677 / post-2262 — the r14 temporal axis): both
+    ``toPandas`` (Arrow casts timestamp[us] to [ns] unsafely) and the
+    non-Arrow collect path (datetime.fromtimestamp) die on them, so
+    every timestamp column is canonicalized ENGINE-SIDE to its string
+    rendering — Spark ``cast(string)`` under the UTC-pinned session vs
+    DuckDB ``CAST(AS VARCHAR)``, which agree character-for-character
+    over 0001-9999 including fractional-second trimming ('.5',
+    '.000001'; probed). The driver-hashable and scale-posture sweeps
+    still run on the ORIGINAL result."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark_result = query_fn(spark, sf_dir)
+    assert_driver_hashable(spark_result, name)
+    assert_scale_posture(spark_result, name)
+    ts_cols = {
+        f.name
+        for f in spark_result.schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    }
+    sdf = spark_result.select(
+        [
+            F.col(c).cast("string").alias(c) if c in ts_cols else F.col(c)
+            for c in spark_result.columns
+        ]
+    ).toPandas()
+    # Oracle side goes DATE/TIMESTAMP -> TIMESTAMP -> VARCHAR: DuckDB's
+    # date_trunc('month', ...) yields DATE, whose direct VARCHAR ('0001-
+    # 01-01') would drop the midnight time part Spark's string carries.
+    proj = ", ".join(
+        f'CAST(CAST("{c}" AS TIMESTAMP) AS VARCHAR) AS "{c}"'
+        if c in ts_cols
+        else f'"{c}"'
+        for c in spark_result.columns
+    )
+    con = duckdb_con(sf_dir)
+    try:
+        odf = con.execute(f"SELECT {proj} FROM ({oracle}) _ts_o").df()
+    finally:
+        con.close()
+    compare(sdf, odf, name)

@@ -1,0 +1,396 @@
+"""Adversarial-temporal parity (r14 axis): proleptic-calendar and
+precision EXTREMES through every date/window/as-of/streaming operator.
+
+Every engine pair diverges somewhere on calendar handling; this axis
+pushes the seams the other fixtures never reach:
+
+* pre-Gregorian dates (1582-10-04 / the 10-day cutover gap / 10-15) —
+  proleptic vs hybrid calendar, and the non-invertible gap clamp;
+* the representable range edges (0001-01-01, 9999-12-31
+  23:59:59.999999 — Spark TimestampType's documented bounds);
+* negative epochs (1969, epoch-1us) — floor-vs-truncate window
+  bucketing seams at t < 0;
+* exact microsecond boundaries at those extremes.
+
+What the axis found (engine fixes shipped with it, all in r14):
+
+1. BOTH pandas-rail operators DIED on any timestamp outside pandas'
+   ns range [1677, 2262]: the Arrow->pandas bridge casts
+   timestamp[us]->[ns] unsafely, so ONE 1582 garbage row in a 100 TB
+   corpus killed the whole as-of bucket (q_join_asof_pandas,
+   ArrowInvalid) and the whole stateful sessionizer stream
+   (q_stream_sessionize). Fixed by moving the Python boundary to
+   INT64 EPOCH MICROS (unix_micros in / timestamp_micros out) —
+   operators/joins.py, streaming/jobs.py.
+2. The MEMORY SINK the streaming drains use stores EXTERNAL rows, and
+   the legacy java.sql.Timestamp round-trip is identity everywhere
+   EXCEPT the 1582-10-05..14 gap, where it clamps forward to 10-15 —
+   a streaming session over gap-date events came back 5 days off its
+   batch twin while every neighboring date was exact. Fixed by
+   pinning spark.sql.datetime.java8API.enabled=true (proleptic
+   java.time externals) in session.RUNTIME_CONF.
+3. Parquet rebase modes pinned to CORRECTED in RUNTIME_CONF: every
+   input here is written by a proleptic writer (pyarrow / Spark 3+),
+   and DuckDB is proleptic — LEGACY/EXCEPTION heuristics keyed on
+   absent writer metadata must never reinterpret stored micros.
+
+Comparison protocol: timestamps OUTSIDE pandas' ns range cannot cross
+toPandas at all, so this axis compares ENGINE-SIDE STRING renderings
+(oracle_harness.run_parity_ts) — proven character-identical over
+0001-9999 on both rails. Window bounds that OVERHANG the range
+(an event in the last representable hour gets window_end 10000-01-01;
+an event in the first half hour gets a sliding window_start in year
+0) render DIFFERENTLY by engine and are pinned as an adjudicated
+contract in test_overhang_window_rendering_pinned, not forced to
+agree; the parity fixtures keep events >= 0001-01-01 01:00 and
+<= 9999-12-31 22:29 so every emitted bound is in-range.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
+
+from .oracle_harness import copy_table, run_parity_ts
+
+SRC = "/root/testdata/sf0.001"
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+#: Calendar-extreme events. Sessions/windows stay within one user's
+#: rows; values finite (the NaN axis owns non-finite); one row after
+#: the CDC watermark so the incremental scan is non-empty.
+_E: list[tuple[int, dt.datetime | None, int | None, str, float | None, str | None]] = [
+    # user 20: around the Gregorian cutover — the civil-calendar gap
+    # dates exist proleptically and must flow through untouched.
+    (0, _ts("1582-10-04 23:50:00"), 20, "signup", 1.0, '{"k": 1}'),
+    (1, _ts("1582-10-10 12:00:00"), 20, "view", 2.0, '{"k": 2}'),   # in-gap
+    (2, _ts("1582-10-10 12:10:00"), 20, "purchase", 3.0, '{"k": 3}'),
+    (3, _ts("1582-10-15 00:00:00"), 20, "view", 4.0, '{"k": 4}'),
+    # user 21: first representable day (>= 01:00 so 60/30-min sliding
+    # windows never start before 0001-01-01 00:00 — see module doc).
+    (4, _ts("0001-01-01 01:00:00"), 21, "signup", 5.0, '{"k": 5}'),
+    (5, _ts("0001-01-01 01:29:59.999999"), 21, "purchase", 6.0, '{"k": 6}'),
+    (6, _ts("0001-01-01 01:30:00"), 21, "view", 7.0, '{"k": 7}'),  # == gap
+    # user 22: last representable day, capped at 22:29 so session ends
+    # (+30 min) and window ends (ceil to hour) stay within year 9999.
+    (7, _ts("9999-12-31 21:59:59.999999"), 22, "view", 8.0, '{"k": 8}'),
+    (8, _ts("9999-12-31 22:29:59.999999"), 22, "purchase", 9.0, '{"k": 9}'),
+    # user 23: negative epochs — the floor-vs-truncate bucketing seam.
+    (9, _ts("1969-07-20 20:17:40.123456"), 23, "signup", 10.0, '{"k": 10}'),
+    (10, _ts("1969-12-31 23:29:59.999999"), 23, "view", 11.0, '{"k": 11}'),
+    (11, _ts("1969-12-31 23:30:00"), 23, "view", 12.0, '{"k": 12}'),
+    (12, _ts("1969-12-31 23:59:59.999999"), 23, "purchase", 13.0, '{"k": 13}'),
+    (13, _ts("1970-01-01 00:00:00"), 23, "view", 14.0, '{"k": 14}'),
+    # NULL timestamp / NULL user alongside the extremes
+    (14, None, 23, "view", 15.0, '{"k": 15}'),
+    (15, _ts("1969-12-31 23:45:00"), None, "view", 16.0, '{"k": 16}'),
+    # post-watermark control row (EVENTS_WM = 2024-01-15, strict >)
+    (16, _ts("2024-01-16 10:00:00"), 24, "view", 17.0, '{"k": 17}'),
+]
+
+#: The event family that must agree on the calendar-extreme fixture.
+#: The spine pair is EXCLUDED here (an 0001..9999 hour spine is ~88M
+#: rows on both rails — the negative-epoch fixture below covers them
+#: over a bounded range instead).
+_CAL_QUERIES = [
+    "q_sessionize",
+    "q_session_window",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_window_lag_lead",
+    "q_pivot_event_types",
+    "q_funnel_steps",
+    "q_cdc_compact",
+    "q_incremental_scan",
+    "q_join_asof",
+    "q_join_asof_pandas",
+    # streaming family: full readStream/state-store path. The two
+    # APPEND-mode/dedup-state watermarked jobs are EXCLUDED here and
+    # pinned separately (test_watermark_epoch_init_drop_pinned):
+    # Spark initializes the event-time watermark to EPOCH ZERO, so
+    # any session/dedup window ending before 1970-01-01 is dropped as
+    # "late" in the very first batch — they cannot match a batch
+    # oracle on pre-epoch data by upstream design. The complete-mode
+    # drains (tumbling/sliding) and the watermark-less custom
+    # sessionizer run the full range.
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_sessionize",
+    "q_stream_stream_join",
+]
+
+
+def _write_events(root: str, rows) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        table_path(root, "events"),
+    )
+
+
+@pytest.fixture(scope="module")
+def calendar_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_temporal_cal")
+    for t in TABLES:
+        if t == "events":
+            continue
+        copy_table(table_path(SRC, t), table_path(str(root), t))
+    _write_events(str(root), _E)
+    return str(root)
+
+
+@pytest.mark.parametrize("name", _CAL_QUERIES)
+def test_calendar_extremes_parity(spark, calendar_sf, name) -> None:
+    run_parity_ts(spark, calendar_sf, name, _QUERIES[name], _ORACLES[name])
+
+
+#: Negative-epoch week: a bounded range (1969-12-28 .. 1970-01-02) so
+#: the HOUR-SPINE queries can run over extremes too (~120 spine rows),
+#: plus epoch-0 itself and both one-microsecond neighbors. purchase
+#: rows carry values for the forward-fill.
+_NEG: list[tuple[int, dt.datetime, int, str, float, str]] = [
+    (0, _ts("1969-12-28 06:00:00"), 1, "purchase", 5.0, '{"k": 1}'),
+    (1, _ts("1969-12-29 23:59:59.999999"), 1, "view", 1.0, '{"k": 2}'),
+    (2, _ts("1969-12-30 00:00:00"), 1, "purchase", 7.5, '{"k": 3}'),
+    (3, _ts("1969-12-31 23:59:59.999999"), 2, "purchase", 2.0, '{"k": 4}'),
+    (4, _ts("1970-01-01 00:00:00"), 2, "view", 3.0, '{"k": 5}'),
+    (5, _ts("1970-01-01 00:00:00.000001"), 2, "purchase", 4.0, '{"k": 6}'),
+    (6, _ts("1970-01-02 12:30:00"), 3, "view", 6.0, '{"k": 7}'),
+]
+
+_NEG_QUERIES = [
+    "q_time_spine_gapfill",
+    "q_spine_forward_fill",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_sessionize",
+    "q_session_window",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+]
+
+
+@pytest.fixture(scope="module")
+def negepoch_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_temporal_neg")
+    for t in TABLES:
+        if t == "events":
+            continue
+        copy_table(table_path(SRC, t), table_path(str(root), t))
+    _write_events(str(root), _NEG)
+    return str(root)
+
+
+@pytest.mark.parametrize("name", _NEG_QUERIES)
+def test_negative_epoch_parity(spark, negepoch_sf, name) -> None:
+    run_parity_ts(spark, negepoch_sf, name, _QUERIES[name], _ORACLES[name])
+
+
+#: Orders with o_orderdate at the same extremes, through every
+#: orders-date consumer (grep o_orderdate over oracle_sql). Keys 9xx
+#: are disjoint from lineitem/customer keys, so join-based queries see
+#: them exactly as far as their join semantics allow — both rails
+#: agree on that reach. 901's date sits one microsecond inside
+#: q_shipping_priority's strict `< 1995-03-15` filter; 902 exactly ON
+#: it (excluded). user/custkey 23 ties the 1969 orders to the standard
+#: events for the as-of pair.
+_ORDERS_EXTRA = [
+    (900, 23, "O", 100.0, _ts("0001-01-01 00:00:00"), "1-URGENT"),
+    (901, 23, "O", 101.0, _ts("1995-03-14 23:59:59.999999"), "2-HIGH"),
+    (902, 23, "F", 102.0, _ts("1995-03-15 00:00:00"), "2-HIGH"),
+    (903, 23, "F", 103.0, _ts("1582-10-04 12:00:00"), "3-MEDIUM"),
+    (904, 23, "O", 104.0, _ts("1582-10-10 00:00:00"), "3-MEDIUM"),  # in-gap
+    (905, 23, "O", 105.0, _ts("1582-10-15 00:00:00"), "4-NOT SPECI"),
+    (906, 24, "F", 106.0, _ts("1900-02-28 23:59:59.999999"), "5-LOW"),
+    (907, 24, "O", 107.0, _ts("2000-02-29 12:00:00"), "5-LOW"),  # century leap
+    (908, 24, "O", 108.0, _ts("1969-12-31 23:59:59.999999"), "1-URGENT"),
+    (909, 24, "F", 109.0, _ts("9999-12-31 23:59:59.999999"), "1-URGENT"),
+]
+
+_ORDERS_QUERIES = [
+    "q_date_funcs",
+    "q_coerce_types",
+    "q_min_max_exact",
+    "q_shipping_priority",
+    "q_upsert_scan",
+    "q_incremental_scan",
+    "q_window_running",
+    "q_window_frames",
+    "q_window_range_frame",
+    "q_join_asof",
+    "q_join_asof_pandas",
+]
+
+
+@pytest.fixture(scope="module")
+def orders_sf(tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("sf_temporal_ord")
+    for t in TABLES:
+        if t == "orders":
+            continue
+        copy_table(table_path(SRC, t), table_path(str(root), t))
+    base = pq.read_table(table_path(SRC, "orders"))
+    extra = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in _ORDERS_EXTRA], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in _ORDERS_EXTRA], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in _ORDERS_EXTRA], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in _ORDERS_EXTRA], pa.float64()),
+            "o_orderdate": pa.array(
+                [r[4] for r in _ORDERS_EXTRA], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                [r[5] for r in _ORDERS_EXTRA], pa.string()
+            ),
+        }
+    )
+    merged = pa.concat_tables(
+        [base.select(extra.column_names), extra.cast(base.select(extra.column_names).schema)]
+    )
+    pq.write_table(merged, table_path(str(root), "orders"))
+    return str(root)
+
+
+@pytest.mark.parametrize("name", _ORDERS_QUERIES)
+def test_orders_date_extremes_parity(spark, orders_sf, name) -> None:
+    run_parity_ts(spark, orders_sf, name, _QUERIES[name], _ORACLES[name])
+
+
+def test_watermark_epoch_init_drop_pinned(spark, calendar_sf) -> None:
+    """ADJUDICATED CONTRACT (r14 axis find): Spark initializes the
+    event-time watermark to EPOCH ZERO, not -infinity, so watermarked
+    stateful operators treat pre-1970 event times as LATE in the very
+    first micro-batch: the session-window stream drops every session
+    whose window END is <= 1970-01-01 00:00:00 (observed
+    numRowsDroppedByWatermark=10 on this fixture — the 1582, 0001,
+    and all-but-two 1969 rows), and dropDuplicatesWithinWatermark
+    drops rows with ts strictly before the epoch. The batch twins
+    (q_session_window, q_dedup_* — parity-proven above) handle the
+    full 0001-9999 range; a 100 TB pipeline with pre-epoch event
+    times must route them through batch, and this pin records the
+    boundary instead of letting it resurface as a silent row loss.
+    Complete-mode drains (tumbling/sliding) do not apply the late
+    filter and are parity-checked on the full range above."""
+    from pyspark.sql import functions as F
+
+    sess = _QUERIES["q_stream_session_window"](spark, calendar_sf)
+    # engine-side string cast: host-TZ-independent, and pre-1677
+    # values could not cross collect() anyway (module docstring)
+    sess = sess.select(
+        "user_id", F.col("session_start").cast("string").alias("ss"), "n_events"
+    )
+    got = {(r.user_id, r.ss, r.n_events) for r in sess.collect()}
+    # Survivors: exactly the sessions whose [min_ts, max_ts + 30min)
+    # window ends after the epoch, plus everything >= 1970.
+    assert got == {
+        (22, "9999-12-31 21:59:59.999999", 2),
+        (23, "1969-12-31 23:59:59.999999", 2),   # end 1970-01-01 00:30
+        (24, "2024-01-16 10:00:00", 1),
+        (None, "1969-12-31 23:45:00", 1),        # end 1970-01-01 00:15
+    }, got
+    dedup = _QUERIES["q_stream_dedup"](spark, calendar_sf)
+    got_d = {(r.user_id, r.event_type) for r in dedup.collect()}
+    # ts < epoch drops (strictly): user 23's -1us purchase gone, its
+    # 1970-01-01 00:00:00 view survives.
+    assert got_d == {
+        (22, "purchase"),
+        (22, "view"),
+        (23, "view"),
+        (24, "view"),
+    }, got_d
+
+
+def test_overhang_window_rendering_pinned(spark, tmp_path) -> None:
+    """ADJUDICATED CONTRACT: window bounds that overhang the
+    representable range render differently per engine and are pinned,
+    not forced to agree (the parser-leniency precedent). An event in
+    the last representable hour gets a tumbling window_end of
+    10000-01-01 00:00:00 — Spark's string rendering carries an
+    explicit '+' era prefix for 5-digit years ('+10000-...'), DuckDB's
+    does not; an event in the first half-hour gets a sliding
+    window_start in year 0, which Spark renders '0000-12-31 23:30:00'
+    (astronomical year 0) while DuckDB renders the same instant as
+    '0000-12-31 (BC) 23:30:00'-style era notation. Both engines
+    COMPUTE the same instant (micros agree); only the rendering
+    differs, and neither value can cross the Python datetime boundary
+    (year 0/10000 do not exist there) — so the engine contract is
+    string-rendered, pinned here, and the parity fixtures keep events
+    inside [0001-01-01 01:00, 9999-12-31 22:29]."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ov")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([0, 1], pa.int64()),
+                "ts": pa.array(
+                    [
+                        _ts("9999-12-31 23:30:00"),
+                        _ts("0001-01-01 00:10:00"),
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        root,
+    )
+    df = spark.read.parquet(root)
+    w = (
+        df.groupBy(F.window("ts", "60 minutes", "30 minutes"))
+        .count()
+        .select(
+            F.col("window.start").cast("string").alias("ws"),
+            F.col("window.end").cast("string").alias("we"),
+        )
+    )
+    got = sorted((r.ws, r.we) for r in w.collect())
+    # id=1's two sliding windows: starts 0000-12-31 23:30 (year 0) and
+    # 0001-01-01 00:00; id=0's: ends +10000-01-01 00:00 and 00:30.
+    assert got == [
+        ("0000-12-31 23:30:00", "0001-01-01 00:30:00"),
+        ("0001-01-01 00:00:00", "0001-01-01 01:00:00"),
+        ("9999-12-31 23:00:00", "+10000-01-01 00:00:00"),
+        ("9999-12-31 23:30:00", "+10000-01-01 00:30:00"),
+    ], got
+    con = duckdb.connect()
+    try:
+        (hi,) = con.execute(
+            "SELECT CAST(TIMESTAMP '9999-12-31 23:00:00' + INTERVAL 60 MINUTE"
+            " AS VARCHAR)"
+        ).fetchone()
+        (lo,) = con.execute(
+            "SELECT CAST(TIMESTAMP '0001-01-01 00:00:00' - INTERVAL 30 MINUTE"
+            " AS VARCHAR)"
+        ).fetchone()
+    finally:
+        con.close()
+    # DuckDB's renderings of the SAME instants — no '+' era prefix
+    # above the range, era notation below it. If either engine ever
+    # changes its rendering, this pin fails and the contract gets
+    # re-adjudicated.
+    assert hi == "10000-01-01 00:00:00", hi
+    assert lo == "0001-12-31 (BC) 23:30:00", lo

@@ -250,6 +250,9 @@ def test_sessionizer_drops_cross_batch_late_events(spark, tmp_path) -> None:
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # same boundary contract as sessionize_stream: int64 micros in,
+        # timestamp out (timestamps never cross the Arrow boundary)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
         .withColumn("bucket", F.lit(0))
         .groupBy("bucket")
         .applyInPandasWithState(
@@ -258,6 +261,12 @@ def test_sessionizer_drops_cross_batch_late_events(spark, tmp_path) -> None:
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.timestamp_micros("session_start_us").alias("session_start"),
+            F.timestamp_micros("session_end_us").alias("session_end"),
         )
     )
     # Parquet sinks reject update mode; drain to a memory sink (the same
