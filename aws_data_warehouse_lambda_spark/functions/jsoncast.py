@@ -61,10 +61,13 @@ def variant_int_sql(json_expr: str, path: str) -> str:
     quotes -- are adjudicated and pinned in the JSON axis, not made to
     agree). Caller must guard with ``json_valid`` (json_type raises on
     malformed input; the guard's CASE short-circuits correctly).
-    Splice rules as in :func:`try_int_sql`, and additionally both
-    operands land inside single-quoted SQL literals, so ``json_expr``
-    and ``path`` must be quote-free (current callers pass column
-    names and '$.'-style constants only).
+    Splice rules as in :func:`try_int_sql` for ``json_expr`` (spliced
+    RAW, several times — side-effect-free and deterministic required);
+    ``path`` additionally lands inside single-quoted SQL literals, so
+    it must be quote-free (current callers pass '$.'-style constants
+    only) — enforced below, since a quote would inject into the
+    oracle query and surface as a DuckDB parse error far from the
+    caller.
 
     The variant cast is TYPED, unlike the string re-parse path:
     booleans cast to 1/0, JSON numbers cast numerically (doubles
@@ -72,14 +75,13 @@ def variant_int_sql(json_expr: str, path: str) -> str:
     strings follow the canonical-integer contract, and objects/arrays/
     null are NULL.
     """
-    if "'" in json_expr or "'" in path:
-        # Both operands are spliced into single-quoted SQL literals; a
-        # quote would inject into the oracle query. Fail at
-        # construction, not as a DuckDB parse error (ADVICE r13).
-        raise ValueError(
-            "variant_int_sql operands must be quote-free: "
-            f"{json_expr!r}, {path!r}"
-        )
+    if "'" in path:
+        # Only `path` lands inside single-quoted literals (json_expr is
+        # spliced raw, like every other *_sql fragment operand — a
+        # quote there can be a legitimate nested expression). Fail at
+        # construction, not as a DuckDB parse error (ADVICE r13; scope
+        # corrected r14 review pass 3).
+        raise ValueError(f"variant_int_sql path must be quote-free: {path!r}")
     s = f"json_extract_string({json_expr}, '{path}')"
     return f"""CASE json_type({json_expr}, '{path}')
            WHEN 'BOOLEAN' THEN CASE {s} WHEN 'true' THEN 1 ELSE 0 END

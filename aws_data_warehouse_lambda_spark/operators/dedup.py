@@ -918,14 +918,23 @@ def _screen_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     are both J < t to their group keeper but J >= t to EACH OTHER get
     no edge (the star verifies against the keeper only — keeping the
     screen O(n) instead of O(group^2))."""
-    fp = _screen_fingerprints(spark, sf_dir)
+    return _screen_edges_from_relations(
+        _screen_fingerprints(spark, sf_dir),
+        _doc_shingle_arrays(spark, sf_dir, persist=True),
+    )
+
+
+def _screen_edges_from_relations(fp: DataFrame, sets: DataFrame) -> DataFrame:
+    """The fingerprint-star -> exact-Jaccard-verify chain over explicit
+    (doc_id, fingerprint) and (doc_id, shs, n) relations — separated so
+    the star+verify semantics are property-testable against a brute
+    force on synthetic inputs (the _pairs_from_relations precedent)."""
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("src"))
     cand = (
         fp.join(keepers, "fingerprint")
         .where(F.col("doc_id") != F.col("src"))
         .select("src", F.col("doc_id").alias("dst"))
     )
-    sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
     shared = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
     scored = (
         cand.join(sets.alias("sa"), F.col("src") == F.col("sa.doc_id"))

@@ -228,8 +228,26 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.select("event_id", "user_id", micros(e, "ts").alias("ts_us"))
     o = load_table(spark, sf_dir, "orders")
     o = o.select("o_custkey", micros(o, "o_orderdate").alias("od_us"))
-    eb = e.withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(N_ASOF_BUCKETS)))
-    ob = o.withColumn("bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(N_ASOF_BUCKETS)))
+
+    # NULL split happens JVM-SIDE, before the Arrow boundary: a single
+    # NULL in an int64 Arrow column makes pandas receive the WHOLE
+    # column as float64, silently rounding micros beyond +-2^53
+    # (~pre-1685 / post-2255 — the exact extremes the int64 boundary
+    # exists for; 9999-12-31 23:59:59.999999 came back +1us, r14
+    # review pass 3). Rows that cannot participate keep the oracle's
+    # semantics without ever entering Python: an event with a NULL key
+    # or time survives with a NULL match (correlated MAX over an empty
+    # set), a null-keyed order can never be anyone's match and drops.
+    participates = F.col("user_id").isNotNull() & F.col("ts_us").isNotNull()
+    nomatch = e.where(~participates).withColumn(
+        "last_us", F.lit(None).cast("long")
+    )
+    eb = e.where(participates).withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(N_ASOF_BUCKETS))
+    )
+    ob = o.where(
+        F.col("o_custkey").isNotNull() & F.col("od_us").isNotNull()
+    ).withColumn("bucket", F.pmod(F.xxhash64("o_custkey"), F.lit(N_ASOF_BUCKETS)))
 
     out_schema = T.StructType([
         T.StructField("event_id", T.LongType()),
@@ -239,46 +257,31 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # NULL-safe split: merge_asof REFUSES null merge keys (raises on
-        # NaN in `on`/`by`), so one null user_id or timestamp would
-        # kill the whole bucket. Rows that cannot participate keep the
-        # oracle's semantics — the event row survives with a NULL match
-        # (correlated MAX over an empty set); null-keyed orders can
-        # never be anyone's match and drop from the right side.
-        bad = left["user_id"].isna() | left["ts_us"].isna()
-        nomatch = left[bad].assign(last_us=pd.NA)
-        good = left[~bad].sort_values("ts_us", kind="mergesort")
-        right = right.dropna(subset=["o_custkey", "od_us"])
-        # Re-pin the key dtypes: Arrow delivers a null-CONTAINING int64
-        # column as float64, so a bucket whose other side had no nulls
-        # would hand merge_asof int64-vs-float64 keys — MergeError,
-        # whole bucket dead. After the null split both sides are
-        # losslessly int64 again.
-        good = good.astype({"user_id": "int64", "ts_us": "int64"})
-        right = right.astype({"o_custkey": "int64", "od_us": "int64"})
-        if right.empty or good.empty:
-            out = pd.concat([good.assign(last_us=pd.NA), nomatch])
+        # Key/time columns are null-free by the JVM-side split above,
+        # so Arrow delivers true int64 on both sides — merge_asof would
+        # refuse a NaN merge key, and a float64 column would corrupt
+        # extreme micros (see the split comment).
+        left = left.sort_values("ts_us", kind="mergesort")
+        if right.empty or left.empty:
+            out = left.assign(last_us=pd.NA)
         else:
             right = right.sort_values("od_us", kind="mergesort").rename(
                 columns={"o_custkey": "user_id"}
             )
-            matched = pd.merge_asof(
-                good, right, left_on="ts_us", right_on="od_us", by="user_id",
+            out = pd.merge_asof(
+                left, right, left_on="ts_us", right_on="od_us", by="user_id",
                 direction="backward", allow_exact_matches=True,
             ).rename(columns={"od_us": "last_us"})
-            out = pd.concat([matched, nomatch])
-        # Nullable Int64: concat with the (possibly float64) nomatch
-        # frame must not smuggle NaN into the integer output columns.
-        out = out.astype(
-            {"event_id": "Int64", "user_id": "Int64",
-             "ts_us": "Int64", "last_us": "Int64"}
-        )
+        # Nullable Int64: unmatched rows carry NaN in last_us (float64)
+        # — must not smuggle NaN into the integer output column.
+        out = out.astype({"last_us": "Int64"})
         return out[["event_id", "user_id", "ts_us", "last_us"]]
 
     return (
         eb.groupBy("bucket")
         .cogroup(ob.groupBy("bucket"))
         .applyInPandas(merge, out_schema)
+        .unionByName(nomatch.select("event_id", "user_id", "ts_us", "last_us"))
         .select(
             "event_id",
             "user_id",

@@ -264,14 +264,49 @@ def assert_scale_posture(df, name: str) -> None:
         )
 
 
-def run_parity(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
+def run_parity(
+    spark, sf_dir: str, name: str, query_fn, oracle: str,
+    *, ts_as_string: bool = False,
+) -> None:
+    """The one local replica of the driver's correctness gate: run the
+    Spark query, sweep it for driver-hashability and scale
+    anti-patterns, run the oracle on DuckDB, compare canonicalized
+    values. Both parity entry points share this scaffold so a
+    hardening added here applies to every axis (r14 review pass 3)."""
     spark_result = query_fn(spark, sf_dir)
     assert_driver_hashable(spark_result, name)
     assert_scale_posture(spark_result, name)
-    sdf = spark_result.toPandas()
+    sdf_source, oracle_sql = spark_result, oracle
+    if ts_as_string:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        ts_cols = {
+            f.name
+            for f in spark_result.schema.fields
+            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        }
+        sdf_source = spark_result.select(
+            [
+                F.col(c).cast("string").alias(c) if c in ts_cols else F.col(c)
+                for c in spark_result.columns
+            ]
+        )
+        # Oracle side goes DATE/TIMESTAMP -> TIMESTAMP -> VARCHAR:
+        # DuckDB's date_trunc('month', ...) yields DATE, whose direct
+        # VARCHAR ('0001-01-01') would drop the midnight time part
+        # Spark's string carries.
+        proj = ", ".join(
+            f'CAST(CAST("{c}" AS TIMESTAMP) AS VARCHAR) AS "{c}"'
+            if c in ts_cols
+            else f'"{c}"'
+            for c in spark_result.columns
+        )
+        oracle_sql = f"SELECT {proj} FROM ({oracle}) _ts_o"
+    sdf = sdf_source.toPandas()
     con = duckdb_con(sf_dir)
     try:
-        odf = con.execute(oracle).df()
+        odf = con.execute(oracle_sql).df()
     finally:
         con.close()
     compare(sdf, odf, name)
@@ -288,35 +323,4 @@ def run_parity_ts(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
     over 0001-9999 including fractional-second trimming ('.5',
     '.000001'; probed). The driver-hashable and scale-posture sweeps
     still run on the ORIGINAL result."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    spark_result = query_fn(spark, sf_dir)
-    assert_driver_hashable(spark_result, name)
-    assert_scale_posture(spark_result, name)
-    ts_cols = {
-        f.name
-        for f in spark_result.schema.fields
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
-    }
-    sdf = spark_result.select(
-        [
-            F.col(c).cast("string").alias(c) if c in ts_cols else F.col(c)
-            for c in spark_result.columns
-        ]
-    ).toPandas()
-    # Oracle side goes DATE/TIMESTAMP -> TIMESTAMP -> VARCHAR: DuckDB's
-    # date_trunc('month', ...) yields DATE, whose direct VARCHAR ('0001-
-    # 01-01') would drop the midnight time part Spark's string carries.
-    proj = ", ".join(
-        f'CAST(CAST("{c}" AS TIMESTAMP) AS VARCHAR) AS "{c}"'
-        if c in ts_cols
-        else f'"{c}"'
-        for c in spark_result.columns
-    )
-    con = duckdb_con(sf_dir)
-    try:
-        odf = con.execute(f"SELECT {proj} FROM ({oracle}) _ts_o").df()
-    finally:
-        con.close()
-    compare(sdf, odf, name)
+    run_parity(spark, sf_dir, name, query_fn, oracle, ts_as_string=True)

@@ -98,6 +98,12 @@ _E: list[tuple[int, dt.datetime | None, int | None, str, float | None, str | Non
     # NULL timestamp / NULL user alongside the extremes
     (14, None, 23, "view", 15.0, '{"k": 15}'),
     (15, _ts("1969-12-31 23:45:00"), None, "view", 16.0, '{"k": 16}'),
+    # NULL ts CO-BUCKETED with the 9999 rows (same user 22): before
+    # the JVM-side null split, one NULL flipped the bucket's Arrow
+    # int64 ts_us column to float64 and silently rounded
+    # 253402300799999999 to ...800000000 (+1us, past the TimestampType
+    # bound) — r14 review pass 3; this row pins the fix.
+    (17, None, 22, "view", 18.0, '{"k": 18}'),
     # post-watermark control row (EVENTS_WM = 2024-01-15, strict >)
     (16, _ts("2024-01-16 10:00:00"), 24, "view", 17.0, '{"k": 17}'),
 ]
@@ -227,6 +233,9 @@ _ORDERS_EXTRA = [
     (907, 24, "O", 107.0, _ts("2000-02-29 12:00:00"), "5-LOW"),  # century leap
     (908, 24, "O", 108.0, _ts("1969-12-31 23:59:59.999999"), "1-URGENT"),
     (909, 24, "F", 109.0, _ts("9999-12-31 23:59:59.999999"), "1-URGENT"),
+    # NULL o_orderdate CO-BUCKETED with 909's 9999 date (same custkey
+    # 24) — the orders-side twin of the float64 corruption pin above.
+    (910, 24, "O", 110.0, None, "5-LOW"),
 ]
 
 _ORDERS_QUERIES = [

@@ -349,3 +349,57 @@ def test_canonical_local_path_round_trips_file_uris(segments) -> None:
     assert _canonical_local_path(uri) == _canonical_local_path(plain)
     # and the canonical form is the normalized plain path itself
     assert _canonical_local_path(plain) == str(pathlib.PurePosixPath(plain))
+
+
+#: Small doc families with a fingerprint bucket each: tiny id space so
+#: fingerprint groups collide (stars with 2+ members), shingle sets
+#: small enough that Jaccard lands on both sides of the threshold.
+_fp_families = st.lists(
+    st.tuples(
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_fp_families)
+def test_screen_star_verify_matches_brute_force(spark, families) -> None:
+    """The high-df screen's star+verify chain (r14,
+    dedup._screen_edges_from_relations) must emit EXACTLY the brute
+    force's edges on arbitrary inputs: for each fingerprint group,
+    (keeper=min doc_id, doc) for every other member whose full-set
+    Jaccard vs the keeper is >= t — nothing more (fingerprint equality
+    alone NEVER merges; the precision contract), nothing less. Members
+    similar to each other but not to the keeper get no edge — the
+    documented O(n) residual — and the brute force encodes that too."""
+    from aws_data_warehouse_lambda_spark.operators import dedup
+
+    t = dedup.JACCARD_THRESHOLD
+    expect = set()
+    byfp: dict[int, list[int]] = {}
+    for i, (_s, f) in enumerate(families):
+        byfp.setdefault(f, []).append(i)
+    for ids in byfp.values():
+        k = min(ids)
+        for d in ids:
+            if d != k:
+                a, b = families[k][0], families[d][0]
+                if len(a & b) / len(a | b) >= t:
+                    expect.add((k, d))
+
+    sets = spark.createDataFrame(
+        [(i, sorted(s), len(s)) for i, (s, _f) in enumerate(families)],
+        "doc_id long, shs array<long>, n int",
+    )
+    fp = spark.createDataFrame(
+        [(i, f) for i, (_s, f) in enumerate(families)],
+        "doc_id long, fingerprint long",
+    )
+    got = {
+        (r.src, r.dst)
+        for r in dedup._screen_edges_from_relations(fp, sets).collect()
+    }
+    assert got == expect
