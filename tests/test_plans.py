@@ -703,3 +703,30 @@ def test_coerce_types_sorts_before_stringify(spark) -> None:
     below_sort = optimized[sort_at:]
     for token in ("md5(", "date_format(", "regexp_replace("):
         assert token not in below_sort, (token, optimized[:2000])
+
+
+def test_screen_grams_compute_above_blind_join(spark) -> None:
+    """The high-df screen's 100 TB contract: the strided-gram chain
+    (regexp block split + explode + h60) must compute ABOVE the join
+    with the blindable-doc_id relation, so only cap-blindable docs —
+    typically a tiny corpus fraction — pay the regex/gram cost. If
+    ColumnPruning/CollapseProject ever pushed the block-list
+    projection below the join, EVERY document would pay it (the same
+    cost class as the r13 tfidf double pass). Also pins the sibling
+    rule from q_text_fingerprint: the block list is projected exactly
+    once (an inlined regexp inside the gram lambda re-runs the
+    full-text regex once per element)."""
+    from aws_data_warehouse_lambda_spark.operators import dedup
+
+    try:
+        fp = dedup._screen_fingerprints(spark, "/root/testdata/sf0.001")
+        plan = fp._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("regexp_extract_all(") == 1, plan[:2000]
+        # plans print top-down: the regex projection must appear
+        # strictly before (above) the blind join
+        assert "Join" in plan, plan[:2000]
+        assert plan.index("regexp_extract_all(") < plan.index("Join"), (
+            plan[:2000]
+        )
+    finally:
+        dedup.reset_shared_relations()
