@@ -39,6 +39,12 @@ _DRIVER_FIRST = [
     "q_dedup_clusters",
     "q_dedup_keep_list",
     "q_text_fingerprint",
+    # ... and the ragged-vector tier (two-rail DOT_SQL/_DIST2_SQL
+    # degenerate-length contract + the kmeans NULLS LAST declaration)
+    # churns every dot-consuming oracle: q_sim_* sit in the pre-staged
+    # tier below already; these two move up from their r12/r13 rows:
+    "q_kmeans_iter",
+    "q_dedup_embedding",
     # The pre-staged r13 tier, pulled in on schedule (all 28 remaining
     # r11-vintage rows, q_catalog_columns first — the 12 displaced by
     # the r13 dsum/coerce churn, then the next-oldest):
@@ -81,7 +87,6 @@ _DRIVER_FIRST = [
     # r12-vintage rows (oldest remaining tier after this round: no
     # ledger row older than r12, per VERDICT r13 #1's done-bar):
     "q_count_distinct",
-    "q_dedup_embedding",
     "q_dedup_exact",
     "q_except",
     "q_except_all",
@@ -93,12 +98,12 @@ _DRIVER_FIRST = [
     "q_join_asof",
     "q_ngram_topk",
     "q_quality_filter",
-    "q_sample_hash",
     # --- beyond the 50-row driver window: PRE-STAGED r15 ROTATION ---
-    # the 13 remaining r12-vintage rows (q_sample_stratified first —
-    # boundary pinned by tests/test_entry.py); if the driver reads
-    # past 50 they get rows a round early, and r15's reorder starts
-    # here.
+    # the remaining r12-vintage rows (q_sample_hash first — the
+    # ragged-tier churn displaced one fill slot; boundary pinned by
+    # tests/test_entry.py); if the driver reads past 50 they get rows
+    # a round early, and r15's reorder starts here.
+    "q_sample_hash",
     "q_sample_stratified",
     "q_scalar_subquery",
     "q_sort_limit",

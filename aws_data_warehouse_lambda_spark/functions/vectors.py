@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-fold double-precision dot product of two float arrays."""
+    """Left-fold double-precision dot product of two float arrays.
+
+    Degenerate-length contract (r14 ragged tier): ``zip_with`` pads
+    the SHORTER array with NULLs to the longer length, so a dot
+    between vectors of UNEQUAL length is NULL (NULL product poisons
+    the fold) — never a silently truncated value; two EMPTY arrays
+    fold to the 0.0 seed. The oracle template below mirrors both."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -31,10 +37,19 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-#: DuckDB SQL template computing exactly :func:`dot` (format with a=, b=).
+#: DuckDB SQL template computing exactly :func:`dot` (format with a=,
+#: b=; both spliced several times — side-effect-free required). The
+#: index range runs to greatest(len(a), len(b)) — like zip_with's
+#: pad-to-longer, an out-of-range index is a NULL element and a
+#: length-mismatched pair folds to NULL — and the empty-pair case is
+#: the CASE's 0.0 (zip_with of two empties folds to the seed;
+#: DuckDB's list_reduce instead RAISES on an empty list — one empty
+#: embedding crashed the oracle rail of every dot consumer, r14
+#: ragged tier).
 DOT_SQL = (
-    "list_reduce(list_transform(range(1, len({a}) + 1), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    "CASE WHEN greatest(len({a}), len({b})) = 0 THEN 0.0 "
+    "ELSE list_reduce(list_transform(range(1, greatest(len({a}), len({b})) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y) END"
 )
 
 

@@ -118,9 +118,15 @@ _BUCKET_SQL = " + ".join(
 def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = None
     for k, d in enumerate(LSH_PLANES):
-        bit = F.when(F.element_at("embedding", d).cast("double") >= 0, 1).otherwise(
-            0
-        ) * F.lit(1 << k)
+        # try_element_at, not element_at: under ANSI a vector SHORTER
+        # than the plane index is a job-killing
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — one truncated embedding
+        # aborted the whole scan (r14 ragged tier). NULL >= 0 is NULL,
+        # so a missing plane reads as bit 0, exactly the oracle's
+        # CASE (DuckDB's out-of-range [] is NULL natively).
+        bit = F.when(
+            F.try_element_at("embedding", F.lit(d)).cast("double") >= 0, 1
+        ).otherwise(0) * F.lit(1 << k)
         bucket = bit if bucket is None else bucket + bit
     return _norms(spark, sf_dir).withColumn("bucket", bucket)
 
@@ -297,10 +303,16 @@ KMEANS_ITERS = 2
 #: as the same left fold both engines evaluate bit-identically
 #: (functions/vectors.py conventions: upcast before arithmetic, 0.0
 #: seed == DuckDB's seedless list_reduce because +0.0 is exact).
+#: Degenerate lengths mirror vectors.DOT_SQL (r14 ragged tier): the
+#: range runs to the LONGER side like zip_with's pad, so a ragged
+#: embedding's distance is NULL (not a silently truncated value), and
+#: the empty-vs-empty case is the fold seed 0.0 (DuckDB's list_reduce
+#: raises on an empty list).
 _DIST2_SQL = (
-    "list_reduce(list_transform(range(1, len({e}) + 1), "
+    "CASE WHEN greatest(len({e}), len({c})) = 0 THEN 0.0 "
+    "ELSE list_reduce(list_transform(range(1, greatest(len({e}), len({c})) + 1), "
     "i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) * (CAST({e}[i] AS DOUBLE) - {c}[i])), "
-    "(x, y) -> x + y)"
+    "(x, y) -> x + y) END"
 )
 
 
@@ -326,7 +338,7 @@ def _kmeans_oracle() -> str:
         SELECT vec_id, embedding, cid, dist2 FROM (
             SELECT e.vec_id, e.embedding, c.cid, {d} AS dist2,
                    row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {d}, c.cid) AS rk
+                                      ORDER BY {d} NULLS LAST, c.cid) AS rk
             FROM {src} e CROSS JOIN {cent} c
         ) WHERE rk = 1
     )"""
@@ -416,7 +428,17 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _assign(cents: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+        # NULLS LAST, declared on BOTH rails (the r4 policy): a ragged
+        # member makes its cluster's centroid ragged too, and then
+        # every normal vec's distance to that centroid is NULL — under
+        # Spark's ASC default (NULLS FIRST) the poisoned centroid won
+        # EVERY assignment and the clustering collapsed to 2 clusters
+        # while DuckDB (NULLS LAST) kept 8 (r14 ragged tier). Declared
+        # last, an incomparable centroid is preferred by nobody and
+        # ragged members settle by the cid tiebreak.
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist2").asc_nulls_last(), "cid"
+        )
         return (
             emb.crossJoin(F.broadcast(cents))
             .withColumn("dist2", _dist2(F.col("embedding"), F.col("cent")))

@@ -6,8 +6,26 @@ The fixture swaps `embeddings` for crafted rows — an all-zero vector
 (norm 0: cosine denominators hit 0*x), exact duplicate vectors,
 near-duplicates, anti-parallel pairs (cos = -1), a one-hot, tiny and
 huge magnitudes — across the id ranges the similarity queries carve up
-(query probes vec_id < 10, IVF centroids vec_id < 8). Dimensions stay
-64 like the fixture: fixed dims are the table's schema contract.
+(query probes vec_id < 10, IVF centroids vec_id < 8).
+
+The ragged tier (r14): vectors of the WRONG length (63/65 dims) and an
+EMPTY array — truncated/partial writes, the garbage a 100 TB embedding
+ingest will contain. Contract (functions/vectors.DOT_SQL + dot,
+similarity._DIST2_SQL): a dot/distance between vectors of unequal
+length is NULL on both rails (zip_with pads the shorter side; the
+oracle fold ranges to the LONGER length) — never a silently truncated
+value, which is what DuckDB's len(a)-bounded fold used to compute —
+and the empty-vs-empty fold is the 0.0 seed (DuckDB's list_reduce
+RAISES on an empty list, crashing the oracle rail). Found as four
+first-run defect classes: q_sim_lsh_bucketed was an ANSI
+INVALID_ARRAY_INDEX_IN_ELEMENT_AT job abort on ONE sub-64-dim vector
+(now try_element_at — a missing plane reads as bit 0 like the
+oracle's CASE); the list_reduce crash above hit every dot-consuming
+oracle; the truncated-fold divergence; and k-means COLLAPSED to 2
+clusters under Spark's undeclared ASC NULLS FIRST — a ragged member
+makes its cluster's centroid ragged, every normal vector's distance
+to it goes NULL, and the poisoned centroid won every assignment —
+now ORDER BY dist2 NULLS LAST declared on both rails (the r4 policy).
 
 The NaN tier (r13): vectors carrying NaN / +-Inf elements, a NULL
 vector, and a NULL-element vector. Contract
@@ -92,6 +110,10 @@ _ROWS.append((100, None, 0))
 _ROWS.append(
     (101, [None if j == 2 else float(j % 7 + 1) for j in range(DIM)], 1)
 )
+# the ragged tier (r14, module docstring): short / long / empty
+_ROWS.append((102, [float(j % 7 + 1) for j in range(DIM - 1)], 2))
+_ROWS.append((103, [float(j % 7 + 1) for j in range(DIM + 1)], 0))
+_ROWS.append((104, [], 1))
 
 _VECTOR_QUERIES = [
     "q_dedup_embedding",
