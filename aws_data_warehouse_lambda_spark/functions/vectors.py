@@ -46,8 +46,13 @@ def norm(a: Column) -> Column:
 #: DuckDB's list_reduce instead RAISES on an empty list — one empty
 #: embedding crashed the oracle rail of every dot consumer, r14
 #: ragged tier).
+#: The leading IS NULL arm mirrors zip_with's NULL propagation: DuckDB's
+#: greatest() IGNORES NULL arguments (Postgres-style), so without it a
+#: NULL-array vs empty-array pair short-circuited to the 0.0 arm where
+#: Spark's dot() is NULL (r14 review pass 4, verified on both engines).
 DOT_SQL = (
-    "CASE WHEN greatest(len({a}), len({b})) = 0 THEN 0.0 "
+    "CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+    "WHEN greatest(len({a}), len({b})) = 0 THEN 0.0 "
     "ELSE list_reduce(list_transform(range(1, greatest(len({a}), len({b})) + 1), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y) END"
 )

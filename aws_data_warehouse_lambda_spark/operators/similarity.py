@@ -73,7 +73,7 @@ def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_COS}, 5) AS cos_sim,
            CAST(row_number() OVER (
                 PARTITION BY q.vec_id
-                ORDER BY round({_COS}, 5) DESC, c.vec_id) AS INT) AS rank
+                ORDER BY round({_COS}, 5) DESC NULLS LAST, c.vec_id) AS INT) AS rank
     FROM norms q JOIN norms c ON c.vec_id >= {N_QUERIES}
     WHERE q.vec_id < {N_QUERIES}
     QUALIFY rank <= {TOP_K}
@@ -94,7 +94,7 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q.nrm") * F.col("c.nrm"), F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+        F.col("cos_sim").desc_nulls_last(), F.col("neighbor_id")
     )
     return (
         q.crossJoin(c)
@@ -142,7 +142,7 @@ def _bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_COS}, 5) AS cos_sim,
            CAST(row_number() OVER (
                 PARTITION BY q.vec_id
-                ORDER BY round({_COS}, 5) DESC, c.vec_id) AS INT) AS rank
+                ORDER BY round({_COS}, 5) DESC NULLS LAST, c.vec_id) AS INT) AS rank
     FROM bucketed q JOIN bucketed c
       ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
     QUALIFY rank <= {LSH_TOP_K}
@@ -165,7 +165,7 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q.nrm") * F.col("c.nrm"), F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+        F.col("cos_sim").desc_nulls_last(), F.col("neighbor_id")
     )
     return (
         q.join(
@@ -201,7 +201,7 @@ _ASSIGNED_SQL = f"""
             SELECT v.vec_id, v.embedding, v.nrm, k.cent_id,
                    row_number() OVER (
                        PARTITION BY v.vec_id
-                       ORDER BY {_CENT_COS} DESC, k.cent_id) AS cr
+                       ORDER BY {_CENT_COS} DESC NULLS LAST, k.cent_id) AS cr
             FROM norms v CROSS JOIN centroids k
             WHERE v.vec_id >= {IVF_CELLS}
         ) WHERE cr = 1
@@ -218,7 +218,7 @@ _ASSIGNED_SQL = f"""
            round({_COS}, 5) AS cos_sim,
            CAST(row_number() OVER (
                 PARTITION BY q.vec_id
-                ORDER BY round({_COS}, 5) DESC, c.vec_id) AS INT) AS rank
+                ORDER BY round({_COS}, 5) DESC NULLS LAST, c.vec_id) AS INT) AS rank
     FROM assigned q JOIN assigned c
       ON q.cell = c.cell AND q.vec_id <> c.vec_id
     WHERE q.vec_id < {IVF_CELLS + N_QUERIES}
@@ -255,7 +255,9 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_cos = dot(F.col("embedding"), F.col("c_emb")) / F.nullif(
         F.col("nrm") * F.col("c_nrm"), F.lit(0.0)
     )
-    cr = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), "cent_id")
+    cr = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc_nulls_last(), "cent_id"
+    )
     assigned = (
         corpus.crossJoin(cent)
         .withColumn("cent_cos", cent_cos)
@@ -273,7 +275,7 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q.nrm") * F.col("c.nrm"), F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+        F.col("cos_sim").desc_nulls_last(), F.col("neighbor_id")
     )
     return (
         q.join(
@@ -309,7 +311,8 @@ KMEANS_ITERS = 2
 #: the empty-vs-empty case is the fold seed 0.0 (DuckDB's list_reduce
 #: raises on an empty list).
 _DIST2_SQL = (
-    "CASE WHEN greatest(len({e}), len({c})) = 0 THEN 0.0 "
+    "CASE WHEN {e} IS NULL OR {c} IS NULL THEN NULL "
+    "WHEN greatest(len({e}), len({c})) = 0 THEN 0.0 "
     "ELSE list_reduce(list_transform(range(1, greatest(len({e}), len({c})) + 1), "
     "i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) * (CAST({e}[i] AS DOUBLE) - {c}[i])), "
     "(x, y) -> x + y) END"

@@ -719,7 +719,7 @@ def test_screen_grams_compute_above_blind_join(spark) -> None:
     from aws_data_warehouse_lambda_spark.operators import dedup
 
     try:
-        fp = dedup._screen_fingerprints(spark, "/root/testdata/sf0.001")
+        fp = dedup._screen_fingerprints(spark, SF)
         plan = fp._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("regexp_extract_all(") == 1, plan[:2000]
         # plans print top-down: the regex projection must appear
