@@ -223,11 +223,12 @@ FRAME_STRIDE = 8  # keep every 8th element of the 64-dim "clip"
     "q_frame_sample",
     oracle=f"""
     SELECT vec_id, label,
-           array_to_string(
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE coalesce(array_to_string(
                list_transform(
                    range(1, len(embedding) + 1, {FRAME_STRIDE}),
                    i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
-               ), ',') AS sampled_q
+               ), ','), '') END AS sampled_q
     FROM embeddings
     ORDER BY vec_id
     """,
@@ -241,16 +242,25 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes scalars, not arrays)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = F.size("embedding")
+    # The empty buffer is guarded: sequence(1, 0, k) RAISES in Spark
+    # ("Illegal sequence boundaries") where DuckDB's range(1, 1, k) is
+    # just empty — one zero-length media payload aborted the whole
+    # scan (r14 ragged tier via the omnibus fixture). Contract: empty
+    # payload -> '' (zero sampled frames; empty is DATA, not absence),
+    # NULL payload -> NULL. The oracle spells the same two arms
+    # explicitly — DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '', so the distinction needs a declared CASE.
+    sampled = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE)),
+            lambda i: F.round(
+                F.element_at("embedding", i).cast("double") * 10000
+            ).cast("bigint"),
+        ),
+    ).when(n == 0, F.array().cast("array<bigint>"))
     return emb.select(
         "vec_id",
         "label",
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE)),
-                lambda i: F.round(
-                    F.element_at("embedding", i).cast("double") * 10000
-                ).cast("bigint"),
-            ),
-            ",",
-        ).alias("sampled_q"),
+        F.array_join(sampled, ",").alias("sampled_q"),
     ).orderBy("vec_id")
