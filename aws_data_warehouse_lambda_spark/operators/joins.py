@@ -263,18 +263,30 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # extreme micros (see the split comment).
         left = left.sort_values("ts_us", kind="mergesort")
         if right.empty or left.empty:
-            out = left.assign(last_us=pd.NA)
+            # length-matched Int64 array, NOT a scalar/1-row Series:
+            # assigning a Series to an EMPTY frame reindexes it to the
+            # Series' length (1 phantom all-NULL row per orders-only
+            # bucket), and a bare pd.NA scalar makes an object column.
+            out = left.assign(
+                last_us=pd.array([pd.NA] * len(left), dtype="Int64")
+            )
         else:
+            # The matched order date travels through merge_asof as a
+            # NULLABLE Int64 PAYLOAD column, never as the numpy-int64
+            # merge key: one unmatched event in a bucket puts NaN in
+            # the merged key column, upcasting it to float64 and
+            # silently rounding MATCHED micros beyond ±2^53 (observed:
+            # 253402300799999997 → ...800000000, +3µs, past the
+            # TimestampType bound). Int64 fills pd.NA without touching
+            # matched values; the int64 od_us key is dropped post-merge.
             right = right.sort_values("od_us", kind="mergesort").rename(
                 columns={"o_custkey": "user_id"}
             )
+            right = right.assign(last_us=right["od_us"].astype("Int64"))
             out = pd.merge_asof(
                 left, right, left_on="ts_us", right_on="od_us", by="user_id",
                 direction="backward", allow_exact_matches=True,
-            ).rename(columns={"od_us": "last_us"})
-        # Nullable Int64: unmatched rows carry NaN in last_us (float64)
-        # — must not smuggle NaN into the integer output column.
-        out = out.astype({"last_us": "Int64"})
+            ).drop(columns=["od_us"])
         return out[["event_id", "user_id", "ts_us", "last_us"]]
 
     return (

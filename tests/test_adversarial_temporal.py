@@ -106,7 +106,25 @@ _E: list[tuple[int, dt.datetime | None, int | None, str, float | None, str | Non
     (17, None, 22, "view", 18.0, '{"k": 18}'),
     # post-watermark control row (EVENTS_WM = 2024-01-15, strict >)
     (16, _ts("2024-01-16 10:00:00"), 24, "view", 17.0, '{"k": 17}'),
+    # UNMATCHED user-22 event (earlier than every custkey-22 order):
+    # same user => same as-of hash bucket BY CONSTRUCTION, so the
+    # bucket's merged output column carries NaN alongside the MATCHED
+    # extreme below. Before the r15 fix, merge_asof's output column
+    # upcast to float64 on that NaN and rounded the matched
+    # odd-microsecond od_us past 2^53 (ADVICE r14) — the r14 null
+    # split only protected the INPUT key columns, not the merge
+    # OUTPUT. Pre-1970 window end => dropped by the epoch-zero
+    # watermark, so the streaming pin's survivor sets are unchanged.
+    (18, _ts("0001-06-01 12:00:00"), 22, "view", 19.0, '{"k": 19}'),
 ]
+
+#: One order whose odd-microsecond date is BEYOND 2^53 µs and is the
+#: as-of MATCH for user 22's 9999 events (it exceeds every standard
+#: 1990s custkey-22 order date): 253402290000000001 µs is not
+#: float64-representable (ulp there is 32 µs), so any float64 transit
+#: corrupts it by up to 16 µs. Paired with event 18 above, this pins
+#: the merge_asof Int64-payload contract on the Python rail.
+_CAL_ORDER_EXTRA = (999, 22, "O", 999.0, _ts("9999-12-31 21:00:00.000001"), "1-URGENT")
 
 #: The event family that must agree on the calendar-extreme fixture.
 #: The spine pair is EXCLUDED here (an 0001..9999 hour spine is ~88M
@@ -156,14 +174,34 @@ def _write_events(root: str, rows) -> None:
     )
 
 
+def _write_orders_extended(root: str, extra_rows: list[tuple]) -> None:
+    base = pq.read_table(table_path(SRC, "orders"))
+    extra = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in extra_rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in extra_rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in extra_rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in extra_rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in extra_rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in extra_rows], pa.string()),
+        }
+    )
+    sel = base.select(extra.column_names)
+    pq.write_table(
+        pa.concat_tables([sel, extra.cast(sel.schema)]),
+        table_path(root, "orders"),
+    )
+
+
 @pytest.fixture(scope="module")
 def calendar_sf(tmp_path_factory) -> str:
     root = tmp_path_factory.mktemp("sf_temporal_cal")
     for t in TABLES:
-        if t == "events":
+        if t in ("events", "orders"):
             continue
         copy_table(table_path(SRC, t), table_path(str(root), t))
     _write_events(str(root), _E)
+    _write_orders_extended(str(root), [_CAL_ORDER_EXTRA])
     return str(root)
 
 
@@ -260,25 +298,7 @@ def orders_sf(tmp_path_factory) -> str:
         if t == "orders":
             continue
         copy_table(table_path(SRC, t), table_path(str(root), t))
-    base = pq.read_table(table_path(SRC, "orders"))
-    extra = pa.table(
-        {
-            "o_orderkey": pa.array([r[0] for r in _ORDERS_EXTRA], pa.int64()),
-            "o_custkey": pa.array([r[1] for r in _ORDERS_EXTRA], pa.int64()),
-            "o_orderstatus": pa.array([r[2] for r in _ORDERS_EXTRA], pa.string()),
-            "o_totalprice": pa.array([r[3] for r in _ORDERS_EXTRA], pa.float64()),
-            "o_orderdate": pa.array(
-                [r[4] for r in _ORDERS_EXTRA], pa.timestamp("us")
-            ),
-            "o_orderpriority": pa.array(
-                [r[5] for r in _ORDERS_EXTRA], pa.string()
-            ),
-        }
-    )
-    merged = pa.concat_tables(
-        [base.select(extra.column_names), extra.cast(base.select(extra.column_names).schema)]
-    )
-    pq.write_table(merged, table_path(str(root), "orders"))
+    _write_orders_extended(str(root), _ORDERS_EXTRA)
     return str(root)
 
 
@@ -292,9 +312,10 @@ def test_watermark_epoch_init_drop_pinned(spark, calendar_sf) -> None:
     event-time watermark to EPOCH ZERO, not -infinity, so watermarked
     stateful operators treat pre-1970 event times as LATE in the very
     first micro-batch: the session-window stream drops every session
-    whose window END is <= 1970-01-01 00:00:00 (observed
-    numRowsDroppedByWatermark=10 on this fixture — the 1582, 0001,
-    and all-but-two 1969 rows), and dropDuplicatesWithinWatermark
+    whose window END is <= 1970-01-01 00:00:00 (the 1582, 0001, and
+    all-but-two 1969 rows — numRowsDroppedByWatermark=10 when first
+    observed in r14, 11 since the r15 as-of pin row joined the
+    fixture), and dropDuplicatesWithinWatermark
     drops rows with ts strictly before the epoch. The batch twins
     (q_session_window, q_dedup_* — parity-proven above) handle the
     full 0001-9999 range; a 100 TB pipeline with pre-epoch event
@@ -341,7 +362,8 @@ def test_overhang_window_rendering_pinned(spark, tmp_path) -> None:
     does not; an event in the first half-hour gets a sliding
     window_start in year 0, which Spark renders '0000-12-31 23:30:00'
     (astronomical year 0) while DuckDB renders the same instant as
-    '0000-12-31 (BC) 23:30:00'-style era notation. Both engines
+    '0001-12-31 (BC) 23:30:00'-style era notation (proleptic year 0
+    = 1 BC). Both engines
     COMPUTE the same instant (micros agree); only the rendering
     differs, and neither value can cross the Python datetime boundary
     (year 0/10000 do not exist there) — so the engine contract is
