@@ -26,83 +26,44 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # r14 WINDOW (50). CODE TOUCHED IN r14 leads: the high-df
-    # near-identical mass-dup screen (VERDICT r13 #2) is a two-rail
-    # contract change to the CC input — fingerprint-star candidates
-    # over cap-blindable docs, exact-Jaccard-verified vs the group
-    # keeper (dedup._screen_edges + the blind/bgrams/bfp/bcand/
-    # bshared/sedges oracle CTEs in dedup._CC_COMP_SQL) — churning
-    # q_dedup_clusters / q_dedup_keep_list on both rails; and the
-    # fingerprint gram shape moved to the shared
-    # functions/fingerprint.py (oracle rebuilt from fp_grams_sql,
-    # engine plan unchanged), lightly churning q_text_fingerprint:
-    "q_dedup_clusters",
-    "q_dedup_keep_list",
-    "q_text_fingerprint",
-    # ... and the ragged-vector tier (two-rail DOT_SQL/_DIST2_SQL
-    # degenerate-length contract + the kmeans NULLS LAST declaration)
-    # churns every dot-consuming oracle: q_sim_* sit in the pre-staged
-    # tier below already; these two move up from their r12/r13 rows:
-    "q_kmeans_iter",
-    "q_dedup_embedding",
-    # The pre-staged r13 tier, pulled in on schedule (all 28 remaining
-    # r11-vintage rows, q_catalog_columns first — the 12 displaced by
-    # the r13 dsum/coerce churn, then the next-oldest):
-    "q_catalog_columns",
-    "q_catalog_tables",
-    "q_cdc_compact",
-    "q_date_funcs",
-    "q_exists_subquery",
-    "q_full_scan",
-    "q_fuzzy_join",
+    # r15 WINDOW (50). CODE TOUCHED IN r15 leads — the numeric-extremes
+    # axis changed oracle text for 24 queries (alphabetical below):
+    # dsum_term_sql's portable non-finite guard rewrites every
+    # dsum_expr consumer plus the three window-sum oracles, the
+    # guarded floor/ceil-to-BIGINT contract (functions/numeric.
+    # floor_long) churns q_histogram/q_math_case, round6_sql churns
+    # q_stats_moments, and the faithful-cents guard churns
+    # q_coerce_types; q_join_asof_pandas is engine-churned (the
+    # merge_asof Int64-payload fix, ADVICE r14):
+    "q_coerce_types",
+    "q_conditional_agg",
+    "q_cube",
+    "q_embedding_centroids",
+    "q_graph_pagerank",
     "q_histogram",
-    "q_hll_mergeable",
-    "q_in_subquery",
-    "q_incremental_scan",
-    "q_join_anti",
-    "q_join_full_outer",
-    "q_join_range",
-    "q_join_semi",
-    "q_lateral_topk",
+    "q_join_asof_pandas",
+    "q_join_broadcast",
+    "q_join_outer",
+    "q_join_salted",
+    "q_kmeans_iter",
     "q_math_case",
-    "q_null_semantics",
-    "q_pandas_udf_grouped_agg",
-    "q_percentiles",
-    "q_percentiles_exact",
-    "q_pivot_event_types",
-    "q_session_window",
-    "q_sessionize",
-    "q_sim_ivf",
-    "q_sim_lsh_bucketed",
-    "q_sim_topk_bruteforce",
-    "q_sliding_window",
-    # ... which retires the last r11 rows this round: the 5 r11-vintage
-    # rows the r13 staging list did not reach:
-    "q_topk_per_group",
-    "q_union",
-    "q_union_all_counts",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_rollup",
+    "q_shipping_priority",
+    "q_spine_forward_fill",
+    "q_stats_moments",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_tumbling_window",
+    "q_unpivot",
+    "q_window_frames",
     "q_window_range_frame",
-    "q_window_ranks",
-    # ... then the window fills with the 14 alphabetically-first
-    # r12-vintage rows (oldest remaining tier after this round: no
-    # ledger row older than r12, per VERDICT r13 #1's done-bar):
-    "q_count_distinct",
-    "q_dedup_exact",
-    "q_except",
-    "q_except_all",
-    "q_frame_sample",
-    "q_funnel_steps",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_intersect_all",
-    "q_join_asof",
-    "q_ngram_topk",
-    "q_quality_filter",
-    # --- beyond the 50-row driver window: PRE-STAGED r15 ROTATION ---
-    # the remaining r12-vintage rows (q_sample_hash first — the
-    # ragged-tier churn displaced one fill slot; boundary pinned by
-    # tests/test_entry.py); if the driver reads past 50 they get rows
-    # a round early, and r15's reorder starts here.
+    "q_window_running",
+    # The pre-staged r14 tier, pulled in on schedule: the remaining 13
+    # r12-vintage rows (q_window_frames moved up — churned), retiring
+    # the r12 tier entirely (no ledger row older than r13 after this
+    # window lands, VERDICT r14 #2's done-bar):
     "q_sample_hash",
     "q_sample_stratified",
     "q_scalar_subquery",
@@ -116,7 +77,39 @@ _DRIVER_FIRST = [
     "q_text_quality",
     "q_token_stats",
     "q_upsert_scan",
-    "q_window_frames",
+    # ... then the window fills with the 12 alphabetically-first
+    # r13-vintage rows:
+    "q_approx_distinct",
+    "q_array_funcs",
+    "q_boilerplate_spans",
+    "q_contamination",
+    "q_dedup_containment",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_embedding_quantize",
+    "q_graph_degree",
+    "q_json_agg",
+    "q_json_extract",
+    # --- beyond the 50-row driver window: PRE-STAGED r16 ROTATION ---
+    # the remaining r13-vintage rows in alphabetical order
+    # (q_map_funcs first; boundary pinned by tests/test_entry.py); if
+    # the driver reads past 50 they get rows a round early, and r16's
+    # reorder starts here.
+    "q_map_funcs",
+    "q_min_max_exact",
+    "q_multi_distinct",
+    "q_multimodal_features",
+    "q_pandas_udf_iterator",
+    "q_pandas_udf_scalar",
+    "q_pii_redact",
+    "q_repetition",
+    "q_string_funcs",
+    "q_tfidf",
+    "q_time_spine_gapfill",
+    "q_udtf_chunks",
+    "q_variant_extract",
+    "q_window_lag_lead",
 ]
 
 

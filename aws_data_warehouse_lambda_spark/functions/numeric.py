@@ -71,13 +71,81 @@ def dsum_expr(sql_expr: str) -> str:
     double-evaluate or diverge between guard and accumulator (same
     splice contract as :func:`jsoncast.try_int_sql`).
     """
-    guard = f"isfinite(CAST(({sql_expr}) AS DOUBLE))"
     return (
-        f"CAST(CAST(SUM(CASE WHEN {guard} "
-        f"THEN CAST(({sql_expr}) AS DECIMAL(38,10)) END) AS VARCHAR) AS DOUBLE)"
+        f"CAST(CAST(SUM({dsum_term_sql(sql_expr)}) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+def dsum_term_sql(sql_expr: str) -> str:
+    """The guarded decimal-accumulator TERM of :func:`dsum_expr`, for
+    oracles that need their own SUM shape (window frames: ``SUM(term)
+    OVER w``). Window oracles that spliced a bare ``CAST(x AS
+    DECIMAL(38,10))`` crashed DuckDB on one non-finite value where
+    Spark's cast silently skips it (r15 numeric axis) — every decimal
+    accumulator must come from here so the two rails share one skip
+    contract.
+
+    PORTABLE spelling (no ``isfinite``): q_window_range_frame executes
+    the SAME SQL text on Spark, which lacks isfinite — the NaN/Inf
+    guard is spelled with isnan + an Infinity bound, valid and
+    identical on both engines. Same splice contract as
+    :func:`dsum_expr`."""
+    d = f"CAST(({sql_expr}) AS DOUBLE)"
+    guard = (
+        f"NOT isnan({d}) AND abs({d}) < CAST('Infinity' AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN {guard} "
+        f"THEN CAST(({sql_expr}) AS DECIMAL(38,10)) END"
     )
 
 
 def davg_expr(sql_expr: str) -> str:
     """The DuckDB-oracle spelling of :func:`davg`."""
     return f"{dsum_expr(sql_expr)} / COUNT({sql_expr})"
+
+
+#: Largest |value| the guarded floor/ceil-to-BIGINT contract converts;
+#: 2^62 is exactly representable in double and leaves a full bit of
+#: headroom below the int64 edge, where double granularity (ulp 1024 at
+#: 2^62) makes "fits in long" itself fuzzy.
+FLOOR_LONG_BOUND = float(2**62)
+
+
+def floor_long(c: Column, *, ceil: bool = False) -> Column:
+    """``FLOOR``/``CEIL`` of a double into BIGINT with the declared
+    degenerate-input contract: non-finite or |x| >= 2^62 yields NULL.
+
+    Spark's floor(double)->long SILENTLY SATURATES — NaN lands in bin
+    0 and +-Inf/huge at +-Long.MAX even under ANSI — while DuckDB's
+    BIGINT cast raises, so an unguarded floor is silent mis-binning on
+    one rail and a 100 TB job abort on the other (r15 numeric axis).
+    Per the r4 policy, degenerate input yields NULL and never aborts
+    the scan: garbage collects in one visible NULL bucket."""
+    f = F.ceil(c) if ceil else F.floor(c)
+    return F.when(~F.isnan(c) & (F.abs(c) < F.lit(FLOOR_LONG_BOUND)), f)
+
+
+def round6_sql(sql_expr: str) -> str:
+    """Portable round-to-6-decimals for parity SQL that runs on BOTH
+    engines. DuckDB's round() goes through a double multiply (x * 1e6)
+    and CORRUPTS values whose product exceeds 2^53 — observed +2 ulp at
+    9.49e19 (r15 numeric axis) — while Spark's BigDecimal-mediated
+    round is an identity there. At |x| >= 1e9 the double's ulp already
+    exceeds 1e-6, so six-decimal rounding is mathematically a no-op —
+    both rails skip it and the corruption zone is unreachable. Same
+    splice contract as :func:`dsum_expr` (the expression appears in
+    the guard and both branches)."""
+    d = f"CAST(({sql_expr}) AS DOUBLE)"
+    return f"CASE WHEN abs({d}) < 1.0e9 THEN round({d}, 6) ELSE {d} END"
+
+
+def floor_long_sql(sql_expr: str, *, ceil: bool = False) -> str:
+    """The DuckDB-oracle spelling of :func:`floor_long`. Same splice
+    contract as :func:`dsum_expr`."""
+    fn = "CEIL" if ceil else "FLOOR"
+    return (
+        f"CASE WHEN isfinite(CAST(({sql_expr}) AS DOUBLE)) "
+        f"AND abs(CAST(({sql_expr}) AS DOUBLE)) < 4611686018427387904.0 "
+        f"THEN CAST({fn}({sql_expr}) AS BIGINT) END"
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DECIMAL_T, dsum, dsum_expr
+from ..functions.numeric import DECIMAL_T, dsum, dsum_expr, round6_sql
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
@@ -453,17 +453,18 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: cross-products are IEEE double products (deterministic bit-for-bit in
 #: both engines); their DECIMAL(38,10) sums are exact integers underneath,
 #: so every derived statistic below starts from engine-identical doubles.
-_MOMENT_FINAL = """
-    round(sqrt((sxx - sx * sx / n) / nullif(n - 1, 0)), 6) AS stddev_qty,
-    round((sxy - sx * sy / n) / nullif(n - 1, 0), 6) AS covar_qty_price,
-    round((n * sxy - sx * sy)
-          / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0),
-          6) AS corr_qty_price
+_MOMENT_FINAL = f"""
+    {round6_sql('sqrt((sxx - sx * sx / n) / nullif(n - 1, 0))')} AS stddev_qty,
+    {round6_sql('(sxy - sx * sy / n) / nullif(n - 1, 0)')} AS covar_qty_price,
+    {round6_sql('(n * sxy - sx * sy)'
+                ' / nullif(sqrt(n * sxx - sx * sx)'
+                ' * sqrt(n * syy - sy * sy), 0)')} AS corr_qty_price
 """
 # nullif guards: a single-row group (n-1 = 0) or a constant column
 # (zero variance) must yield NULL statistics — the SQL runs verbatim on
 # BOTH engines, and without the guard Spark's ANSI mode aborts the scan
-# where DuckDB would return NULL.
+# where DuckDB would return NULL. round6_sql, not bare round(x, 6):
+# DuckDB's round corrupts doubles past 2^53/1e6 (r15 numeric axis).
 
 
 @query(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import floor_long, floor_long_sql
 from ..functions.porthash import h60, h60_sql
 from ..sources.tables import load_table
 from .registry import query
@@ -95,14 +96,14 @@ HIST_BIN = 50_000.0  # q_histogram: o_totalprice bin width
     SELECT bin, CAST(bin * {HIST_BIN} AS DOUBLE) AS bin_low, n,
            min_price, max_price
     FROM (
-        SELECT CAST(FLOOR(o_totalprice / {HIST_BIN}) AS BIGINT) AS bin,
+        SELECT {floor_long_sql(f"o_totalprice / {HIST_BIN}")} AS bin,
                CAST(count(*) AS BIGINT) AS n,
                MIN(o_totalprice) AS min_price,
                MAX(o_totalprice) AS max_price
         FROM orders
         GROUP BY bin
     )
-    ORDER BY bin
+    ORDER BY bin NULLS FIRST
     """,
 )
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,9 +111,14 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The distribution-profiling primitive (value histograms drive skew
     detection and bin-packing decisions); shuffle is O(bins). DuckDB's
     FLOOR returns DOUBLE where Spark's returns BIGINT — both sides cast
-    explicitly."""
+    explicitly, through the guarded floor contract
+    (functions/numeric.floor_long): profiling runs on exactly the dirty
+    data where a NaN must not silently land in bin 0 (Spark's
+    saturating floor) nor abort the scan (DuckDB's raising BIGINT
+    cast) — non-finite and |x/width| >= 2^62 collect in one visible
+    NULL bin, ordered first on both rails by declaration (r4 policy)."""
     o = load_table(spark, sf_dir, "orders")
-    bin_ = F.floor(F.col("o_totalprice") / HIST_BIN)
+    bin_ = floor_long(F.col("o_totalprice") / HIST_BIN)
     return (
         o.groupBy(bin_.alias("bin"))
         .agg(
@@ -127,5 +133,5 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price",
             "max_price",
         )
-        .orderBy("bin")
+        .orderBy(F.asc_nulls_first("bin"))
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.jsoncast import try_int_sql, variant_int_sql
+from ..functions.numeric import floor_long, floor_long_sql
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
@@ -90,11 +91,11 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_math_case",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 50000.0) AS dist_from_mid,
-           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
-           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_band,
+           {floor_long_sql("l_quantity")} AS qty_floor,
+           {floor_long_sql("l_extendedprice / 1000.0", ceil=True)} AS price_band,
            CAST(l_orderkey % 16 AS BIGINT) AS bucket,
            CASE WHEN l_discount >= 0.05 THEN 'discounted'
                 WHEN l_tax > 0.04 THEN 'taxed'
@@ -104,14 +105,18 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math + CASE expression pack (abs/floor/ceil/mod are bit-exact on
-    doubles, unlike ROUND — see module docstring)."""
+    doubles, unlike ROUND — see module docstring). floor/ceil-to-BIGINT
+    go through the guarded contract (functions/numeric.floor_long):
+    Spark's floor(double) silently saturates NaN to 0 and +-Inf to
+    +-Long.MAX while DuckDB's BIGINT cast aborts — both rails declare
+    NULL instead (r15 numeric axis)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_extendedprice") - 50000.0).alias("dist_from_mid"),
-        F.floor("l_quantity").alias("qty_floor"),
-        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_band"),
+        floor_long(F.col("l_quantity")).alias("qty_floor"),
+        floor_long(F.col("l_extendedprice") / 1000.0, ceil=True).alias("price_band"),
         (F.col("l_orderkey") % 16).alias("bucket"),
         F.when(F.col("l_discount") >= 0.05, "discounted")
         .when(F.col("l_tax") > 0.04, "taxed")

@@ -76,7 +76,10 @@ def q_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
                 ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')
            END AS ts_str,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+           CASE WHEN NOT isnan(o_totalprice)
+                     AND abs(o_totalprice) < 9.0e13
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+           END AS price_str
     FROM orders ORDER BY o_orderkey
     """,
 )
@@ -91,7 +94,18 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's cast trims trailing fractional zeros where str(datetime)
     zero-pads to six digits); decimals stringify exactly. All plan-time
     column expressions — no per-row Python hook like the reference's
-    encoder ``default``."""
+    encoder ``default``.
+
+    Faithful-cents contract (r15 numeric axis): price_str is NULL for
+    NaN/+-Inf (DuckDB's cast would raise where Spark's yields NULL)
+    AND for |x| >= 9e13 — above 2^53/100 a double has no faithful
+    cent representation (ulp > 0.01), and NO DuckDB cast chain
+    reproduces Spark's BigDecimal rendering there (the direct
+    double->DECIMAL multiply corrupts past 2^53 — 9007199254740994
+    came back .56 — and the VARCHAR detour is not round-trip faithful
+    at 1e14 and mis-parses subnormal exponent strings). Both rails
+    declare the same guard; the DECIMAL(18,2) overflow raise is
+    unreachable under it."""
     from ..functions.coerce import decimal_to_str, timestamp_to_str, uuid_to_hex
 
     o = load_table(spark, sf_dir, "orders")
@@ -125,9 +139,13 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             uuid_to_hex(dashed_uuid).alias("uuid_hex"),
             timestamp_to_str("o_orderdate").alias("ts_str"),
-            decimal_to_str(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "price_str"
-            ),
+            # faithful-cents guard (see docstring): NaN/Inf and
+            # |x| >= 9e13 declare NULL on both rails
+            F.when(
+                ~F.isnan("o_totalprice")
+                & (F.abs("o_totalprice") < F.lit(9.0e13)),
+                decimal_to_str(F.col("o_totalprice").cast("decimal(18,2)")),
+            ).alias("price_str"),
         )
     )
 

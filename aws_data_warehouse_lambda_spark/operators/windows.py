@@ -13,8 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum_term_sql
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
+
+#: The guarded decimal accumulator term shared by every window-sum
+#: oracle: a bare CAST(x AS DECIMAL) crashed DuckDB on one NaN/Inf
+#: order value where Spark's cast silently skips it (r15 numeric
+#: axis) — the guard makes both rails skip identically, exactly like
+#: the dsum aggregates.
+_PRICE_TERM = dsum_term_sql("o_totalprice")
 
 
 @query(
@@ -46,9 +54,9 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_running",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+           CAST(CAST(SUM({_PRICE_TERM}) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -140,7 +148,7 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_frames",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
            FIRST_VALUE(o_totalprice) OVER (
                w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
@@ -149,7 +157,7 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTH_VALUE(o_totalprice, 2) OVER (
                w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
            CUME_DIST() OVER w AS cdist,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+           CAST(CAST(SUM({_PRICE_TERM}) OVER (
                w ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS VARCHAR) AS DOUBLE)
                AS moving_sum
     FROM orders
@@ -197,7 +205,7 @@ _RANGE_FRAME_SQL = """
     ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
-_RANGE_SUM = """SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+_RANGE_SUM = f"""SUM({_PRICE_TERM}) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST
                RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
            )"""

@@ -435,3 +435,128 @@ def test_null_text_mass_duplication_contract(spark, tmp_path) -> None:
     # ...but no NULL-text doc is dropped: all 6 keep themselves
     assert int(keep["keep"].sum()) == 6
     assert (keep["cluster_id"] == keep["doc_id"]).all()
+
+
+def test_screen_recall_boundary_pinned(spark, tmp_path) -> None:
+    """EXECUTABLE PINS of the r14 screen's two DOCUMENTED recall
+    residuals (dedup._screen_edges docstring; VERDICT r14 #4 asked for
+    these as fixtures so the prose boundary is testable — if either
+    probe ever starts clustering, the screen's contract CHANGED and
+    this fails loudly for re-adjudication).
+
+    Probe A — LENGTH-SHIFTING EDIT (ids 600-669): doc 600 is a 40-word
+    body; docs 601-669 prepend one 4-char token + space (5 chars, NOT
+    a multiple of FINGERPRINT_STRIDE=4), so every strided gram of an
+    edited doc samples the body at different offsets than 600's grams
+    — the two gram sets share NO window, and 600's min-hash
+    fingerprint differs from every edited doc's. All 70 share their
+    38 body shingles at df=70 > DF_CAP (pair generator blind, all
+    cap-blindable), and J(600, edited) = 38/39 ~ 0.974 >= 0.8 — a true
+    near-dup the screen MISSES by its documented gram-offset boundary:
+    no screen edge may touch 600, and 600 stays a kept singleton.
+    The 69 edited docs differ from EACH OTHER in exactly one gram
+    (their unique first window); whether they group is decided by
+    where the min-hash lands — the observed split is pinned below as
+    part of the contract.
+
+    Probe B — KEEPER-STAR RESIDUAL (ids 500-569): a 10-word prefix
+    (39 chars, 39 % 4 == 3) puts the final chars in gram shadow, so
+    ALL 70 fingerprints are EQUAL by construction; doc 500 (the
+    min-id group keeper) carries TWO shadow words ('a b') while
+    501-569 carry one 3-char token. J(keeper, member) = 8/11 ~ 0.727
+    < 0.8, so the keeper-star verify rejects every candidate — but
+    J(member_i, member_j) = 8/10 = 0.8 >= t: 69 docs that are
+    pairwise duplicate-worthy get NO edge because the star verifies
+    against the keeper only (the O(n)-not-O(group^2) trade). All 70
+    stay kept singletons."""
+    import os
+
+    root = str(tmp_path / "sf_screen_recall")
+    os.makedirs(root)
+    for t in TABLES:
+        if t == "documents":
+            continue
+        copy_table(table_path(SRC, t), table_path(root, t))
+
+    prefix_b = " ".join(f"s{j:02d}" for j in range(10))
+    assert len(prefix_b) % 4 == 3
+    docs = [(500, f"{prefix_b} a b", "en", "srcB")] + [
+        (500 + i, f"{prefix_b} m{i:02d}", "en", "srcB") for i in range(1, 70)
+    ]
+    body_a = " ".join(f"ls{j:02d}" for j in range(40))
+    docs += [(600, body_a, "en", "srcA")] + [
+        (600 + i, f"q{i:02d}x {body_a}", "en", "srcA") for i in range(1, 70)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+                "lang": pa.array([d[2] for d in docs], pa.string()),
+                "source": pa.array([d[3] for d in docs], pa.string()),
+                "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+            }
+        ),
+        table_path(root, "documents"),
+    )
+
+    # the probes' J claims, recomputed from first principles so the
+    # pins below provably assert MISSED TRUE near-dups, not just
+    # absent edges
+    def shingles(text: str) -> set:
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def jac(a: str, b: str) -> float:
+        sa, sb = shingles(a), shingles(b)
+        return len(sa & sb) / len(sa | sb)
+
+    assert jac(docs[0][1], docs[1][1]) < 0.8          # keeper vs member
+    assert jac(docs[1][1], docs[2][1]) >= 0.8         # member vs member
+    assert jac(body_a, f"q01x {body_a}") >= 0.8       # base vs edited
+
+    try:
+        for name in ("q_dedup_clusters", "q_dedup_keep_list"):
+            run_parity(spark, root, name, _QUERIES[name], _ORACLES[name])
+        sfp = dedup._screen_fingerprints(spark, root).toPandas()
+        sedges = dedup._screen_edges(spark, root).toPandas()
+        keep = _QUERIES["q_dedup_keep_list"](spark, root).toPandas()
+    finally:
+        dedup.reset_shared_relations()
+
+    fp = sfp.set_index("doc_id")["fingerprint"]
+    # every doc is cap-blindable and >= one gram long
+    assert set(fp.index) == set(range(500, 570)) | set(range(600, 670))
+    # probe B: one fingerprint group by construction
+    assert fp.loc[range(500, 570)].nunique() == 1
+    # probe A: the edit shifts every gram window off 600's
+    assert fp.loc[600] not in set(fp.loc[range(601, 670)])
+
+    edges = {(int(r.src), int(r.dst)) for r in sedges.itertuples()}
+    # probe B: keeper-star verify rejects ALL 69 candidates
+    assert not any(500 <= s < 570 or 500 <= d < 570 for s, d in edges)
+    # probe A: no edge touches the length-shifted base
+    assert not any(s == 600 or d == 600 for s, d in edges)
+
+    by_id = keep.set_index("doc_id")
+    assert bool(by_id.loc[600, "keep"])
+    assert (by_id.loc[range(500, 570), "cluster_id"]
+            == list(range(500, 570))).all()
+    assert by_id.loc[range(500, 570), "keep"].all()
+
+    # probe A's edited docs: pin the OBSERVED grouping so any change
+    # in where the min-hash lands re-adjudicates here. If they share a
+    # fingerprint they must form ONE verified cluster (J = 38/40 =
+    # 0.95 among themselves); any doc whose unique first gram wins the
+    # min fingerprints apart and stays singleton.
+    grouped = {
+        int(i)
+        for i, f in fp.loc[range(601, 670)].items()
+        if (fp.loc[range(601, 670)] == f).sum() > 1
+    }
+    for i in range(601, 670):
+        cid = int(by_id.loc[i, "cluster_id"])
+        if i in grouped:
+            assert cid == min(grouped), (i, cid)
+        else:
+            assert cid == i, (i, cid)
