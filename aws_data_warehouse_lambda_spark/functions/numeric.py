@@ -57,16 +57,21 @@ def dsum_expr(sql_expr: str) -> str:
     Non-finite mirror (r13 NaN tier): Spark's double->decimal cast
     yields NULL for NaN/+-Inf EVEN UNDER ANSI, so :func:`dsum`
     silently skips them (SUM ignores NULL) — but DuckDB's CAST raises,
-    crashing the oracle rail on one bad row. The isfinite guard
-    reproduces Spark's skip exactly (a no-op for decimal inputs, which
-    are always finite). FINITE values that overflow decimal(38,10)
-    (|x| >= 1e28) raise on BOTH rails identically — pinned as the
-    loud-corruption contract, not worked around: silently dropping
-    1e40 from a revenue sum would hide data corruption, while a NaN is
-    a representational artifact with no magnitude to lose.
+    crashing the oracle rail on one bad row. The non-finite guard
+    (inside :func:`dsum_term_sql`, spelled PORTABLY with isnan + an
+    Infinity bound, NOT isfinite — Spark lacks isfinite and some
+    consumers run the same text on both engines) reproduces Spark's
+    skip exactly (a no-op for decimal inputs, which are always
+    finite). FINITE values that overflow decimal(38,10) (above the
+    double 1e28, which itself is 9.99...e27 and still fits) raise on
+    BOTH rails identically — pinned as the loud-corruption contract
+    (executable: tests/test_adversarial_numeric.py), not worked
+    around: silently dropping 1e40 from a revenue sum would hide data
+    corruption, while a NaN is a representational artifact with no
+    magnitude to lose.
 
     ``sql_expr`` must be a side-effect-free, deterministic SQL
-    expression; it is spliced multiple times (the isfinite guard and
+    expression; it is spliced multiple times (the non-finite guard and
     the summed value), so a volatile or expensive expression would
     double-evaluate or diverge between guard and accumulator (same
     splice contract as :func:`jsoncast.try_int_sql`).
@@ -105,6 +110,18 @@ def davg_expr(sql_expr: str) -> str:
     return f"{dsum_expr(sql_expr)} / COUNT({sql_expr})"
 
 
+#: Faithful-cents bound (q_coerce_types' price stringification, r15
+#: numeric axis): below it, x * 100 < 2^53 so DuckDB's multiply-based
+#: double->DECIMAL(18,2) cast is exact and matches Spark's BigDecimal
+#: conversion (the TRUE exactness edge is 2^53/100 ~ 9.007e13; 9.0e13
+#: is the round number just under it). Above it no DuckDB cast chain
+#: reproduces Spark — the direct cast corrupts (observed: ...994 came
+#: back .56) and double->VARCHAR is not round-trip faithful at 1e14 —
+#: so BOTH rails declare price_str NULL. One constant, spliced into
+#: both rails, so the bounds cannot drift apart.
+CENTS_EXACT_BOUND = 9.0e13
+
+
 #: Largest |value| the guarded floor/ceil-to-BIGINT contract converts;
 #: 2^62 is exactly representable in double and leaves a full bit of
 #: headroom below the int64 edge, where double granularity (ulp 1024 at
@@ -126,18 +143,29 @@ def floor_long(c: Column, *, ceil: bool = False) -> Column:
     return F.when(~F.isnan(c) & (F.abs(c) < F.lit(FLOOR_LONG_BOUND)), f)
 
 
+#: Where six-decimal rounding stops being meaningful: ulp(x) > 1e-6
+#: for |x| >= 2^33, so round(x, 6) is mathematically an identity from
+#: here up — and DuckDB's multiply-based round() only corrupts from
+#: 2^53/1e6 ~ 9.007e9, safely above.
+ROUND6_NOOP_BOUND = float(2**33)  # 8589934592.0
+
+
 def round6_sql(sql_expr: str) -> str:
     """Portable round-to-6-decimals for parity SQL that runs on BOTH
     engines. DuckDB's round() goes through a double multiply (x * 1e6)
     and CORRUPTS values whose product exceeds 2^53 — observed +2 ulp at
     9.49e19 (r15 numeric axis) — while Spark's BigDecimal-mediated
-    round is an identity there. At |x| >= 1e9 the double's ulp already
-    exceeds 1e-6, so six-decimal rounding is mathematically a no-op —
-    both rails skip it and the corruption zone is unreachable. Same
-    splice contract as :func:`dsum_expr` (the expression appears in
-    the guard and both branches)."""
+    round is an identity there. Both rails skip the round exactly
+    where it is a mathematical no-op (|x| >= 2^33, where ulp > 1e-6 —
+    see ROUND6_NOOP_BOUND), which keeps DuckDB's corruption zone
+    (from 2^53/1e6) unreachable. Same splice contract as
+    :func:`dsum_expr` (the expression appears in the guard and both
+    branches)."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
-    return f"CASE WHEN abs({d}) < 1.0e9 THEN round({d}, 6) ELSE {d} END"
+    return (
+        f"CASE WHEN abs({d}) < {ROUND6_NOOP_BOUND!r} "
+        f"THEN round({d}, 6) ELSE {d} END"
+    )
 
 
 def floor_long_sql(sql_expr: str, *, ceil: bool = False) -> str:
@@ -146,6 +174,6 @@ def floor_long_sql(sql_expr: str, *, ceil: bool = False) -> str:
     fn = "CEIL" if ceil else "FLOOR"
     return (
         f"CASE WHEN isfinite(CAST(({sql_expr}) AS DOUBLE)) "
-        f"AND abs(CAST(({sql_expr}) AS DOUBLE)) < 4611686018427387904.0 "
+        f"AND abs(CAST(({sql_expr}) AS DOUBLE)) < {FLOOR_LONG_BOUND!r} "
         f"THEN CAST({fn}({sql_expr}) AS BIGINT) END"
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import CENTS_EXACT_BOUND
 from ..sources.tables import load_table, load_table_with_watermark
 from .registry import query
 
@@ -69,7 +70,7 @@ def q_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_coerce_types",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            md5(CAST(o_orderkey AS VARCHAR)) AS uuid_hex,
            CASE WHEN strftime(o_orderdate, '%f') = '000000'
@@ -77,7 +78,7 @@ def q_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')
            END AS ts_str,
            CASE WHEN NOT isnan(o_totalprice)
-                     AND abs(o_totalprice) < 9.0e13
+                     AND abs(o_totalprice) < {CENTS_EXACT_BOUND!r}
                 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
            END AS price_str
     FROM orders ORDER BY o_orderkey
@@ -98,13 +99,13 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Faithful-cents contract (r15 numeric axis): price_str is NULL for
     NaN/+-Inf (DuckDB's cast would raise where Spark's yields NULL)
-    AND for |x| >= 9e13 — above 2^53/100 a double has no faithful
-    cent representation (ulp > 0.01), and NO DuckDB cast chain
-    reproduces Spark's BigDecimal rendering there (the direct
-    double->DECIMAL multiply corrupts past 2^53 — 9007199254740994
-    came back .56 — and the VARCHAR detour is not round-trip faithful
-    at 1e14 and mis-parses subnormal exponent strings). Both rails
-    declare the same guard; the DECIMAL(18,2) overflow raise is
+    AND for |x| >= CENTS_EXACT_BOUND (9e13) — that is the x*100 < 2^53
+    multiply-exactness edge past which NO DuckDB cast chain reproduces
+    Spark's BigDecimal rendering (the direct double->DECIMAL multiply
+    corrupts — 9007199254740994 came back .56 — and the VARCHAR
+    detour is not round-trip faithful at 1e14 and mis-parses subnormal
+    exponent strings). One shared constant on both rails
+    (functions/numeric.py); the DECIMAL(18,2) overflow raise is
     unreachable under it."""
     from ..functions.coerce import decimal_to_str, timestamp_to_str, uuid_to_hex
 
@@ -140,10 +141,10 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             uuid_to_hex(dashed_uuid).alias("uuid_hex"),
             timestamp_to_str("o_orderdate").alias("ts_str"),
             # faithful-cents guard (see docstring): NaN/Inf and
-            # |x| >= 9e13 declare NULL on both rails
+            # |x| >= CENTS_EXACT_BOUND declare NULL on both rails
             F.when(
                 ~F.isnan("o_totalprice")
-                & (F.abs("o_totalprice") < F.lit(9.0e13)),
+                & (F.abs("o_totalprice") < F.lit(CENTS_EXACT_BOUND)),
                 decimal_to_str(F.col("o_totalprice").cast("decimal(18,2)")),
             ).alias("price_str"),
         )

@@ -32,6 +32,80 @@ def copy_table(src: str, dst: str) -> None:
         shutil.copyfile(src, dst)
 
 
+def write_events_table(root: str, rows) -> None:
+    """Write a crafted ``events`` table with the canonical fixture
+    schema — (event_id, ts, user_id, event_type, value, props). The
+    ONE schema definition the adversarial axes share (r15 review: the
+    column literals had grown 4+ per-module copies, so a schema change
+    had to be found and fixed in each)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        table_path(root, "events"),
+    )
+
+
+def write_orders_table(root: str, rows) -> None:
+    """Write a crafted ``orders`` table — (o_orderkey, o_custkey,
+    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority). See
+    :func:`write_events_table`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        table_path(root, "orders"),
+    )
+
+
+def write_lineitem_table(root: str, rows) -> None:
+    """Write a crafted ``lineitem`` table — (l_orderkey, l_partkey,
+    l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+    l_tax, l_returnflag, l_linestatus, l_shipdate). See
+    :func:`write_events_table`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([x[0] for x in rows], pa.int64()),
+                "l_partkey": pa.array([x[1] for x in rows], pa.int64()),
+                "l_suppkey": pa.array([x[2] for x in rows], pa.int64()),
+                "l_linenumber": pa.array([x[3] for x in rows], pa.int32()),
+                "l_quantity": pa.array([x[4] for x in rows], pa.float64()),
+                "l_extendedprice": pa.array([x[5] for x in rows], pa.float64()),
+                "l_discount": pa.array([x[6] for x in rows], pa.float64()),
+                "l_tax": pa.array([x[7] for x in rows], pa.float64()),
+                "l_returnflag": pa.array([x[8] for x in rows], pa.string()),
+                "l_linestatus": pa.array([x[9] for x in rows], pa.string()),
+                "l_shipdate": pa.array([x[10] for x in rows], pa.timestamp("us")),
+            }
+        ),
+        table_path(root, "lineitem"),
+    )
+
+
 def clone_sf(src_dir: str, root, table: str, make_table) -> str:
     """Clone a full fixture directory from ``src_dir``, letting
     ``make_table(src, dst)`` replace the named table (typically with an

@@ -46,7 +46,13 @@ import __spark_entry__ as entrymod
 
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import copy_table, run_parity
+from .oracle_harness import (
+    copy_table,
+    run_parity,
+    write_events_table,
+    write_lineitem_table,
+    write_orders_table,
+)
 
 SRC = "/root/testdata/sf0.001"
 
@@ -66,22 +72,6 @@ P53P2 = 9007199254740994.0      # 2^53 + 2: next representable integer
 
 NAN = float("nan")
 INF = float("inf")
-
-
-def _write_orders(root: str, rows) -> None:
-    pq.write_table(
-        pa.table(
-            {
-                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
-                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
-                "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
-                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
-                "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
-                "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
-            }
-        ),
-        table_path(root, "orders"),
-    )
 
 
 #: Precision-seam orders: every value fits DECIMAL(18,2)/DECIMAL(38,10)
@@ -157,7 +147,7 @@ def prec_sf(tmp_path_factory) -> str:
         if t == "orders":
             continue
         copy_table(table_path(SRC, t), table_path(str(root), t))
-    _write_orders(str(root), _ORDERS_PREC)
+    write_orders_table(str(root), _ORDERS_PREC)
     return str(root)
 
 
@@ -208,7 +198,7 @@ def mag_sf(tmp_path_factory) -> str:
         if t == "orders":
             continue
         copy_table(table_path(SRC, t), table_path(str(root), t))
-    _write_orders(str(root), _ORDERS_MAG)
+    write_orders_table(str(root), _ORDERS_MAG)
     return str(root)
 
 
@@ -237,7 +227,7 @@ def test_dsum_decimal_overflow_raises_both_rails(spark, tmp_path) -> None:
 
     root = str(tmp_path / "ovf")
     os.makedirs(root, exist_ok=True)
-    _write_orders(
+    write_orders_table(
         root,
         [
             (1, 1, "O", 1e29, _d("1996-01-01 00:00:00"), "1-URGENT"),
@@ -262,27 +252,6 @@ def test_dsum_decimal_overflow_raises_both_rails(spark, tmp_path) -> None:
             con.execute(_ORACLES["q_cube"]).df()
     finally:
         con.close()
-
-
-def _write_lineitem(root: str, rows) -> None:
-    pq.write_table(
-        pa.table(
-            {
-                "l_orderkey": pa.array([x[0] for x in rows], pa.int64()),
-                "l_partkey": pa.array([x[1] for x in rows], pa.int64()),
-                "l_suppkey": pa.array([x[2] for x in rows], pa.int64()),
-                "l_linenumber": pa.array([x[3] for x in rows], pa.int32()),
-                "l_quantity": pa.array([x[4] for x in rows], pa.float64()),
-                "l_extendedprice": pa.array([x[5] for x in rows], pa.float64()),
-                "l_discount": pa.array([x[6] for x in rows], pa.float64()),
-                "l_tax": pa.array([x[7] for x in rows], pa.float64()),
-                "l_returnflag": pa.array([x[8] for x in rows], pa.string()),
-                "l_linestatus": pa.array([x[9] for x in rows], pa.string()),
-                "l_shipdate": pa.array([x[10] for x in rows], pa.timestamp("us")),
-            }
-        ),
-        table_path(root, "lineitem"),
-    )
 
 
 #: Lineitem measure seams. |quantity|, |price| <= 1e13 so the
@@ -339,29 +308,13 @@ def lines_sf(tmp_path_factory) -> str:
         if t == "lineitem":
             continue
         copy_table(table_path(SRC, t), table_path(str(root), t))
-    _write_lineitem(str(root), _LINES_NUM)
+    write_lineitem_table(str(root), _LINES_NUM)
     return str(root)
 
 
 @pytest.mark.parametrize("name", _LINE_QUERIES)
 def test_numeric_lineitem_parity(spark, lines_sf, name) -> None:
     run_parity(spark, lines_sf, name, _QUERIES[name], _ORACLES[name])
-
-
-def _write_events(root: str, rows) -> None:
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-                "user_id": pa.array([r[2] for r in rows], pa.int64()),
-                "event_type": pa.array([r[3] for r in rows], pa.string()),
-                "value": pa.array([r[4] for r in rows], pa.float64()),
-                "props": pa.array([r[5] for r in rows], pa.string()),
-            }
-        ),
-        table_path(root, "events"),
-    )
 
 
 #: events.value precision seams (the r13 NaN tier covered non-finite
@@ -393,7 +346,7 @@ def events_num_sf(tmp_path_factory) -> str:
         if t == "events":
             continue
         copy_table(table_path(SRC, t), table_path(str(root), t))
-    _write_events(str(root), _EVENTS_NUM)
+    write_events_table(str(root), _EVENTS_NUM)
     return str(root)
 
 

@@ -58,7 +58,12 @@ import __spark_entry__ as entrymod
 
 from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
-from .oracle_harness import copy_table, run_parity_ts
+from .oracle_harness import (
+    copy_table,
+    run_parity_ts,
+    write_events_table,
+    write_orders_table,
+)
 
 SRC = "/root/testdata/sf0.001"
 
@@ -158,34 +163,16 @@ _CAL_QUERIES = [
 ]
 
 
-def _write_events(root: str, rows) -> None:
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-                "user_id": pa.array([r[2] for r in rows], pa.int64()),
-                "event_type": pa.array([r[3] for r in rows], pa.string()),
-                "value": pa.array([r[4] for r in rows], pa.float64()),
-                "props": pa.array([r[5] for r in rows], pa.string()),
-            }
-        ),
-        table_path(root, "events"),
-    )
-
-
 def _write_orders_extended(root: str, extra_rows: list[tuple]) -> None:
+    """Standard orders PLUS crafted extreme rows. The extra chunk goes
+    through the shared canonical-schema writer (oracle_harness.
+    write_orders_table) so the column definition lives in one place."""
+    import tempfile
+
     base = pq.read_table(table_path(SRC, "orders"))
-    extra = pa.table(
-        {
-            "o_orderkey": pa.array([r[0] for r in extra_rows], pa.int64()),
-            "o_custkey": pa.array([r[1] for r in extra_rows], pa.int64()),
-            "o_orderstatus": pa.array([r[2] for r in extra_rows], pa.string()),
-            "o_totalprice": pa.array([r[3] for r in extra_rows], pa.float64()),
-            "o_orderdate": pa.array([r[4] for r in extra_rows], pa.timestamp("us")),
-            "o_orderpriority": pa.array([r[5] for r in extra_rows], pa.string()),
-        }
-    )
+    with tempfile.TemporaryDirectory() as td:
+        write_orders_table(td, extra_rows)
+        extra = pq.read_table(table_path(td, "orders"))
     sel = base.select(extra.column_names)
     pq.write_table(
         pa.concat_tables([sel, extra.cast(sel.schema)]),
@@ -200,7 +187,7 @@ def calendar_sf(tmp_path_factory) -> str:
         if t in ("events", "orders"):
             continue
         copy_table(table_path(SRC, t), table_path(str(root), t))
-    _write_events(str(root), _E)
+    write_events_table(str(root), _E)
     _write_orders_extended(str(root), [_CAL_ORDER_EXTRA])
     return str(root)
 
@@ -243,7 +230,7 @@ def negepoch_sf(tmp_path_factory) -> str:
         if t == "events":
             continue
         copy_table(table_path(SRC, t), table_path(str(root), t))
-    _write_events(str(root), _NEG)
+    write_events_table(str(root), _NEG)
     return str(root)
 
 
