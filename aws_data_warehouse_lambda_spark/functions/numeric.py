@@ -93,15 +93,39 @@ def dsum_term_sql(sql_expr: str) -> str:
     PORTABLE spelling (no ``isfinite``): q_window_range_frame executes
     the SAME SQL text on Spark, which lacks isfinite — the NaN/Inf
     guard is spelled with isnan + an Infinity bound, valid and
-    identical on both engines. Same splice contract as
+    identical on both engines.
+
+    INPUT-CAST MIRROR (r15 review pass 2, latent since r3): Spark's
+    double->DECIMAL cast quantizes the SHORTEST DECIMAL REPR
+    (BigDecimal.valueOf) while DuckDB's quantizes the BINARY value —
+    correct-to-binary, but different: 1234567890123.455 becomes
+    ...4550000000 on Spark and ...4550964224 on DuckDB, corrupting any
+    dsum whose input exceeds ~9e5 with fraction digits beyond its ulp
+    (15 rounds of 2-decimal fixture prices never reached the seam).
+    Inside [1e-4, 1e13) — where DuckDB's double->VARCHAR is
+    shortest-repr-faithful and parses without the exponent-form bug —
+    the DuckDB branch therefore goes through VARCHAR, which equals
+    BigDecimal.valueOf exactly. On Spark BOTH branches already have
+    valueOf semantics, so the shared text stays portable. Outside the
+    zone the direct cast stands: below 1e-4 every 10-decimal
+    quantization is +-0 agreement in practice, above 1e13 values with
+    more significant digits than DuckDB renders faithfully (>15) are a
+    DOCUMENTED residual, and the >= 1e28 loud-overflow contract
+    raises identically through either branch. Same splice contract as
     :func:`dsum_expr`."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     guard = (
         f"NOT isnan({d}) AND abs({d}) < CAST('Infinity' AS DOUBLE)"
     )
+    faithful = f"abs({d}) >= 1.0e-4 AND abs({d}) < 1.0e13"
+    # STRING, not VARCHAR: Spark rejects bare VARCHAR (needs a length)
+    # and DuckDB accepts STRING as a VARCHAR alias — the one spelling
+    # valid on both engines for the shared-text consumers.
     return (
-        f"CASE WHEN {guard} "
-        f"THEN CAST(({sql_expr}) AS DECIMAL(38,10)) END"
+        f"CASE WHEN {guard} THEN "
+        f"CASE WHEN {faithful} "
+        f"THEN CAST(CAST({d} AS STRING) AS DECIMAL(38,10)) "
+        f"ELSE CAST({d} AS DECIMAL(38,10)) END END"
     )
 
 
@@ -111,15 +135,43 @@ def davg_expr(sql_expr: str) -> str:
 
 
 #: Faithful-cents bound (q_coerce_types' price stringification, r15
-#: numeric axis): below it, x * 100 < 2^53 so DuckDB's multiply-based
-#: double->DECIMAL(18,2) cast is exact and matches Spark's BigDecimal
-#: conversion (the TRUE exactness edge is 2^53/100 ~ 9.007e13; 9.0e13
-#: is the round number just under it). Above it no DuckDB cast chain
-#: reproduces Spark — the direct cast corrupts (observed: ...994 came
-#: back .56) and double->VARCHAR is not round-trip faithful at 1e14 —
-#: so BOTH rails declare price_str NULL. One constant, spliced into
-#: both rails, so the bounds cannot drift apart.
-CENTS_EXACT_BOUND = 9.0e13
+#: numeric axis + review pass 2): Spark stringifies cents as
+#: BigDecimal.valueOf(x) — HALF_UP rounding of the SHORTEST decimal
+#: repr — while DuckDB's direct double->DECIMAL(18,2) cast rounds
+#: something closer to the binary value, and the two disagree on
+#: authored half-cent ties from 1.3e5 up (131183.645 -> .65 vs .64)
+#: and on uniform values from ~2.2e9 (review pass 2, both engines
+#: live). The oracle therefore reproduces Spark's algorithm exactly
+#: via :func:`cents_str_sql`'s VARCHAR chain (DuckDB's double->VARCHAR
+#: is shortest-repr and its VARCHAR->DECIMAL parse is HALF_UP —
+#: verified equal to BigDecimal on 92k adversarial half-cent ties,
+#: uniform sweeps, and negatives across 1e-4..1e13). Above 1e13
+#: DuckDB's VARCHAR rendering leaves the shortest-repr regime
+#: (observed .67 -> '.69' at 1e14), so BOTH rails declare NULL.
+CENTS_EXACT_BOUND = 1.0e13
+
+#: Below this, DuckDB renders doubles in EXPONENT form whose
+#: VARCHAR->DECIMAL parse is broken ('9.999e-05' -> 0.01), so
+#: :func:`cents_str_sql` falls back to the direct cast — every value
+#: there rounds to +-0.00 and the engines agree (subnormals included,
+#: r15 axis fixture).
+CENTS_PLAIN_REPR_FLOOR = 1.0e-4
+
+
+def cents_str_sql(sql_expr: str) -> str:
+    """DuckDB-oracle spelling of Spark's cents stringification
+    (``decimal_to_str(cast(x AS DECIMAL(18,2)))``): shortest-repr
+    HALF_UP via the VARCHAR chain inside the faithful zone, direct
+    cast in the exponent-repr floor, NULL for non-finite and beyond
+    CENTS_EXACT_BOUND. Same splice contract as :func:`dsum_expr`."""
+    d = f"CAST(({sql_expr}) AS DOUBLE)"
+    return (
+        f"CASE WHEN NOT isnan({d}) AND abs({d}) < {CENTS_EXACT_BOUND!r} THEN "
+        f"CASE WHEN abs({d}) >= {CENTS_PLAIN_REPR_FLOOR!r} "
+        f"THEN CAST(CAST(CAST({d} AS VARCHAR) AS DECIMAL(18,2)) AS VARCHAR) "
+        f"ELSE CAST(CAST({d} AS DECIMAL(18,2)) AS VARCHAR) END "
+        f"END"
+    )
 
 
 #: Largest |value| the guarded floor/ceil-to-BIGINT contract converts;
@@ -143,27 +195,37 @@ def floor_long(c: Column, *, ceil: bool = False) -> Column:
     return F.when(~F.isnan(c) & (F.abs(c) < F.lit(FLOOR_LONG_BOUND)), f)
 
 
-#: Where six-decimal rounding stops being meaningful: ulp(x) > 1e-6
-#: for |x| >= 2^33, so round(x, 6) is mathematically an identity from
-#: here up — and DuckDB's multiply-based round() only corrupts from
-#: 2^53/1e6 ~ 9.007e9, safely above.
-ROUND6_NOOP_BOUND = float(2**33)  # 8589934592.0
+#: Where round6_sql stops rounding and passes the double through on
+#: BOTH rails. Empirical parity boundary (r15 review pass 2, both
+#: engines live): UNIFORM doubles diverge between DuckDB's
+#: multiply-based round and Spark's BigDecimal round from ~1.19e9 up
+#: (fl(x*1e6) sheds sub-1e-6 information once the product passes
+#: ~2^49), while below 1e9 uniform/organic values agree. Passing
+#: through above costs at most the 16th significant digit (6-decimal
+#: rounding at >= 1e9 moves the value by <= 1e-6 relative), and both
+#: rails share the CASE so the outputs stay bit-identical.
+ROUND6_PASSTHROUGH_BOUND = 1.0e9
 
 
 def round6_sql(sql_expr: str) -> str:
     """Portable round-to-6-decimals for parity SQL that runs on BOTH
     engines. DuckDB's round() goes through a double multiply (x * 1e6)
-    and CORRUPTS values whose product exceeds 2^53 — observed +2 ulp at
-    9.49e19 (r15 numeric axis) — while Spark's BigDecimal-mediated
-    round is an identity there. Both rails skip the round exactly
-    where it is a mathematical no-op (|x| >= 2^33, where ulp > 1e-6 —
-    see ROUND6_NOOP_BOUND), which keeps DuckDB's corruption zone
-    (from 2^53/1e6) unreachable. Same splice contract as
+    that diverges from Spark's BigDecimal round once the product loses
+    sub-1e-6 precision (~1.19e9 up; gross corruption — +2 ulp at
+    9.49e19 — from 2^53/1e6), so both rails pass values >= 1e9 through
+    unrounded (see ROUND6_PASSTHROUGH_BOUND). KNOWN RESIDUAL, pinned
+    here: below the bound, the engines' round() implementations differ
+    in KIND (shortest-decimal-repr HALF_UP vs binary-value rounding)
+    and disagree on AUTHORED half-tie values whose shortest repr ends
+    exactly at the 7th decimal digit 5 (e.g. round(1026.4791695, 6)).
+    Organic aggregate outputs (this helper's only consumers) land on
+    such ties with probability ~0; decimal-AUTHORED columns must not
+    be rounded through this helper. Same splice contract as
     :func:`dsum_expr` (the expression appears in the guard and both
     branches)."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     return (
-        f"CASE WHEN abs({d}) < {ROUND6_NOOP_BOUND!r} "
+        f"CASE WHEN abs({d}) < {ROUND6_PASSTHROUGH_BOUND!r} "
         f"THEN round({d}, 6) ELSE {d} END"
     )
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import CENTS_EXACT_BOUND
+from ..functions.numeric import CENTS_EXACT_BOUND, cents_str_sql
 from ..sources.tables import load_table, load_table_with_watermark
 from .registry import query
 
@@ -77,10 +77,7 @@ def q_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
                 ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')
            END AS ts_str,
-           CASE WHEN NOT isnan(o_totalprice)
-                     AND abs(o_totalprice) < {CENTS_EXACT_BOUND!r}
-                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
-           END AS price_str
+           {cents_str_sql("o_totalprice")} AS price_str
     FROM orders ORDER BY o_orderkey
     """,
 )
@@ -97,16 +94,16 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     column expressions — no per-row Python hook like the reference's
     encoder ``default``.
 
-    Faithful-cents contract (r15 numeric axis): price_str is NULL for
-    NaN/+-Inf (DuckDB's cast would raise where Spark's yields NULL)
-    AND for |x| >= CENTS_EXACT_BOUND (9e13) — that is the x*100 < 2^53
-    multiply-exactness edge past which NO DuckDB cast chain reproduces
-    Spark's BigDecimal rendering (the direct double->DECIMAL multiply
-    corrupts — 9007199254740994 came back .56 — and the VARCHAR
-    detour is not round-trip faithful at 1e14 and mis-parses subnormal
-    exponent strings). One shared constant on both rails
-    (functions/numeric.py); the DECIMAL(18,2) overflow raise is
-    unreachable under it."""
+    Faithful-cents contract (r15 numeric axis + review pass 2):
+    price_str is NULL for NaN/+-Inf (DuckDB's cast would raise where
+    Spark's yields NULL) and for |x| >= CENTS_EXACT_BOUND (1e13, where
+    DuckDB's VARCHAR rendering leaves the shortest-repr regime and no
+    cast chain reproduces Spark). Inside the zone the oracle runs
+    cents_str_sql's VARCHAR chain, verified equal to Spark's
+    BigDecimal shortest-repr HALF_UP on 92k adversarial half-cent
+    ties (the direct DuckDB cast diverges on ties from 1.3e5 and on
+    uniform values from ~2.2e9 — functions/numeric.py). The
+    DECIMAL(18,2) overflow raise is unreachable under the guard."""
     from ..functions.coerce import decimal_to_str, timestamp_to_str, uuid_to_hex
 
     o = load_table(spark, sf_dir, "orders")

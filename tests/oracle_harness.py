@@ -56,26 +56,31 @@ def write_events_table(root: str, rows) -> None:
     )
 
 
-def write_orders_table(root: str, rows) -> None:
-    """Write a crafted ``orders`` table — (o_orderkey, o_custkey,
-    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority). See
-    :func:`write_events_table`."""
+def orders_arrow_table(rows):
+    """The canonical crafted-``orders`` arrow table — (o_orderkey,
+    o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    o_orderpriority) — exposed separately so extend-style fixtures can
+    concat it onto a base table without a disk round-trip."""
     import pyarrow as pa
+
+    return pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
+def write_orders_table(root: str, rows) -> None:
+    """Write a crafted ``orders`` table. See :func:`write_events_table`
+    and :func:`orders_arrow_table`."""
     import pyarrow.parquet as pq
 
-    pq.write_table(
-        pa.table(
-            {
-                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
-                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
-                "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
-                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
-                "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
-                "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
-            }
-        ),
-        table_path(root, "orders"),
-    )
+    pq.write_table(orders_arrow_table(rows), table_path(root, "orders"))
 
 
 def write_lineitem_table(root: str, rows) -> None:

@@ -38,8 +38,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
 import __spark_entry__ as entrymod
@@ -112,6 +110,21 @@ _ORDERS_PREC = [
     # tame controls
     (9016, 9, "O", 123456.789, _d("1995-07-01 00:00:00"), "5-LOW"),
     (9017, 10, "F", -999.25, _d("1995-07-02 00:00:00"), "5-LOW"),
+    # AUTHORED half-cent ties (review pass 2), in their OWN priority
+    # group so they never co-group with the NaN/Inf rows above
+    # (percentile interpolation toward a NaN is its own seam with its
+    # own rows): values whose shortest decimal repr ends exactly at a
+    # half cent. Spark rounds the
+    # shortest repr (BigDecimal HALF_UP -> .65); DuckDB's direct
+    # double->DECIMAL cast rounds closer to the binary value (-> .64
+    # at 131183.645, its lowest observed divergence) — the coerce
+    # oracle must take cents_str_sql's VARCHAR chain to match Spark.
+    (9018, 9, "O", 131183.645, _d("1995-08-01 00:00:00"), "9-TIES"),
+    (9019, 10, "O", -1.005, _d("1995-08-02 00:00:00"), "9-TIES"),
+    (9020, 6, "F", 1234567890123.455, _d("1995-08-03 00:00:00"), "9-TIES"),
+    # >= CENTS_EXACT_BOUND (1e13): both rails declare NULL (verified
+    # divergent under every DuckDB cast chain: .61 vs .60)
+    (9021, 7, "O", 20169182918170.605, _d("1995-08-04 00:00:00"), "9-TIES"),
 ]
 
 #: Every registered query whose oracle touches o_totalprice and is
@@ -160,7 +173,9 @@ def test_numeric_precision_parity(spark, prec_sf, name) -> None:
 #: that keep o_totalprice in DOUBLE end-to-end run here — the dsum /
 #: window-decimal consumers RAISE on |x| >= 1e28 by the pinned
 #: loud-corruption contract (functions/numeric.py; executable pin
-#: below), and DECIMAL(18,2) coercion raises above 1e16.
+#: below). q_coerce_types would run (its faithful-cents guard NULLs
+#: everything here) but stays in the precision fixture where the
+#: guard's edges are actually probed.
 _ORDERS_MAG = [
     (9100, 1, "O", MAXD, _d("1996-01-01 00:00:00"), "1-URGENT"),
     (9101, 1, "O", -MAXD, _d("1996-01-02 00:00:00"), "1-URGENT"),
@@ -353,3 +368,66 @@ def events_num_sf(tmp_path_factory) -> str:
 @pytest.mark.parametrize("name", _EVENT_QUERIES)
 def test_numeric_events_parity(spark, events_num_sf, name) -> None:
     run_parity(spark, events_num_sf, name, _QUERIES[name], _ORACLES[name])
+
+
+def test_cents_chain_matches_spark_on_adversarial_ties(spark) -> None:
+    """PROPERTY PIN of the faithful-cents chain (review pass 2): on
+    seeded adversarial HALF-CENT TIES — the exact class where DuckDB's
+    direct double->DECIMAL(18,2) cast diverges from Spark (observed
+    from 131183.645 up, and on uniform values from ~2.2e9) —
+    cents_str_sql's VARCHAR chain must equal Spark's
+    decimal_to_str(cast(DECIMAL(18,2))) value-for-value across the
+    whole faithful zone [1e-4, 1e13), negatives included, and both
+    rails must agree on NULL outside it. 400 values through BOTH
+    engines, not a model: if either engine's rendering/rounding
+    changes, this fails first."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.functions.coerce import decimal_to_str
+    from aws_data_warehouse_lambda_spark.functions.numeric import (
+        CENTS_EXACT_BOUND,
+        cents_str_sql,
+    )
+
+    rng = random.Random(1515)
+    vals: list[float] = []
+    for mag in (0, 2, 4, 6, 8, 10, 12):
+        for _ in range(25):
+            k = rng.randrange(10**mag, 10**(mag + 1))
+            vals.append(float(f"{k}.{rng.randrange(100):02d}5"))
+            vals.append(-float(f"{k}.{rng.randrange(100):02d}5"))
+    # zone edges and out-of-zone controls
+    vals += [0.005, -0.005, 9.99e-5, 5e-324, 0.0, -0.0,
+             1234567890123.455, 20169182918170.605, 1e14,
+             float("nan"), float("inf"), float("-inf")]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r.s
+        for r in df.select(
+            F.when(
+                ~F.isnan("x") & (F.abs("x") < F.lit(CENTS_EXACT_BOUND)),
+                decimal_to_str(F.col("x").cast("decimal(18,2)")),
+            ).alias("s")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        # the helper splices its expression several times (guard +
+        # both branches), so bind the value once via a subquery
+        got_duck = [
+            con.execute(
+                f"SELECT {cents_str_sql('x')} "
+                "FROM (SELECT CAST(? AS DOUBLE) AS x) t",
+                [v],
+            ).fetchone()[0]
+            for v in vals
+        ]
+    finally:
+        con.close()
+    for v, a, b in zip(vals, got_spark, got_duck):
+        assert a == b, (v, a, b)

@@ -60,9 +60,9 @@ from aws_data_warehouse_lambda_spark.sources.tables import TABLES, table_path
 
 from .oracle_harness import (
     copy_table,
+    orders_arrow_table,
     run_parity_ts,
     write_events_table,
-    write_orders_table,
 )
 
 SRC = "/root/testdata/sf0.001"
@@ -164,15 +164,11 @@ _CAL_QUERIES = [
 
 
 def _write_orders_extended(root: str, extra_rows: list[tuple]) -> None:
-    """Standard orders PLUS crafted extreme rows. The extra chunk goes
-    through the shared canonical-schema writer (oracle_harness.
-    write_orders_table) so the column definition lives in one place."""
-    import tempfile
-
+    """Standard orders PLUS crafted extreme rows. The extra chunk is
+    built by the shared canonical-schema builder (oracle_harness.
+    orders_arrow_table) so the column definition lives in one place."""
     base = pq.read_table(table_path(SRC, "orders"))
-    with tempfile.TemporaryDirectory() as td:
-        write_orders_table(td, extra_rows)
-        extra = pq.read_table(table_path(td, "orders"))
+    extra = orders_arrow_table(extra_rows)
     sel = base.select(extra.column_names)
     pq.write_table(
         pa.concat_tables([sel, extra.cast(sel.schema)]),
