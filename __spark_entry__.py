@@ -27,13 +27,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
     # r15 WINDOW (50). CODE TOUCHED IN r15 leads — the numeric-extremes
-    # axis changed oracle text for 24 queries (alphabetical below):
+    # axis + its review passes changed oracle text for 26 queries
+    # (alphabetical below):
     # dsum_term_sql's portable non-finite guard rewrites every
     # dsum_expr consumer plus the three window-sum oracles, the
     # guarded floor/ceil-to-BIGINT contract (functions/numeric.
     # floor_long) churns q_histogram/q_math_case, round6_sql churns
     # q_stats_moments, and the faithful-cents guard churns
-    # q_coerce_types; q_join_asof_pandas is engine-churned (the
+    # q_coerce_types, and the round6 pair churns both percentile
+    # queries two-rail; q_join_asof_pandas is engine-churned (the
     # merge_asof Int64-payload fix, ADVICE r14):
     "q_coerce_types",
     "q_conditional_agg",
@@ -47,6 +49,8 @@ _DRIVER_FIRST = [
     "q_join_salted",
     "q_kmeans_iter",
     "q_math_case",
+    "q_percentiles",
+    "q_percentiles_exact",
     "q_pricing_summary",
     "q_revenue_by_nation",
     "q_rollup",
@@ -89,13 +93,14 @@ _DRIVER_FIRST = [
     "q_dedup_simhash",
     "q_embedding_quantize",
     "q_graph_degree",
-    "q_json_agg",
-    "q_json_extract",
     # --- beyond the 50-row driver window: PRE-STAGED r16 ROTATION ---
     # the remaining r13-vintage rows in alphabetical order
-    # (q_map_funcs first; boundary pinned by tests/test_entry.py); if
+    # (q_json_agg first; boundary pinned by tests/test_entry.py); if
     # the driver reads past 50 they get rows a round early, and r16's
-    # reorder starts here.
+    # reorder starts here. (q_json_agg/q_json_extract were displaced
+    # from the r15 fill by the percentile round6 churn.)
+    "q_json_agg",
+    "q_json_extract",
     "q_map_funcs",
     "q_min_max_exact",
     "q_multi_distinct",

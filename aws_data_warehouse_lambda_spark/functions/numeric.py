@@ -81,6 +81,28 @@ def dsum_expr(sql_expr: str) -> str:
     )
 
 
+#: The SHORTEST-REPR-FAITHFUL ZONE of DuckDB's double->VARCHAR
+#: rendering — the one empirical property BOTH decimal-mirroring
+#: chains (:func:`dsum_term_sql` and :func:`cents_str_sql`) stand on,
+#: so both splice these constants and a recalibration cannot leave
+#: one chain behind (r15 review pass 3). Spark's double->DECIMAL
+#: conversions quantize the SHORTEST decimal repr
+#: (BigDecimal.valueOf) while DuckDB's direct casts quantize the
+#: BINARY value; the two disagree on authored half-cent ties from
+#: 1.3e5 up (131183.645 -> .65 vs .64), on uniform cents from ~2.2e9,
+#: and on dsum inputs from ~9e5 with deep fractions. Inside
+#: [PLAIN_REPR_FLOOR, SHORTEST_REPR_BOUND) DuckDB's VARCHAR rendering
+#: is shortest-repr-faithful (60k-sample sweep, zero mismatches) and
+#: its VARCHAR->DECIMAL parse is HALF_UP, so a VARCHAR-mediated cast
+#: equals BigDecimal.valueOf exactly (92k adversarial ties + uniform
+#: sweeps + negatives, both engines live). Above the bound the
+#: rendering leaves the shortest regime (12345678901234.567 renders
+#: '...568'); below the floor it switches to EXPONENT form whose
+#: VARCHAR->DECIMAL parse is broken ('9.999e-05' -> 0.01).
+SHORTEST_REPR_BOUND = 1.0e13
+PLAIN_REPR_FLOOR = 1.0e-4
+
+
 def dsum_term_sql(sql_expr: str) -> str:
     """The guarded decimal-accumulator TERM of :func:`dsum_expr`, for
     oracles that need their own SUM shape (window frames: ``SUM(term)
@@ -107,8 +129,11 @@ def dsum_term_sql(sql_expr: str) -> str:
     the DuckDB branch therefore goes through VARCHAR, which equals
     BigDecimal.valueOf exactly. On Spark BOTH branches already have
     valueOf semantics, so the shared text stays portable. Outside the
-    zone the direct cast stands: below 1e-4 every 10-decimal
-    quantization is +-0 agreement in practice, above 1e13 values with
+    zone the direct cast stands: below the floor the binary-vs-
+    shortest difference sits past the 10th decimal for these tiny
+    magnitudes and no divergence was found in a 200k authored-tie
+    probe (NOT a +-0 argument — values in [1e-10, 1e-4) quantize to
+    nonzero decimals), above the bound values with
     more significant digits than DuckDB renders faithfully (>15) are a
     DOCUMENTED residual, and the >= 1e28 loud-overflow contract
     raises identically through either branch. Same splice contract as
@@ -117,7 +142,10 @@ def dsum_term_sql(sql_expr: str) -> str:
     guard = (
         f"NOT isnan({d}) AND abs({d}) < CAST('Infinity' AS DOUBLE)"
     )
-    faithful = f"abs({d}) >= 1.0e-4 AND abs({d}) < 1.0e13"
+    faithful = (
+        f"abs({d}) >= {PLAIN_REPR_FLOOR!r} "
+        f"AND abs({d}) < {SHORTEST_REPR_BOUND!r}"
+    )
     # STRING, not VARCHAR: Spark rejects bare VARCHAR (needs a length)
     # and DuckDB accepts STRING as a VARCHAR alias — the one spelling
     # valid on both engines for the shared-text consumers.
@@ -134,28 +162,6 @@ def davg_expr(sql_expr: str) -> str:
     return f"{dsum_expr(sql_expr)} / COUNT({sql_expr})"
 
 
-#: Faithful-cents bound (q_coerce_types' price stringification, r15
-#: numeric axis + review pass 2): Spark stringifies cents as
-#: BigDecimal.valueOf(x) — HALF_UP rounding of the SHORTEST decimal
-#: repr — while DuckDB's direct double->DECIMAL(18,2) cast rounds
-#: something closer to the binary value, and the two disagree on
-#: authored half-cent ties from 1.3e5 up (131183.645 -> .65 vs .64)
-#: and on uniform values from ~2.2e9 (review pass 2, both engines
-#: live). The oracle therefore reproduces Spark's algorithm exactly
-#: via :func:`cents_str_sql`'s VARCHAR chain (DuckDB's double->VARCHAR
-#: is shortest-repr and its VARCHAR->DECIMAL parse is HALF_UP —
-#: verified equal to BigDecimal on 92k adversarial half-cent ties,
-#: uniform sweeps, and negatives across 1e-4..1e13). Above 1e13
-#: DuckDB's VARCHAR rendering leaves the shortest-repr regime
-#: (observed .67 -> '.69' at 1e14), so BOTH rails declare NULL.
-CENTS_EXACT_BOUND = 1.0e13
-
-#: Below this, DuckDB renders doubles in EXPONENT form whose
-#: VARCHAR->DECIMAL parse is broken ('9.999e-05' -> 0.01), so
-#: :func:`cents_str_sql` falls back to the direct cast — every value
-#: there rounds to +-0.00 and the engines agree (subnormals included,
-#: r15 axis fixture).
-CENTS_PLAIN_REPR_FLOOR = 1.0e-4
 
 
 def cents_str_sql(sql_expr: str) -> str:
@@ -163,11 +169,11 @@ def cents_str_sql(sql_expr: str) -> str:
     (``decimal_to_str(cast(x AS DECIMAL(18,2)))``): shortest-repr
     HALF_UP via the VARCHAR chain inside the faithful zone, direct
     cast in the exponent-repr floor, NULL for non-finite and beyond
-    CENTS_EXACT_BOUND. Same splice contract as :func:`dsum_expr`."""
+    SHORTEST_REPR_BOUND. Same splice contract as :func:`dsum_expr`."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     return (
-        f"CASE WHEN NOT isnan({d}) AND abs({d}) < {CENTS_EXACT_BOUND!r} THEN "
-        f"CASE WHEN abs({d}) >= {CENTS_PLAIN_REPR_FLOOR!r} "
+        f"CASE WHEN NOT isnan({d}) AND abs({d}) < {SHORTEST_REPR_BOUND!r} THEN "
+        f"CASE WHEN abs({d}) >= {PLAIN_REPR_FLOOR!r} "
         f"THEN CAST(CAST(CAST({d} AS VARCHAR) AS DECIMAL(18,2)) AS VARCHAR) "
         f"ELSE CAST(CAST({d} AS DECIMAL(18,2)) AS VARCHAR) END "
         f"END"
@@ -205,6 +211,17 @@ def floor_long(c: Column, *, ceil: bool = False) -> Column:
 #: rounding at >= 1e9 moves the value by <= 1e-6 relative), and both
 #: rails share the CASE so the outputs stay bit-identical.
 ROUND6_PASSTHROUGH_BOUND = 1.0e9
+
+
+def round6(c: Column) -> Column:
+    """Spark-rail twin of :func:`round6_sql`: round to 6 decimals below
+    ROUND6_PASSTHROUGH_BOUND, pass the double through above it — so an
+    engine-side F.round never rounds where the DuckDB oracle cannot
+    follow (NULL and NaN fall to the otherwise branch, matching the
+    SQL CASE exactly)."""
+    return F.when(
+        F.abs(c) < F.lit(ROUND6_PASSTHROUGH_BOUND), F.round(c, 6)
+    ).otherwise(c)
 
 
 def round6_sql(sql_expr: str) -> str:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DECIMAL_T, dsum, dsum_expr, round6_sql
+from ..functions.numeric import DECIMAL_T, dsum, dsum_expr, round6, round6_sql
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
@@ -270,9 +270,9 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentiles",
     oracle=f"""
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
-           round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+           {round6_sql('quantile_cont(o_totalprice, 0.5)')} AS p50,
+           {round6_sql('quantile_cont(o_totalprice, 0.95)')} AS p95,
+           {round6_sql('quantile_cont(o_totalprice, 0.99)')} AS p99,
            (abs(approx_quantile(o_totalprice, 0.5)
                 - quantile_cont(o_totalprice, 0.5))
                 <= {SKETCH_RTOL} * quantile_cont(o_totalprice, 0.5)
@@ -310,9 +310,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(exact(0.5), 6).alias("p50"),
-            F.round(exact(0.95), 6).alias("p95"),
-            F.round(exact(0.99), 6).alias("p99"),
+            round6(exact(0.5)).alias("p50"),
+            round6(exact(0.95)).alias("p95"),
+            round6(exact(0.99)).alias("p99"),
             pcts.alias("_pcts"),
             exact(0.5).alias("_p50_raw"),
             exact(0.95).alias("_p95_raw"),
@@ -333,10 +333,10 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_percentiles_exact",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           {round6_sql('quantile_cont(o_totalprice, 0.5)')} AS p50,
+           {round6_sql('quantile_cont(o_totalprice, 0.95)')} AS p95,
            CAST(count(*) AS BIGINT) AS n
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -351,8 +351,8 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+            round6(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
+            round6(F.percentile("o_totalprice", F.lit(0.95))).alias("p95"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")

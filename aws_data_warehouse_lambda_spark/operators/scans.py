@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import CENTS_EXACT_BOUND, cents_str_sql
+from ..functions.numeric import SHORTEST_REPR_BOUND, cents_str_sql
 from ..sources.tables import load_table, load_table_with_watermark
 from .registry import query
 
@@ -96,7 +96,7 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Faithful-cents contract (r15 numeric axis + review pass 2):
     price_str is NULL for NaN/+-Inf (DuckDB's cast would raise where
-    Spark's yields NULL) and for |x| >= CENTS_EXACT_BOUND (1e13, where
+    Spark's yields NULL) and for |x| >= SHORTEST_REPR_BOUND (1e13, where
     DuckDB's VARCHAR rendering leaves the shortest-repr regime and no
     cast chain reproduces Spark). Inside the zone the oracle runs
     cents_str_sql's VARCHAR chain, verified equal to Spark's
@@ -138,10 +138,10 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             uuid_to_hex(dashed_uuid).alias("uuid_hex"),
             timestamp_to_str("o_orderdate").alias("ts_str"),
             # faithful-cents guard (see docstring): NaN/Inf and
-            # |x| >= CENTS_EXACT_BOUND declare NULL on both rails
+            # |x| >= SHORTEST_REPR_BOUND declare NULL on both rails
             F.when(
                 ~F.isnan("o_totalprice")
-                & (F.abs("o_totalprice") < F.lit(CENTS_EXACT_BOUND)),
+                & (F.abs("o_totalprice") < F.lit(SHORTEST_REPR_BOUND)),
                 decimal_to_str(F.col("o_totalprice").cast("decimal(18,2)")),
             ).alias("price_str"),
         )

@@ -122,9 +122,13 @@ _ORDERS_PREC = [
     (9018, 9, "O", 131183.645, _d("1995-08-01 00:00:00"), "9-TIES"),
     (9019, 10, "O", -1.005, _d("1995-08-02 00:00:00"), "9-TIES"),
     (9020, 6, "F", 1234567890123.455, _d("1995-08-03 00:00:00"), "9-TIES"),
-    # >= CENTS_EXACT_BOUND (1e13): both rails declare NULL (verified
-    # divergent under every DuckDB cast chain: .61 vs .60)
+    # >= SHORTEST_REPR_BOUND (1e13): both rails declare NULL. 9021's
+    # DIRECT cast diverges (.60 vs Spark's .61; its VARCHAR repr is
+    # still faithful); 9022 is the value that pins the bound itself —
+    # DuckDB renders it '...568' (non-shortest) so even the VARCHAR
+    # chain cannot match Spark there.
     (9021, 7, "O", 20169182918170.605, _d("1995-08-04 00:00:00"), "9-TIES"),
+    (9022, 8, "F", 12345678901234.567, _d("1995-08-05 00:00:00"), "9-TIES"),
 ]
 
 #: Every registered query whose oracle touches o_totalprice and is
@@ -389,7 +393,7 @@ def test_cents_chain_matches_spark_on_adversarial_ties(spark) -> None:
 
     from aws_data_warehouse_lambda_spark.functions.coerce import decimal_to_str
     from aws_data_warehouse_lambda_spark.functions.numeric import (
-        CENTS_EXACT_BOUND,
+        SHORTEST_REPR_BOUND,
         cents_str_sql,
     )
 
@@ -410,7 +414,7 @@ def test_cents_chain_matches_spark_on_adversarial_ties(spark) -> None:
         r.s
         for r in df.select(
             F.when(
-                ~F.isnan("x") & (F.abs("x") < F.lit(CENTS_EXACT_BOUND)),
+                ~F.isnan("x") & (F.abs("x") < F.lit(SHORTEST_REPR_BOUND)),
                 decimal_to_str(F.col("x").cast("decimal(18,2)")),
             ).alias("s")
         ).collect()
@@ -431,3 +435,60 @@ def test_cents_chain_matches_spark_on_adversarial_ties(spark) -> None:
         con.close()
     for v, a, b in zip(vals, got_spark, got_duck):
         assert a == b, (v, a, b)
+
+
+def test_percentile_nan_interpolation_pinned(spark) -> None:
+    """ADJUDICATED CONTRACT (r15 axis, found while placing the NaN
+    fixture rows): Spark's percentile() and DuckDB's quantile_cont()
+    DIVERGE on groups where linear interpolation lands near a NaN.
+    Both sort NaN as the greatest value and agree when the group has
+    <= 3 values (the interpolation either avoids the NaN or hits it on
+    both engines), but at 4 values they disagree in BOTH directions:
+    Spark p50 interpolates the two middle REAL values (65591.8225)
+    where DuckDB returns NaN, and DuckDB p95 returns a real
+    interpolation (111506.09825) where Spark returns NaN. Neither is
+    'wrong' — the engines interpolate across the NaN-adjacent
+    positions differently — so the behavior is PINNED per engine (the
+    overhang-rendering precedent), the parity fixtures keep NaN rows
+    out of >3-value percentile groups, and if either engine's
+    quantile arithmetic ever changes this fails loudly for
+    re-adjudication."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    NAN = float("nan")
+    agree = [-0.0, 0.0, NAN]                       # n=3: engines agree
+    diverge = [-0.0, 0.0, NAN, 131183.645]         # n=4: pinned apart
+
+    def spark_pcts(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        r = df.agg(
+            F.percentile("x", F.lit(0.5)).alias("p50"),
+            F.percentile("x", F.lit(0.95)).alias("p95"),
+        ).collect()[0]
+        return r.p50, r.p95
+
+    def duck_pcts(vals):
+        con = duckdb.connect()
+        try:
+            vs = ", ".join(
+                "(CAST('nan' AS DOUBLE))" if math.isnan(v) else f"({v!r}::DOUBLE)"
+                for v in vals
+            )
+            return con.execute(
+                "SELECT quantile_cont(x, 0.5), quantile_cont(x, 0.95)"
+                f" FROM (VALUES {vs}) t(x)"
+            ).fetchone()
+        finally:
+            con.close()
+
+    s3, d3 = spark_pcts(agree), duck_pcts(agree)
+    assert s3[0] == d3[0] == 0.0, (s3, d3)
+    assert math.isnan(s3[1]) and math.isnan(d3[1]), (s3, d3)
+
+    s4, d4 = spark_pcts(diverge), duck_pcts(diverge)
+    assert s4[0] == 65591.8225 and math.isnan(s4[1]), s4
+    assert math.isnan(d4[0]) and d4[1] == 111506.09824999994, d4
