@@ -95,10 +95,19 @@ def dsum_expr(sql_expr: str) -> str:
 #: is shortest-repr-faithful (60k-sample sweep, zero mismatches) and
 #: its VARCHAR->DECIMAL parse is HALF_UP, so a VARCHAR-mediated cast
 #: equals BigDecimal.valueOf exactly (92k adversarial ties + uniform
-#: sweeps + negatives, both engines live). Above the bound the
-#: rendering leaves the shortest regime (12345678901234.567 renders
-#: '...568'); below the floor it switches to EXPONENT form whose
-#: VARCHAR->DECIMAL parse is broken ('9.999e-05' -> 0.01).
+#: sweeps + negatives, both engines live). The BOUND is the edge of
+#: that adversarial verification, a declared conservative cutoff —
+#: NOT a rendering cliff: probing 'non-shortest rendering above 1e13'
+#: with SQL literals is a measurement artifact (DuckDB parses the
+#: literal as DECIMAL(17,3) and converts it LOSSILY to a different
+#: double whose shortest repr then looks wrong; true doubles render
+#: shortest in spot sweeps of [1e13, 1e15) too — r15 review pass 4).
+#: What IS real above the bound: the direct-cast residual (2.0e13
+#: diverges .60 vs .61) and a value domain that is garbage for
+#: cents, so both rails declare NULL / fall back rather than extend
+#: the verified zone on thinner evidence. Below the floor the
+#: rendering switches to EXPONENT form whose VARCHAR->DECIMAL parse
+#: is broken ('9.999e-05' -> 0.01).
 SHORTEST_REPR_BOUND = 1.0e13
 PLAIN_REPR_FLOOR = 1.0e-4
 
@@ -133,11 +142,12 @@ def dsum_term_sql(sql_expr: str) -> str:
     shortest difference sits past the 10th decimal for these tiny
     magnitudes and no divergence was found in a 200k authored-tie
     probe (NOT a +-0 argument — values in [1e-10, 1e-4) quantize to
-    nonzero decimals), above the bound values with
-    more significant digits than DuckDB renders faithfully (>15) are a
-    DOCUMENTED residual, and the >= 1e28 loud-overflow contract
-    raises identically through either branch. Same splice contract as
-    :func:`dsum_expr`."""
+    nonzero decimals); above the bound the direct cast's
+    binary-quantization residual remains DOCUMENTED (deep-fraction
+    values in [1e13, 1e28) can diverge — the verified-equal evidence
+    stops at the bound, see SHORTEST_REPR_BOUND), and the >= 1e28
+    loud-overflow contract raises identically through either branch.
+    Same splice contract as :func:`dsum_expr`."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     guard = (
         f"NOT isnan({d}) AND abs({d}) < CAST('Infinity' AS DOUBLE)"
@@ -160,7 +170,6 @@ def dsum_term_sql(sql_expr: str) -> str:
 def davg_expr(sql_expr: str) -> str:
     """The DuckDB-oracle spelling of :func:`davg`."""
     return f"{dsum_expr(sql_expr)} / COUNT({sql_expr})"
-
 
 
 

@@ -122,11 +122,15 @@ _ORDERS_PREC = [
     (9018, 9, "O", 131183.645, _d("1995-08-01 00:00:00"), "9-TIES"),
     (9019, 10, "O", -1.005, _d("1995-08-02 00:00:00"), "9-TIES"),
     (9020, 6, "F", 1234567890123.455, _d("1995-08-03 00:00:00"), "9-TIES"),
-    # >= SHORTEST_REPR_BOUND (1e13): both rails declare NULL. 9021's
-    # DIRECT cast diverges (.60 vs Spark's .61; its VARCHAR repr is
-    # still faithful); 9022 is the value that pins the bound itself —
-    # DuckDB renders it '...568' (non-shortest) so even the VARCHAR
-    # chain cannot match Spark there.
+    # >= SHORTEST_REPR_BOUND (1e13): both rails declare NULL. 9021
+    # pins the REAL above-bound hazard — its DIRECT decimal cast
+    # diverges (.60 vs Spark's .61). 9022 exercises only NULL==NULL
+    # agreement under the shared guard: the earlier claim that DuckDB
+    # renders it '...568' was a SQL-literal parsing artifact (r15
+    # review pass 4) — the stored DOUBLE renders shortest ('...566')
+    # and the VARCHAR chain would even match Spark here; the bound is
+    # the edge of the adversarial verification, not a rendering cliff
+    # (functions/numeric.py).
     (9021, 7, "O", 20169182918170.605, _d("1995-08-04 00:00:00"), "9-TIES"),
     (9022, 8, "F", 12345678901234.567, _d("1995-08-05 00:00:00"), "9-TIES"),
 ]
