@@ -496,3 +496,65 @@ def test_percentile_nan_interpolation_pinned(spark) -> None:
     s4, d4 = spark_pcts(diverge), duck_pcts(diverge)
     assert s4[0] == 65591.8225 and math.isnan(s4[1]), s4
     assert math.isnan(d4[0]) and d4[1] == 111506.09824999994, d4
+
+
+def test_dsum_input_mirror_matches_spark_on_deep_fractions(spark) -> None:
+    """PROPERTY PIN of the dsum input-cast mirror (review pass 2): on
+    seeded deep-fraction values — the class where DuckDB's direct
+    double->DECIMAL(38,10) cast quantizes the BINARY value while
+    Spark's quantizes the shortest repr (1234567890123.455 ->
+    ...4550964224 vs ...4550000000, diverging from ~9e5 up) —
+    dsum_term_sql's STRING chain must make per-value dsum sums equal
+    Spark's bit-for-bit across the faithful zone, negatives and the
+    int53-cliff integers included. One Spark job + one DuckDB query
+    over the same 300+ values, both real engines."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.functions.numeric import (
+        dsum,
+        dsum_expr,
+    )
+
+    rng = random.Random(1551)
+    vals: list[float] = []
+    for mag in (0, 3, 6, 9, 12):
+        for _ in range(30):
+            k = rng.randrange(10**mag, 10**(mag + 1))
+            frac = rng.randrange(10**6)
+            vals.append(float(f"{k}.{frac:06d}"))
+            vals.append(-float(f"{k}.{frac:06d}5"))
+    vals += [1234567890123.455, 9007199254740992.0, 9007199254740994.0,
+             5e-324, 0.0, -0.0, 9.99e-5, 1e-4]
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got_spark = {
+        r.id: r.s
+        for r in df.groupBy("id").agg(dsum(F.col("x")).alias("s")).collect()
+    }
+    import pandas as pd
+
+    con = duckdb.connect()
+    try:
+        # register TRUE doubles — authoring them as SQL literals is the
+        # pass-4 measurement artifact (DuckDB parses the literal as
+        # DECIMAL(16,6) and converts it LOSSILY to a different double)
+        con.register(
+            "t",
+            pd.DataFrame(rows, columns=["id", "x"]).astype(
+                {"id": "int64", "x": "float64"}
+            ),
+        )
+        got_duck = dict(
+            con.execute(
+                f"SELECT id, {dsum_expr('x')} AS s FROM t GROUP BY id"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    for i, v in rows:
+        assert got_spark[i] == got_duck[i], (v, got_spark[i], got_duck[i])
