@@ -558,3 +558,69 @@ def test_dsum_input_mirror_matches_spark_on_deep_fractions(spark) -> None:
         con.close()
     for i, v in rows:
         assert got_spark[i] == got_duck[i], (v, got_spark[i], got_duck[i])
+
+
+def test_round6_twins_agree_on_organic_values(spark) -> None:
+    """PROPERTY PIN of the round6 pair (engine F.when twin vs
+    round6_sql oracle text) on ORGANIC values through both real
+    engines: seeded uniform doubles across 1e-3..1e12 — spanning the
+    1e9 pass-through boundary from both sides — must come back
+    bit-identical. The seed is FIXED, so this is deterministic: today
+    every seeded value agrees (including one whose shortest repr ends
+    at a 7th-decimal 5 — 531603012.2622385 — where both engines still
+    round the same way); the DOCUMENTED residual
+    (ROUND6_PASSTHROUGH_BOUND docstring) is the sub-population of
+    such ties where they would not, which organic aggregates hit with
+    measure ~0. If an engine upgrade shifts either round
+    implementation, this fails first."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.functions.numeric import (
+        round6,
+        round6_sql,
+    )
+
+    rng = random.Random(156)
+    vals: list[float] = []
+    for mag in range(-3, 12):
+        vals += [rng.uniform(10**mag, 10**(mag + 1)) for _ in range(20)]
+        vals.append(-rng.uniform(10**mag, 10**(mag + 1)))
+    # boundary straddle + infinity controls. NO NaN here: DuckDB's
+    # pandas scan transports NaN as NULL (a transport artifact, not an
+    # engine disagreement), and the NaN arm is already fixture-covered
+    # by the parquet-based parity runs above.
+    vals += [999999999.9999994, 1000000000.0000005, 1e9,
+             float("inf"), float("-inf")]
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got_spark = {
+        r.id: r.s for r in df.select("id", round6(F.col("x")).alias("s")).collect()
+    }
+    import pandas as pd
+
+    con = duckdb.connect()
+    try:
+        con.register(
+            "t",
+            pd.DataFrame(rows, columns=["id", "x"]).astype(
+                {"id": "int64", "x": "float64"}
+            ),
+        )
+        got_duck = dict(
+            con.execute(f"SELECT id, {round6_sql('x')} AS s FROM t").fetchall()
+        )
+    finally:
+        con.close()
+    import math
+
+    for i, v in rows:
+        a, b = got_spark[i], got_duck[i]
+        if isinstance(a, float) and math.isnan(a):
+            assert isinstance(b, float) and math.isnan(b), (v, a, b)
+        else:
+            assert a == b, (v, a, b)
