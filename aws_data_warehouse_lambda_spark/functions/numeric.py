@@ -147,7 +147,11 @@ def dsum_term_sql(sql_expr: str) -> str:
     values in [1e13, 1e28) can diverge — the verified-equal evidence
     stops at the bound, see SHORTEST_REPR_BOUND), and the >= 1e28
     loud-overflow contract raises identically through either branch.
-    Same splice contract as :func:`dsum_expr`."""
+    POLICY if a fixture ever reaches [1e13, 1e28) with deep fractions
+    (ADVICE r15): extend the verified zone with a true-stored-double
+    sweep (NOT SQL literals — the pass-4 artifact) or skip/NULL the
+    range like cents_str_sql, never leave the gate to luck. Same
+    splice contract as :func:`dsum_expr`."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     guard = (
         f"NOT isnan({d}) AND abs({d}) < CAST('Infinity' AS DOUBLE)"

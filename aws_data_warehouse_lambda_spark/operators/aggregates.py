@@ -297,7 +297,12 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_ok``: each engine asserts its own sketch is within
     SKETCH_RTOL of exact at ALL THREE quantiles (a tail-only estimator
     regression must fail the gate too). Scalar double columns only
-    (the driver's canonicalizer cannot hash arrays)."""
+    (the driver's canonicalizer cannot hash arrays).
+
+    Output shape (ADVICE r15): p50/p95/p99 go through round6, so
+    values >= ROUND6_PASSTHROUGH_BOUND (1e9) are emitted UNROUNDED
+    (the raw double; see functions/numeric.round6 — rounding there
+    moves the value by <= 1e-6 relative anyway)."""
     pcts = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
     exact = lambda p: F.percentile("o_totalprice", F.lit(p))  # noqa: E731
 
@@ -346,7 +351,8 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont``: both sort and linearly interpolate at p*(n-1)).
     The exactness referee for q_percentiles' sketch; needs a full sort
     per group, so at 100 TB prefer the sketch and keep this for samples
-    and acceptance checks."""
+    and acceptance checks. Output shape (ADVICE r15): p50/p95 values
+    >= ROUND6_PASSTHROUGH_BOUND (1e9) pass through round6 unrounded."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -491,7 +497,10 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, which can't hash-match another engine, while power sums are
     order-insensitive and still a single map-side-combined aggregate.
     The final algebra runs once per group on engine-identical doubles
-    (rounded to 6 dp to absorb any FMA-contraction difference)."""
+    (rounded to 6 dp to absorb any FMA-contraction difference; outputs
+    >= ROUND6_PASSTHROUGH_BOUND (1e9) pass through UNROUNDED — at that
+    magnitude 6-dp rounding is <= 1e-6 relative, see
+    functions/numeric.round6; ADVICE r15)."""
     li = load_table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     sums = li.groupBy("l_returnflag").agg(

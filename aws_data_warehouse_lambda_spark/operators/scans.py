@@ -103,7 +103,16 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     BigDecimal shortest-repr HALF_UP on 92k adversarial half-cent
     ties (the direct DuckDB cast diverges on ties from 1.3e5 and on
     uniform values from ~2.2e9 — functions/numeric.py). The
-    DECIMAL(18,2) overflow raise is unreachable under the guard."""
+    DECIMAL(18,2) overflow raise is unreachable under the guard.
+
+    USER-FACING NULL ZONE (ADVICE r15): DECIMAL(18,2) itself holds
+    values to ~1e16 and bare Spark would stringify [1e13, 1e16)
+    correctly — the product contract here is deliberately NARROWER
+    than Spark's capability so the declared behavior is verifiable on
+    both rails; finite |x| >= 1e13 reads as NULL price_str by
+    contract, not as a data error. Extending the faithful zone needs
+    a targeted [1e13, 1e16) verification sweep first (r16 candidate,
+    see SHORTEST_REPR_BOUND)."""
     from ..functions.coerce import decimal_to_str, timestamp_to_str, uuid_to_hex
 
     o = load_table(spark, sf_dir, "orders")
