@@ -248,11 +248,15 @@ def round6_sql(sql_expr: str) -> str:
     in KIND (shortest-decimal-repr HALF_UP vs binary-value rounding)
     and disagree on AUTHORED half-tie values whose shortest repr ends
     exactly at the 7th decimal digit 5 (e.g. round(1026.4791695, 6)).
-    Organic aggregate outputs (this helper's only consumers) land on
-    such ties with probability ~0; decimal-AUTHORED columns must not
-    be rounded through this helper. Same splice contract as
-    :func:`dsum_expr` (the expression appears in the guard and both
-    branches)."""
+    MEASURED SIZE (r16, test_round6_authored_tie_divergence_
+    quantified): 14 of 400 seeded authored ties diverge (3.5% — the
+    binary errors usually cancel into the same representable
+    midpoint; when they don't, DuckDB goes toward zero and Spark away,
+    exactly one 6th-decimal step). Organic aggregate outputs (this
+    helper's only consumers) land on such ties with probability ~0;
+    decimal-AUTHORED columns must not be rounded through this helper.
+    Same splice contract as :func:`dsum_expr` (the expression appears
+    in the guard and both branches)."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     return (
         f"CASE WHEN abs({d}) < {ROUND6_PASSTHROUGH_BOUND!r} "

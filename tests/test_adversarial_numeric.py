@@ -624,3 +624,93 @@ def test_round6_twins_agree_on_organic_values(spark) -> None:
             assert isinstance(b, float) and math.isnan(b), (v, a, b)
         else:
             assert a == b, (v, a, b)
+
+
+def test_round6_authored_tie_divergence_quantified(spark) -> None:
+    """EXECUTABLE SIZE of the round6 KNOWN RESIDUAL (VERDICT r15 #4):
+    a seeded population of AUTHORED 7th-decimal-5 half-ties — decimal
+    strings ``i.ffffff5`` that round-trip through float64 (so the
+    shortest repr provably ends at a 7th-decimal 5) — pushed through
+    BOTH real round6 rails, with the divergence COUNT pinned.
+
+    Mechanism being measured: Spark's F.round(double, 6) rounds the
+    SHORTEST DECIMAL REPR (BigDecimal.valueOf) HALF_UP, so every
+    authored tie rounds away from zero; DuckDB's multiply-based
+    round() rounds fl(x*1e6) half-away-from-zero. MEASURED: the
+    product usually lands exactly ON the representable ``......5``
+    tie (the double->decimal and multiply rounding errors cancel into
+    the same midpoint), where half-away-from-zero AGREES with Spark's
+    HALF_UP — divergence needs the compounded binary error to land
+    the product strictly on the toward-zero side of the midpoint,
+    which for this fixed seed happens 14 times in 400 (3.5%, far
+    below the naive coin-flip expectation; always exactly one
+    6th-decimal step, always DuckDB toward zero / Spark away).
+    Organic
+    aggregate outputs land on such ties with measure ~0 (the organic
+    twin pin above); decimal-AUTHORED columns must not round through
+    the helper (round6_sql docstring). NaN deliberately absent —
+    DuckDB's pandas scan transports NaN as NULL (transport artifact,
+    post-closing r15 note)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.functions.numeric import (
+        round6,
+        round6_sql,
+    )
+
+    rng = random.Random(160001)
+    ties: list[float] = []
+    while len(ties) < 400:
+        # integer part <= 1e8 keeps total sig digits <= 15 (repr
+        # round-trip plausible) and the value inside the rounded zone
+        # (< ROUND6_PASSTHROUGH_BOUND = 1e9).
+        ipart = rng.randint(0, 10 ** rng.randint(1, 8))
+        frac6 = rng.randint(0, 999_999)
+        s = f"{ipart}.{frac6:06d}5"
+        x = float(s)
+        if repr(x) == s:
+            ties.append(-x if rng.random() < 0.5 and x != 0.0 else x)
+
+    rows = [(i, v) for i, v in enumerate(ties)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got_spark = {
+        r.id: r.s
+        for r in df.select("id", round6(F.col("x")).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        # register TRUE doubles — SQL literals are the pass-4 artifact
+        con.register(
+            "t",
+            pd.DataFrame(rows, columns=["id", "x"]).astype(
+                {"id": "int64", "x": "float64"}
+            ),
+        )
+        got_duck = dict(
+            con.execute(f"SELECT id, {round6_sql('x')} AS s FROM t").fetchall()
+        )
+    finally:
+        con.close()
+
+    diverged = 0
+    for i, v in rows:
+        a, b = got_spark[i], got_duck[i]
+        if a != b:
+            diverged += 1
+            # Spark (shortest-repr HALF_UP) always rounds an authored
+            # tie AWAY from zero; divergence is DuckDB rounding the
+            # binary value toward zero instead — exactly one step of
+            # the 6th decimal, never more.
+            assert abs(a) > abs(v), (v, a, b)
+            # nominal 1e-6 step, plus a few ulps of the operands (the
+            # 6-dp candidates are themselves rounded doubles)
+            assert abs(a - b) <= 1.01e-6, (v, a, b)
+    # The pinned size of the residual for this seed. If an engine
+    # upgrade changes either rounding implementation, this count moves
+    # and the pin fails for re-adjudication.
+    assert diverged == 14, diverged
