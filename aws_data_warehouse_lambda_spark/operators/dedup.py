@@ -709,6 +709,21 @@ def _small_star(edges: DataFrame, *, canonical: bool = False) -> DataFrame:
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 
+#: r16 A/B instrumentation (VERDICT r15 #1 — the q_dedup_clusters cost
+#: creep). ``CC_INPUT_MATERIALIZE`` selects how connected_components
+#: materializes its input: "checkpoint" (product default — lineage cut,
+#: every CC round plans over a tiny LogicalRDD) or "persist" (the A/B
+#: arm — same single materialization pass via persist+count, but
+#: lineage is NOT cut, so each round re-optimizes the full upstream
+#: logical plan through the cache lookup). tests/adjudicate_clusters.py
+#: flips this; product code always runs the default. ``LAST_CC_ROUNDS``
+#: records the converged round count of the most recent call (telemetry
+#: for the phase decomposition; reading it races nothing because the
+#: engine runs CC on the driver thread that set it).
+CC_INPUT_MATERIALIZE = "checkpoint"
+LAST_CC_ROUNDS: int | None = None
+
+
 def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame:
     """(node, label) connected-component labels for an undirected edge
     list ``(src, dst)`` — label = min node id in the component.
@@ -748,7 +763,15 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
     # before any block lands — measured 2-3x slower than paying the one
     # checkpoint job (the r4 keep-list regression). For an already-
     # checkpointed input the extra checkpoint is a cheap block copy.
-    base = pairs.localCheckpoint()
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = None
+    if CC_INPUT_MATERIALIZE == "persist":
+        from pyspark import StorageLevel
+
+        base = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        base.count()
+    else:
+        base = pairs.localCheckpoint()
     nodes = (
         base.select(F.col("src").alias("node"))
         .union(base.select(F.col("dst").alias("node")))
@@ -774,6 +797,7 @@ def connected_components(pairs: DataFrame, *, max_rounds: int = 25) -> DataFrame
             .first()
         )
         if cnt == nsrc and chains == 0:
+            LAST_CC_ROUNDS = r + 1
             break
     else:
         # A non-converged edge set is NOT a star forest: the final join

@@ -1,0 +1,196 @@
+"""Controlled A/B for the q_dedup_clusters cost creep (VERDICT r15 #1).
+
+The query's driver cost drifted 4.25 s (r13) -> 4.85 (r14 quiet) ->
+6.2-6.3 (r15) behind individually-plausible host/warm-state
+adjudications, and the since-r4 "eager checkpoint bimodality"
+hypothesis — first-run-after-reset pays a variance-heavy
+localCheckpoint block landing — has never actually been tested as an
+A/B. This script settles it two ways:
+
+1. **Interleaved full-path A/B** (>= 5 runs per arm, bench-identical
+   protocol: memo reset + clearCache + gc per run, noop write sink,
+   both canaries read beside every run): arm "checkpoint" is the
+   product code (connected_components cuts lineage with
+   localCheckpoint), arm "persist" materializes the same CC input via
+   persist(MEMORY_AND_DISK)+count() WITHOUT cutting lineage (the
+   dedup.CC_INPUT_MATERIALIZE knob). Per-run samples are kept in
+   ORDER so warm-state decay (the 15.3 -> 5.4 pattern the r15
+   standalone sets showed) is visible per arm, not hidden in a median.
+
+2. **Phase decomposition** (3 runs per arm): wall time split into
+   t_pipeline (referee PPJoin + exact-dup star + fingerprint screen,
+   up to and including the input materialization), t_cc (the
+   large-star/small-star fixpoint incl. the labels join, noop-written)
+   and t_agg (the final groupBy/collect_list/orderBy, noop-written),
+   plus the converged round count (dedup.LAST_CC_ROUNDS). This
+   attributes the 6.2 s to a stage instead of a vibe: if t_pipeline
+   dominates and tracks canary_cpu, the creep is the candidate
+   pipeline on a loaded host; if t_cc grew, the planning-floor claim
+   is testable against the round count.
+
+Deliberate simplifications vs bench.py (the adjudicate_tfidf.py
+precedent): plain in-order samples (no median trimming), one query,
+no interleaving with other queries. If bench.py's per-run protocol
+changes, update `reset()` below to match.
+
+Usage: python tests/adjudicate_clusters.py [runs_per_arm] [decomp_runs]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    runs_per_arm = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    decomp_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.operators import dedup
+    from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
+    from aws_data_warehouse_lambda_spark.session import tune
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("adjudicate-clusters")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
+    )
+    tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        return round(time.perf_counter() - t0, 4)
+
+    def canary_cpu() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 128_000_000, 1, 8).agg(F.sum("id")).collect()
+        return round(time.perf_counter() - t0, 4)
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def reset() -> None:
+        # bench.py per-run protocol + clearCache: the persist arm's
+        # CC-input blocks are NOT memo-tracked, so without the cache
+        # clear arm B's run N would leak warm blocks into run N+1.
+        dedup.reset_shared_relations()
+        spark.catalog.clearCache()
+        gc.collect()
+
+    # Warm-up: pay JVM/codegen/parquet-footer/noop-sink init once,
+    # through the same path as the timed runs (bench.py r13 protocol).
+    noop(QUERIES["q_dedup_clusters"](spark, sf_dir))
+    canary()
+    canary_cpu()
+
+    arms = ("checkpoint", "persist")
+
+    # ---- 1. interleaved full-path A/B --------------------------------
+    full: dict[str, list[dict]] = {a: [] for a in arms}
+    for i in range(runs_per_arm):
+        for arm in arms:
+            dedup.CC_INPUT_MATERIALIZE = arm
+            reset()
+            c, cc = canary(), canary_cpu()
+            t0 = time.perf_counter()
+            noop(QUERIES["q_dedup_clusters"](spark, sf_dir))
+            full[arm].append(
+                {
+                    "run": i,
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                    "canary_s": c,
+                    "canary_cpu_s": cc,
+                    "cc_rounds": dedup.LAST_CC_ROUNDS,
+                }
+            )
+
+    # ---- 2. phase decomposition --------------------------------------
+    def build_edges():
+        pairs = dedup._jaccard_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        return pairs.unionByName(
+            dedup._exact_dup_edges(spark, sf_dir)
+        ).unionByName(dedup._screen_edges(spark, sf_dir))
+
+    decomp: dict[str, list[dict]] = {a: [] for a in arms}
+    for i in range(decomp_runs):
+        for arm in arms:
+            dedup.CC_INPUT_MATERIALIZE = arm
+            reset()
+            c, cc = canary(), canary_cpu()
+            t0 = time.perf_counter()
+            edges = build_edges()
+            if arm == "persist":
+                from pyspark import StorageLevel
+
+                base = edges.persist(StorageLevel.MEMORY_AND_DISK)
+                base.count()
+            else:
+                base = edges.localCheckpoint()
+            t1 = time.perf_counter()
+            labels = dedup.connected_components(base)
+            noop(labels)
+            t2 = time.perf_counter()
+            noop(
+                labels.groupBy(F.col("label").alias("cluster_id"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_members"),
+                    F.array_join(
+                        F.array_sort(F.collect_list("node")), ","
+                    ).alias("member_ids"),
+                )
+                .orderBy("cluster_id")
+            )
+            t3 = time.perf_counter()
+            decomp[arm].append(
+                {
+                    "run": i,
+                    "t_pipeline_s": round(t1 - t0, 3),
+                    "t_cc_s": round(t2 - t1, 3),
+                    "t_agg_s": round(t3 - t2, 3),
+                    "cc_rounds": dedup.LAST_CC_ROUNDS,
+                    "canary_s": c,
+                    "canary_cpu_s": cc,
+                }
+            )
+
+    dedup.CC_INPUT_MATERIALIZE = "checkpoint"  # restore product default
+
+    med = {
+        a: round(statistics.median(r["wall_s"] for r in full[a]), 3)
+        for a in arms
+    }
+    print(
+        json.dumps(
+            {
+                "query": "q_dedup_clusters",
+                "sf_dir": sf_dir,
+                "cpus": int(cpus),
+                "runs_per_arm": runs_per_arm,
+                "median_wall_s": med,
+                "full_runs": full,
+                "decomposition": decomp,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,232 @@
+"""sf0.1 -> ~sf1 scaling-curve probe (VERDICT r15 #2).
+
+The 100 TB posture has been argued from plans (bucketed joins, no
+collects, plan pins) and verified for CORRECTNESS at sf0.001/0.01/0.1,
+but no run ever measured the scaling CURVE. This script builds a
+builder-local ~sf1 clone (10x sf0.1; never touches /root/testdata) and
+measures the sf0.1 -> sf1 wall-time ratio for the 8 most expensive
+queries of the r15 sweep. A clearly super-linear ratio (>~20x for 10x
+data) flags the plan for bisection; ratios can also be deeply
+SUB-linear at this scale (fixed Catalyst-planning floor dominating at
+sf0.1).
+
+Clone construction — 10 replicas with DISJOINT identity spaces so the
+workload composes as 10 independent corpora and linear scaling is the
+mathematically expected reference:
+
+- ``documents``: replica 0 is verbatim; replica k remaps doc_id by
+  k*stride and prefixes EVERY word with the alnum tag ``r{k}x``. A
+  uniform word bijection preserves every within-replica shingle-set
+  relation (Jaccard, df distribution, DF_CAP behavior) EXACTLY while
+  sharing zero shingles across replicas — no cross-replica edges, no
+  10x exact-dup cliques that verbatim copies would fabricate.
+  n_chars is recomputed (q_text_* consumers read it).
+- ``embeddings``: replica k remaps vec_id and cyclically shifts the
+  vector by k dims — intra-replica geometry (dots, norms, LSH bucket
+  co-membership) is exactly preserved, cross-replica vectors decohere.
+- ``events``: replica k offsets user_id and event_id; ts/value/props
+  verbatim — 10x keys at identical per-key cardinality and identical
+  event-time distribution (the stream-join window shape).
+- all other tables: byte-copied from the source dir.
+
+Usage: python tests/scale_probe.py [build|bench|both] [n_runs]
+Env: SPARK_GRAFT_SF_DIR (source, default /root/testdata/sf0.1),
+     SCALE_PROBE_DIR (clone target, default /tmp/spark_graft_sf1),
+     SCALE_PROBE_REPLICAS (default 10), SPARK_GRAFT_CPUS (default 8).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SCALE_PROBE_DIR", "/tmp/spark_graft_sf1")
+REPLICAS = int(os.environ.get("SCALE_PROBE_REPLICAS", "10"))
+
+TOP8 = [
+    "q_dedup_clusters",
+    "q_dedup_keep_list",
+    "q_graph_pagerank",
+    "q_dedup_containment",
+    "q_dedup_ngram_jaccard",
+    "q_sim_lsh_bucketed",
+    "q_stream_stream_join",
+    "q_graph_degree",
+]
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _stride(max_id: int) -> int:
+    s = 1
+    while s <= max_id:
+        s *= 10
+    return s
+
+
+def build() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DST, exist_ok=True)
+    for t in ALL_TABLES:
+        if t not in ("documents", "embeddings", "events"):
+            shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+    # documents: uniform word bijection per replica (see module doc).
+    tab = pq.read_table(f"{SRC}/documents.parquet")
+    df = tab.to_pandas()
+    ds = _stride(int(df["doc_id"].max()))
+    parts = [df]
+    for k in range(1, REPLICAS):
+        c = df.copy()
+        c["doc_id"] = c["doc_id"] + k * ds
+        tag = f"r{k}x"
+        c["text"] = [
+            None if txt is None
+            else " ".join(tag + w for w in txt.split())
+            for txt in c["text"]
+        ]
+        c["n_chars"] = [0 if txt is None else len(txt) for txt in c["text"]]
+        parts.append(c)
+    import pandas as pd
+
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=tab.schema, preserve_index=False),
+        f"{DST}/documents.parquet",
+    )
+
+    # embeddings: cyclic dim shift per replica.
+    tab = pq.read_table(f"{SRC}/embeddings.parquet")
+    df = tab.to_pandas()
+    vs = _stride(int(df["vec_id"].max()))
+    parts = [df]
+    for k in range(1, REPLICAS):
+        c = df.copy()
+        c["vec_id"] = c["vec_id"] + k * vs
+        c["embedding"] = [
+            v if v is None or len(v) == 0
+            else list(v[k % len(v):]) + list(v[: k % len(v)])
+            for v in c["embedding"]
+        ]
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=tab.schema, preserve_index=False),
+        f"{DST}/embeddings.parquet",
+    )
+
+    # events: user/event identity offset per replica.
+    tab = pq.read_table(f"{SRC}/events.parquet")
+    df = tab.to_pandas()
+    us = _stride(int(df["user_id"].max()))
+    es = _stride(int(df["event_id"].max()))
+    parts = [df]
+    for k in range(1, REPLICAS):
+        c = df.copy()
+        c["user_id"] = c["user_id"] + k * us
+        c["event_id"] = c["event_id"] + k * es
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=tab.schema, preserve_index=False),
+        f"{DST}/events.parquet",
+    )
+    sizes = {
+        t: os.path.getsize(f"{DST}/{t}.parquet") for t in ALL_TABLES
+    }
+    print(json.dumps({"built": DST, "replicas": REPLICAS, "bytes": sizes}))
+
+
+def bench(n_runs: int) -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.operators import dedup
+    from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
+    from aws_data_warehouse_lambda_spark.session import tune
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-probe")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
+    )
+    tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        return round(time.perf_counter() - t0, 4)
+
+    def canary_cpu() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 128_000_000, 1, 8).agg(F.sum("id")).collect()
+        return round(time.perf_counter() - t0, 4)
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up through the timed path at the SMALL scale
+    noop(QUERIES[TOP8[0]](spark, SRC))
+    canary()
+    canary_cpu()
+
+    result: dict = {"sf_src": SRC, "sf_big": DST, "cpus": int(cpus), "queries": {}}
+    for name in TOP8:
+        row: dict = {}
+        for label, d in (("sf0.1", SRC), ("sf1", DST)):
+            runs, cc_rounds = [], None
+            for _ in range(n_runs):
+                dedup.reset_shared_relations()
+                spark.catalog.clearCache()
+                gc.collect()
+                t0 = time.perf_counter()
+                noop(QUERIES[name](spark, d))
+                runs.append(round(time.perf_counter() - t0, 3))
+                cc_rounds = dedup.LAST_CC_ROUNDS
+            row[label] = {
+                "median_s": round(statistics.median(runs), 3),
+                "runs": runs,
+                "canary_s": canary(),
+                "canary_cpu_s": canary_cpu(),
+                "cc_rounds": cc_rounds,
+            }
+        row["ratio"] = (
+            round(row["sf1"]["median_s"] / row["sf0.1"]["median_s"], 2)
+            if row["sf0.1"]["median_s"] > 0
+            else None
+        )
+        result["queries"][name] = row
+        print(json.dumps({name: row}), flush=True)
+    print(json.dumps(result))
+
+
+def main() -> int:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    if mode in ("build", "both"):
+        build()
+    if mode in ("bench", "both"):
+        bench(n_runs)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
