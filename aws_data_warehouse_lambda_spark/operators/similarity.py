@@ -40,6 +40,7 @@ from ..functions.vectors import (
     norm,
     norm_sql,
 )
+from ..functions.spread import spread_if_few_splits
 from ..sources.tables import load_table
 from .registry import query
 
@@ -61,7 +62,19 @@ _NORMS_SQL = f"""
 
 
 def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    """(vec_id, embedding, nrm) over the embeddings table, SPREAD to
+    defaultParallelism when the scan has fewer splits than cores.
+
+    Without the spread, every sim query degenerates to ONE task on a
+    few-split source: the corpus/probe side of each broadcast join
+    keeps the scan's partitioning, so the O(sum n_bucket^2) pair
+    generation + per-pair dot product all execute inside the single
+    scan partition — measured 193 s at a 20k-vector ~sf1 clone
+    (76.5x the sf0.1 cost for 10x the data, r16 scale probe) vs ~25 s
+    spread. At corpus scale the branch is dead (splits >= cores) and
+    the broadcast-join plan is unchanged — per-split work is
+    rows-in-split x avg bucket size, which distributes with the scan."""
+    emb = spread_if_few_splits(load_table(spark, sf_dir, "embeddings"))
     return emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
 
 
@@ -85,7 +98,9 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The corpus is read once; each task holds the |Q| query vectors and
     emits its local pairs, and only the tiny top-k window shuffles by
-    query_id. At 100 TB this is bounded by pure scan throughput.
+    query_id. At 100 TB this is bounded by pure scan throughput. (At
+    FIXTURE scale _norms adds one round-robin spread so a few-split
+    source doesn't serialize the scan — dead branch at corpus scale.)
     """
     norms = _norms(spark, sf_dir)
     q = F.broadcast(norms.where(F.col("vec_id") < N_QUERIES)).alias("q")
