@@ -26,79 +26,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # r15 WINDOW (50). CODE TOUCHED IN r15 leads — the numeric-extremes
-    # axis + its review passes changed oracle text for 26 queries
-    # (alphabetical below):
-    # dsum_term_sql's portable non-finite guard rewrites every
-    # dsum_expr consumer plus the three window-sum oracles, the
-    # guarded floor/ceil-to-BIGINT contract (functions/numeric.
-    # floor_long) churns q_histogram/q_math_case, round6_sql churns
-    # q_stats_moments, and the faithful-cents guard churns
-    # q_coerce_types, and the round6 pair churns both percentile
-    # queries two-rail; q_join_asof_pandas is engine-churned (the
-    # merge_asof Int64-payload fix, ADVICE r14):
-    "q_coerce_types",
-    "q_conditional_agg",
-    "q_cube",
-    "q_embedding_centroids",
-    "q_graph_pagerank",
-    "q_histogram",
-    "q_join_asof_pandas",
-    "q_join_broadcast",
-    "q_join_outer",
-    "q_join_salted",
-    "q_kmeans_iter",
-    "q_math_case",
-    "q_percentiles",
-    "q_percentiles_exact",
-    "q_pricing_summary",
-    "q_revenue_by_nation",
-    "q_rollup",
-    "q_shipping_priority",
-    "q_spine_forward_fill",
-    "q_stats_moments",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_tumbling_window",
-    "q_unpivot",
-    "q_window_frames",
-    "q_window_range_frame",
-    "q_window_running",
-    # The pre-staged r14 tier, pulled in on schedule: the remaining 13
-    # r12-vintage rows (q_window_frames moved up — churned), retiring
-    # the r12 tier entirely (no ledger row older than r13 after this
-    # window lands, VERDICT r14 #2's done-bar):
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_scalar_subquery",
-    "q_sort_limit",
-    "q_split_assign",
-    "q_stream_dedup",
-    "q_stream_session_window",
-    "q_stream_sessionize",
-    "q_stream_stream_join",
-    "q_text_langid",
-    "q_text_quality",
-    "q_token_stats",
-    "q_upsert_scan",
-    # ... then the window fills with the 12 alphabetically-first
-    # r13-vintage rows:
-    "q_approx_distinct",
-    "q_array_funcs",
-    "q_boilerplate_spans",
-    "q_contamination",
-    "q_dedup_containment",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embedding_quantize",
-    "q_graph_degree",
-    # --- beyond the 50-row driver window: PRE-STAGED r16 ROTATION ---
-    # the remaining r13-vintage rows in alphabetical order
-    # (q_json_agg first; boundary pinned by tests/test_entry.py); if
-    # the driver reads past 50 they get rows a round early, and r16's
-    # reorder starts here. (q_json_agg/q_json_extract were displaced
-    # from the r15 fill by the percentile round6 churn.)
+    # r16 WINDOW (50). CODE TOUCHED IN r16 leads — the scale-probe LSH
+    # fix (similarity._norms now spreads a few-split embeddings scan)
+    # engine-churns the three sim queries:
+    "q_sim_lsh_bucketed",
+    "q_sim_topk_bruteforce",
+    "q_sim_ivf",
+    # ... then the pre-staged r15 tier, pulled in on schedule: ALL 16
+    # remaining r13-vintage rows — after this window lands no ledger
+    # row is older than r14 (VERDICT r15 #3's done-bar):
     "q_json_agg",
     "q_json_extract",
     "q_map_funcs",
@@ -115,6 +51,57 @@ _DRIVER_FIRST = [
     "q_udtf_chunks",
     "q_variant_extract",
     "q_window_lag_lead",
+    # ... then the window fills with r14-vintage rows:
+    # q_union_all_counts is pulled in FIRST, out of alphabetical order
+    # — it is the largest of the three sub-second movers the r15
+    # verdict flagged to watch (task #8), so it gets a fresh row this
+    # round; the rest follow alphabetically.
+    "q_union_all_counts",
+    "q_catalog_columns",
+    "q_catalog_tables",
+    "q_cdc_compact",
+    "q_count_distinct",
+    "q_date_funcs",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_keep_list",
+    "q_except",
+    "q_except_all",
+    "q_exists_subquery",
+    "q_frame_sample",
+    "q_full_scan",
+    "q_funnel_steps",
+    "q_fuzzy_join",
+    "q_grouping_sets",
+    "q_hll_mergeable",
+    "q_in_subquery",
+    "q_incremental_scan",
+    "q_intersect",
+    "q_intersect_all",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_full_outer",
+    "q_join_range",
+    "q_join_semi",
+    "q_lateral_topk",
+    "q_ngram_topk",
+    "q_null_semantics",
+    # --- beyond the 50-row driver window: PRE-STAGED r17 ROTATION ---
+    # the 10 remaining r14-vintage rows in alphabetical order
+    # (q_pandas_udf_grouped_agg first; boundary pinned by
+    # tests/test_entry.py); if the driver reads past 50 they get rows
+    # a round early, and r17's reorder starts here.
+    "q_pandas_udf_grouped_agg",
+    "q_pivot_event_types",
+    "q_quality_filter",
+    "q_session_window",
+    "q_sessionize",
+    "q_sliding_window",
+    "q_text_fingerprint",
+    "q_topk_per_group",
+    "q_union",
+    "q_window_ranks",
 ]
 
 
