@@ -26,12 +26,38 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # registration order and stays covered by the repo's local replica of
 # the same gate (tests/test_oracle_parity.py, all 100+ oracles).
 _DRIVER_FIRST = [
-    # r16 WINDOW (50). CODE TOUCHED IN r16 leads — the scale-probe LSH
-    # fix (similarity._norms now spreads a few-split embeddings scan)
-    # engine-churns the three sim queries:
+    # r16 WINDOW (50). CODE TOUCHED IN r16 leads (alphabetical): the
+    # faithful-zone extension (SHORTEST_REPR_BOUND 1e13 -> 1e16,
+    # verified by a 110k-sample live sweep) rewrites the oracle text
+    # of every dsum/cents consumer and the q_coerce_types engine
+    # guard + the q_window_range_frame shared SQL text; the
+    # scale-probe LSH fix (similarity._norms spreads a few-split
+    # embeddings scan) engine-churns the three sim queries:
+    "q_coerce_types",
+    "q_conditional_agg",
+    "q_cube",
+    "q_embedding_centroids",
+    "q_graph_pagerank",
+    "q_join_broadcast",
+    "q_join_outer",
+    "q_join_salted",
+    "q_kmeans_iter",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_rollup",
+    "q_shipping_priority",
+    "q_sim_ivf",
     "q_sim_lsh_bucketed",
     "q_sim_topk_bruteforce",
-    "q_sim_ivf",
+    "q_spine_forward_fill",
+    "q_stats_moments",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_tumbling_window",
+    "q_unpivot",
+    "q_window_frames",
+    "q_window_range_frame",
+    "q_window_running",
     # ... then the pre-staged r15 tier, pulled in on schedule: ALL 16
     # remaining r13-vintage rows — after this window lands no ledger
     # row is older than r14 (VERDICT r15 #3's done-bar):
@@ -52,10 +78,10 @@ _DRIVER_FIRST = [
     "q_variant_extract",
     "q_window_lag_lead",
     # ... then the window fills with r14-vintage rows:
-    # q_union_all_counts is pulled in FIRST, out of alphabetical order
-    # — it is the largest of the three sub-second movers the r15
-    # verdict flagged to watch (task #8), so it gets a fresh row this
-    # round; the rest follow alphabetically.
+    # q_union_all_counts first, out of alphabetical order — it is the
+    # largest of the three sub-second movers the r15 verdict flagged
+    # (task #8), so it gets a fresh row instead of a third stale
+    # sample; the rest follow alphabetically.
     "q_union_all_counts",
     "q_catalog_columns",
     "q_catalog_tables",
@@ -65,6 +91,11 @@ _DRIVER_FIRST = [
     "q_dedup_clusters",
     "q_dedup_embedding",
     "q_dedup_exact",
+    # --- beyond the 50-row driver window: PRE-STAGED r17 ROTATION ---
+    # the remaining r14-vintage rows in alphabetical order
+    # (q_dedup_keep_list first; boundary pinned by tests/test_entry.py);
+    # if the driver reads past 50 they get rows a round early, and
+    # r17's reorder starts here.
     "q_dedup_keep_list",
     "q_except",
     "q_except_all",
@@ -87,11 +118,6 @@ _DRIVER_FIRST = [
     "q_lateral_topk",
     "q_ngram_topk",
     "q_null_semantics",
-    # --- beyond the 50-row driver window: PRE-STAGED r17 ROTATION ---
-    # the 10 remaining r14-vintage rows in alphabetical order
-    # (q_pandas_udf_grouped_agg first; boundary pinned by
-    # tests/test_entry.py); if the driver reads past 50 they get rows
-    # a round early, and r17's reorder starts here.
     "q_pandas_udf_grouped_agg",
     "q_pivot_event_types",
     "q_quality_filter",

@@ -95,20 +95,26 @@ def dsum_expr(sql_expr: str) -> str:
 #: is shortest-repr-faithful (60k-sample sweep, zero mismatches) and
 #: its VARCHAR->DECIMAL parse is HALF_UP, so a VARCHAR-mediated cast
 #: equals BigDecimal.valueOf exactly (92k adversarial ties + uniform
-#: sweeps + negatives, both engines live). The BOUND is the edge of
-#: that adversarial verification, a declared conservative cutoff —
-#: NOT a rendering cliff: probing 'non-shortest rendering above 1e13'
-#: with SQL literals is a measurement artifact (DuckDB parses the
-#: literal as DECIMAL(17,3) and converts it LOSSILY to a different
-#: double whose shortest repr then looks wrong; true doubles render
-#: shortest in spot sweeps of [1e13, 1e15) too — r15 review pass 4).
-#: What IS real above the bound: the direct-cast residual (2.0e13
-#: diverges .60 vs .61) and a value domain that is garbage for
-#: cents, so both rails declare NULL / fall back rather than extend
-#: the verified zone on thinner evidence. Below the floor the
-#: rendering switches to EXPONENT form whose VARCHAR->DECIMAL parse
-#: is broken ('9.999e-05' -> 0.01).
-SHORTEST_REPR_BOUND = 1.0e13
+#: sweeps + negatives, both engines live — r15; the r16 zone
+#: extension added 110k samples over [1e13, 1e16): log-uniforms,
+#: 30k authored round-trip ties, negatives, the formerly-divergent
+#: 2.0e13 direct-cast row, and the 9999999999999998.0 top edge —
+#: ZERO mismatches on the cents chain, the dsum chain, AND
+#: Spark-internal direct-vs-STRING-chain, tests/
+#: test_adversarial_numeric.py::test_faithful_zone_extension_pinned).
+#: The BOUND sits at 1e16 because that is where BOTH engines' double
+#: rendering leaves the plain-decimal regime for EXPONENT form
+#: (repr(1e16) = '1e+16'), which this chain's verification does not
+#: cover — and where DECIMAL(18,2) genuinely overflows, so the cents
+#: guard's NULL is now exactly "value does not fit the type", not a
+#: declared narrowing (ADVICE r15 closed). What IS real above the
+#: bound: the dsum direct-cast residual in [1e16, 1e28) (deep-
+#: fraction doubles can quantize binary-wise in DuckDB vs shortest-
+#: repr in Spark) — unreachable for cents (overflow-NULL on both
+#: rails) and documented for dsum. Below the floor the rendering
+#: switches to EXPONENT form whose VARCHAR->DECIMAL parse is broken
+#: ('9.999e-05' -> 0.01).
+SHORTEST_REPR_BOUND = 1.0e16
 PLAIN_REPR_FLOOR = 1.0e-4
 
 
@@ -133,25 +139,27 @@ def dsum_term_sql(sql_expr: str) -> str:
     ...4550000000 on Spark and ...4550964224 on DuckDB, corrupting any
     dsum whose input exceeds ~9e5 with fraction digits beyond its ulp
     (15 rounds of 2-decimal fixture prices never reached the seam).
-    Inside [1e-4, 1e13) — where DuckDB's double->VARCHAR is
-    shortest-repr-faithful and parses without the exponent-form bug —
-    the DuckDB branch therefore goes through VARCHAR, which equals
-    BigDecimal.valueOf exactly. On Spark BOTH branches already have
-    valueOf semantics, so the shared text stays portable. Outside the
-    zone the direct cast stands: below the floor the binary-vs-
-    shortest difference sits past the 10th decimal for these tiny
-    magnitudes and no divergence was found in a 200k authored-tie
-    probe (NOT a +-0 argument — values in [1e-10, 1e-4) quantize to
-    nonzero decimals); above the bound the direct cast's
-    binary-quantization residual remains DOCUMENTED (deep-fraction
-    values in [1e13, 1e28) can diverge — the verified-equal evidence
-    stops at the bound, see SHORTEST_REPR_BOUND), and the >= 1e28
-    loud-overflow contract raises identically through either branch.
-    POLICY if a fixture ever reaches [1e13, 1e28) with deep fractions
-    (ADVICE r15): extend the verified zone with a true-stored-double
-    sweep (NOT SQL literals — the pass-4 artifact) or skip/NULL the
-    range like cents_str_sql, never leave the gate to luck. Same
-    splice contract as :func:`dsum_expr`."""
+    Inside [1e-4, 1e16) — where DuckDB's double->VARCHAR is
+    shortest-repr-faithful and parses without the exponent-form bug
+    (zone extended from 1e13 in r16 by a 110k-sample live sweep, see
+    SHORTEST_REPR_BOUND) — the DuckDB branch therefore goes through
+    VARCHAR, which equals BigDecimal.valueOf exactly. On Spark BOTH
+    branches already have valueOf semantics, so the shared text stays
+    portable. Outside the zone the direct cast stands: below the
+    floor the binary-vs-shortest difference sits past the 10th
+    decimal for these tiny magnitudes and no divergence was found in
+    a 200k authored-tie probe (NOT a +-0 argument — values in
+    [1e-10, 1e-4) quantize to nonzero decimals); above the bound the
+    direct cast's binary-quantization residual remains DOCUMENTED
+    (deep-fraction values in [1e16, 1e28) can diverge — both engines
+    render EXPONENT form there, outside this chain's verification),
+    and the >= 1e28 loud-overflow contract raises identically through
+    either branch. POLICY if a fixture ever reaches [1e16, 1e28) with
+    deep fractions (ADVICE r15): extend the verified zone with a
+    true-stored-double sweep covering the exponent-form regime (NOT
+    SQL literals — the pass-4 artifact) or skip/NULL the range like
+    cents_str_sql, never leave the gate to luck. Same splice contract
+    as :func:`dsum_expr`."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     guard = (
         f"NOT isnan({d}) AND abs({d}) < CAST('Infinity' AS DOUBLE)"
@@ -182,7 +190,10 @@ def cents_str_sql(sql_expr: str) -> str:
     (``decimal_to_str(cast(x AS DECIMAL(18,2)))``): shortest-repr
     HALF_UP via the VARCHAR chain inside the faithful zone, direct
     cast in the exponent-repr floor, NULL for non-finite and beyond
-    SHORTEST_REPR_BOUND. Same splice contract as :func:`dsum_expr`."""
+    SHORTEST_REPR_BOUND — which since the r16 zone extension is 1e16,
+    exactly where DECIMAL(18,2) overflows, so the NULL arm now means
+    "does not fit the type" on both rails rather than a declared
+    narrowing. Same splice contract as :func:`dsum_expr`."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     return (
         f"CASE WHEN NOT isnan({d}) AND abs({d}) < {SHORTEST_REPR_BOUND!r} THEN "

@@ -94,25 +94,22 @@ def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     column expressions — no per-row Python hook like the reference's
     encoder ``default``.
 
-    Faithful-cents contract (r15 numeric axis + review pass 2):
-    price_str is NULL for NaN/+-Inf (DuckDB's cast would raise where
-    Spark's yields NULL) and for |x| >= SHORTEST_REPR_BOUND (1e13, where
-    DuckDB's VARCHAR rendering leaves the shortest-repr regime and no
-    cast chain reproduces Spark). Inside the zone the oracle runs
-    cents_str_sql's VARCHAR chain, verified equal to Spark's
-    BigDecimal shortest-repr HALF_UP on 92k adversarial half-cent
-    ties (the direct DuckDB cast diverges on ties from 1.3e5 and on
-    uniform values from ~2.2e9 — functions/numeric.py). The
-    DECIMAL(18,2) overflow raise is unreachable under the guard.
-
-    USER-FACING NULL ZONE (ADVICE r15): DECIMAL(18,2) itself holds
-    values to ~1e16 and bare Spark would stringify [1e13, 1e16)
-    correctly — the product contract here is deliberately NARROWER
-    than Spark's capability so the declared behavior is verifiable on
-    both rails; finite |x| >= 1e13 reads as NULL price_str by
-    contract, not as a data error. Extending the faithful zone needs
-    a targeted [1e13, 1e16) verification sweep first (r16 candidate,
-    see SHORTEST_REPR_BOUND)."""
+    Faithful-cents contract (r15 numeric axis + review pass 2; zone
+    extended in r16): price_str is NULL for NaN/+-Inf (DuckDB's cast
+    would raise where Spark's yields NULL) and for |x| >=
+    SHORTEST_REPR_BOUND — 1e16 since the r16 zone extension, which is
+    exactly where DECIMAL(18,2) itself overflows, so the NULL arm now
+    matches Spark's own capability (the value does not fit the type;
+    ADVICE r15's declared-narrowing concern is closed — no user-facing
+    NULL zone remains below the type's true range). Inside the zone
+    the oracle runs cents_str_sql's VARCHAR chain, verified equal to
+    Spark's BigDecimal shortest-repr HALF_UP on 92k adversarial
+    half-cent ties in [1e-4, 1e13) (r15) plus a 110k-sample live sweep
+    over [1e13, 1e16) (r16 — log-uniforms, 30k authored round-trip
+    ties, negatives, the 9999999999999998.0 top edge; zero
+    mismatches). The DECIMAL(18,2) overflow raise is unreachable under
+    the guard: the largest double below 1e16 is 9999999999999998,
+    whose .00 cents form is exactly 18 digits."""
     from ..functions.coerce import decimal_to_str, timestamp_to_str, uuid_to_hex
 
     o = load_table(spark, sf_dir, "orders")

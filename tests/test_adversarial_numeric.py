@@ -122,17 +122,23 @@ _ORDERS_PREC = [
     (9018, 9, "O", 131183.645, _d("1995-08-01 00:00:00"), "9-TIES"),
     (9019, 10, "O", -1.005, _d("1995-08-02 00:00:00"), "9-TIES"),
     (9020, 6, "F", 1234567890123.455, _d("1995-08-03 00:00:00"), "9-TIES"),
-    # >= SHORTEST_REPR_BOUND (1e13): both rails declare NULL. 9021
-    # pins the REAL above-bound hazard — its DIRECT decimal cast
-    # diverges (.60 vs Spark's .61). 9022 exercises only NULL==NULL
-    # agreement under the shared guard: the earlier claim that DuckDB
-    # renders it '...568' was a SQL-literal parsing artifact (r15
-    # review pass 4) — the stored DOUBLE renders shortest ('...566')
-    # and the VARCHAR chain would even match Spark here; the bound is
-    # the edge of the adversarial verification, not a rendering cliff
-    # (functions/numeric.py).
+    # [1e13, 1e16): INSIDE the faithful zone since the r16 extension
+    # (110k-sample live sweep, functions/numeric.SHORTEST_REPR_BOUND).
+    # 9021 pins the value whose DIRECT decimal cast diverges (.60 vs
+    # Spark's .61) — the VARCHAR chain must carry it (.61 == Spark);
+    # under the pre-r16 bound both rails read NULL here, so this row
+    # is the regression tripwire for the extension itself. 9022's
+    # stored DOUBLE renders shortest ('...566' — the '...568' claim
+    # was a SQL-literal parsing artifact, r15 review pass 4) and the
+    # chain matches Spark.
     (9021, 7, "O", 20169182918170.605, _d("1995-08-04 00:00:00"), "9-TIES"),
     (9022, 8, "F", 12345678901234.567, _d("1995-08-05 00:00:00"), "9-TIES"),
+    # >= SHORTEST_REPR_BOUND (1e16): both rails declare NULL for cents
+    # (DECIMAL(18,2) genuinely overflows — the NULL arm now means
+    # "does not fit the type"). 2.5e16 is EXACTLY representable
+    # (repr '2.5e+16' == binary value), so the dsum consumers' direct
+    # cast branch also agrees bit-for-bit above the bound.
+    (9023, 6, "O", 2.5e16, _d("1995-08-06 00:00:00"), "9-TIES"),
 ]
 
 #: Every registered query whose oracle touches o_totalprice and is
@@ -408,9 +414,13 @@ def test_cents_chain_matches_spark_on_adversarial_ties(spark) -> None:
             k = rng.randrange(10**mag, 10**(mag + 1))
             vals.append(float(f"{k}.{rng.randrange(100):02d}5"))
             vals.append(-float(f"{k}.{rng.randrange(100):02d}5"))
-    # zone edges and out-of-zone controls
+    # zone edges and controls. 20169182918170.605 / 1e14 moved
+    # IN-zone with the r16 extension (the chain must now carry them);
+    # 2.5e16 / 1.2345678901234567e19 pin the NULL arm above the new
+    # bound (genuine DECIMAL(18,2) overflow territory).
     vals += [0.005, -0.005, 9.99e-5, 5e-324, 0.0, -0.0,
              1234567890123.455, 20169182918170.605, 1e14,
+             9999999999999998.0, 2.5e16, 1.2345678901234567e19,
              float("nan"), float("inf"), float("-inf")]
 
     df = spark.createDataFrame([(v,) for v in vals], "x double")
@@ -714,3 +724,92 @@ def test_round6_authored_tie_divergence_quantified(spark) -> None:
     # upgrade changes either rounding implementation, this count moves
     # and the pin fails for re-adjudication.
     assert diverged == 14, diverged
+
+
+def test_faithful_zone_extension_pinned(spark) -> None:
+    """PROPERTY PIN of the r16 zone extension (SHORTEST_REPR_BOUND
+    1e13 -> 1e16): seeded TRUE doubles across [1e13, 1e16) — log
+    uniforms, authored round-trip half-cent ties, negatives, the
+    formerly-divergent 2.0e13-class direct-cast row, and the
+    9999999999999998.0 top edge — through BOTH engines on BOTH
+    decimal-mirroring chains, plus Spark-internal direct-vs-STRING
+    equivalence (the property the shared-text consumers stand on).
+    This is the in-suite replica of the 110k-sample builder sweep
+    that justified the bound move (zero mismatches); if either
+    engine's rendering or parse changes in this regime, it fails
+    before any oracle row can."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(1616)
+    vals: list[float] = []
+    for _ in range(2000):
+        mag = rng.uniform(13, 16)
+        vals.append(rng.uniform(1.0, 9.999999) * (10 ** int(mag)))
+    n = 0
+    while n < 1000:
+        mag = rng.randint(13, 15)
+        ipart = rng.randint(10**mag, 10 ** (mag + 1) - 1)
+        fd = rng.randint(1, 4)
+        frac = rng.randint(0, 10 ** (fd - 1) - 1) if fd > 1 else 0
+        s = f"{ipart}.{frac:0{fd - 1}d}5" if fd > 1 else f"{ipart}.5"
+        x = float(s)
+        if repr(x) == s:
+            vals.append(x)
+            n += 1
+    vals += [2.0e13, 20169182918170.605, 12345678901234.567,
+             9999999999999998.0, 1.0000000000001e13, 9.999999999999e15]
+    vals += [-v for v in vals[:500]]
+    rows = [(i, v) for i, v in enumerate(vals)]
+
+    df = spark.createDataFrame(rows, "id long, x double")
+    df.createOrReplaceTempView("_zone_t")
+    sp_chain = {
+        r.id: r.s
+        for r in spark.sql(
+            "SELECT id, CAST(CAST(CAST(x AS STRING) AS DECIMAL(38,10)) "
+            "AS STRING) AS s FROM _zone_t"
+        ).collect()
+    }
+    sp_direct = {
+        r.id: r.s
+        for r in spark.sql(
+            "SELECT id, CAST(CAST(x AS DECIMAL(38,10)) AS STRING) AS s "
+            "FROM _zone_t"
+        ).collect()
+    }
+    sp_cents = {
+        r.id: r.s
+        for r in spark.sql(
+            "SELECT id, CAST(CAST(x AS DECIMAL(18,2)) AS STRING) AS s "
+            "FROM _zone_t"
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register(
+            "t",
+            pd.DataFrame(rows, columns=["id", "x"]).astype(
+                {"id": "int64", "x": "float64"}
+            ),
+        )
+        du_chain = dict(
+            con.execute(
+                "SELECT id, CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,10))"
+                " AS VARCHAR) FROM t"
+            ).fetchall()
+        )
+        du_cents = dict(
+            con.execute(
+                "SELECT id, CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(18,2))"
+                " AS VARCHAR) FROM t"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    for i, v in rows:
+        assert sp_chain[i] == du_chain[i], ("dsum chain", v, sp_chain[i], du_chain[i])
+        assert sp_direct[i] == sp_chain[i], ("spark internal", v, sp_direct[i], sp_chain[i])
+        assert sp_cents[i] == du_cents[i], ("cents chain", v, sp_cents[i], du_cents[i])
