@@ -716,7 +716,12 @@ def _small_star(edges: DataFrame, *, canonical: bool = False) -> DataFrame:
 #: arm — same single materialization pass via persist+count, but
 #: lineage is NOT cut, so each round re-optimizes the full upstream
 #: logical plan through the cache lookup). tests/adjudicate_clusters.py
-#: flips this; product code always runs the default. ``LAST_CC_ROUNDS``
+#: flips this; product code always runs the default. CAVEAT: the
+#: "persist" arm never unpersists its cached input (the returned
+#: labels relation still references it lazily, so the function cannot
+#: safely drop the blocks itself) — a probe that flips the knob OWNS
+#: the cleanup via spark.catalog.clearCache() between runs, as
+#: tests/adjudicate_clusters.py's reset() does. ``LAST_CC_ROUNDS``
 #: records the converged round count of the most recent call (telemetry
 #: for the phase decomposition; reading it races nothing because the
 #: engine runs CC on the driver thread that set it).
@@ -981,6 +986,11 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the whole CC fixpoint."""
 
     def build() -> DataFrame:
+        # tests/adjudicate_clusters.py hand-copies this three-source
+        # union for its phase decomposition (it must, to time the
+        # materialization separately) — if an edge source is added or
+        # removed HERE, update build_edges() THERE or the decomposition
+        # silently measures a different graph than the full-path arm.
         pairs = _jaccard_pairs(spark, sf_dir).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )

@@ -391,7 +391,9 @@ def test_cents_chain_matches_spark_on_adversarial_ties(spark) -> None:
     from 131183.645 up, and on uniform values from ~2.2e9) —
     cents_str_sql's VARCHAR chain must equal Spark's
     decimal_to_str(cast(DECIMAL(18,2))) value-for-value across the
-    whole faithful zone [1e-4, 1e13), negatives included, and both
+    whole faithful zone [1e-4, SHORTEST_REPR_BOUND) — 1e16 since the
+    r16 extension; the sampled ties reach 1e13 and the extension's
+    controls below cover [1e13, 1e16) — negatives included, and both
     rails must agree on NULL outside it. 400 values through BOTH
     engines, not a model: if either engine's rendering/rounding
     changes, this fails first."""
