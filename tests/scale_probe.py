@@ -29,7 +29,13 @@ mathematically expected reference:
   event-time distribution (the stream-join window shape).
 - all other tables: byte-copied from the source dir.
 
-Usage: python tests/scale_probe.py [build|bench|both] [n_runs]
+Mode ``all`` sweeps EVERY registered query ONCE at sf1 (the sf0.1
+side comes free from the round's committed BENCH_full_sweep artifact)
+and prints per-query ratios sorted descending — the wide net after
+the top-8 deep probe; single samples, so it's a screen (flag >
+SCREEN_RATIO for a 3-run confirm), not a verdict.
+
+Usage: python tests/scale_probe.py [build|bench|both|all] [n_runs]
 Env: SPARK_GRAFT_SF_DIR (source, default /root/testdata/sf0.1),
      SCALE_PROBE_DIR (clone target, default /tmp/spark_graft_sf1),
      SCALE_PROBE_REPLICAS (default 10), SPARK_GRAFT_CPUS (default 8).
@@ -218,6 +224,90 @@ def bench(n_runs: int) -> None:
     print(json.dumps(result))
 
 
+SCREEN_RATIO = 12.0  # single-sample screen threshold for 10x data
+
+
+def sweep_all() -> None:
+    """One-sample sf1 sweep of every registered query; ratios against
+    the newest committed BENCH_full_sweep artifact's sf0.1 medians."""
+    import glob
+    import re
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(
+        glob.glob(os.path.join(repo, "BENCH_full_sweep_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    base: dict[str, float] = {}
+    if arts:
+        with open(arts[-1]) as fh:
+            art = json.load(fh)
+        base = {
+            k: v for k, v in art.get("full_sweep", {}).items()
+            if isinstance(v, (int, float))
+        }
+
+    from pyspark.sql import SparkSession
+
+    from aws_data_warehouse_lambda_spark.operators import dedup
+    from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
+    from aws_data_warehouse_lambda_spark.session import tune
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-probe-all")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
+    )
+    tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        return round(time.perf_counter() - t0, 4)
+
+    names = list(QUERIES)
+    noop(QUERIES[names[0]](spark, DST))  # warm-up through the timed path
+    canary()  # pay Range codegen once, like bench.py
+    canaries = []
+    out = {}
+    for i, name in enumerate(names):
+        if i % 20 == 0:
+            canaries.append(canary())
+        dedup.reset_shared_relations()
+        spark.catalog.clearCache()
+        gc.collect()
+        t0 = time.perf_counter()
+        try:
+            noop(QUERIES[name](spark, DST))
+            sf1_s = round(time.perf_counter() - t0, 3)
+            err = None
+        except Exception as exc:  # a scale-only crash IS a finding
+            sf1_s, err = None, f"{type(exc).__name__}: {exc}"[:300]
+        b = base.get(name)
+        out[name] = {
+            "sf1_s": sf1_s,
+            "sf01_s": b,
+            "ratio": round(sf1_s / b, 2) if sf1_s and b else None,
+            **({"error": err} if err else {}),
+        }
+    flagged = {
+        k: v for k, v in out.items()
+        if v.get("error") or (v["ratio"] or 0) > SCREEN_RATIO
+    }
+    ranked = dict(
+        sorted(out.items(), key=lambda kv: -(kv[1]["ratio"] or 0))
+    )
+    canaries.append(canary())
+    print(json.dumps({"flagged": flagged, "canaries": canaries, "all": ranked}))
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -225,6 +315,8 @@ def main() -> int:
         build()
     if mode in ("bench", "both"):
         bench(n_runs)
+    if mode == "all":
+        sweep_all()
     return 0
 
 
