@@ -52,37 +52,30 @@ def main() -> int:
     runs_per_arm = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     decomp_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
 
-    from pyspark.sql import SparkSession
+    from contextlib import contextmanager
+
     from pyspark.sql import functions as F
 
     from aws_data_warehouse_lambda_spark.operators import dedup
     from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
-    from aws_data_warehouse_lambda_spark.session import tune
+    from scale_probe import make_probes, make_session
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("adjudicate-clusters")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.sql.shuffle.partitions", cpus)
-        .getOrCreate()
-    )
-    tune(spark)
-    spark.sparkContext.setLogLevel("ERROR")
+    spark, _cpus = make_session("adjudicate-clusters")
+    canary, canary_cpu, noop = make_probes(spark)
 
-    def canary() -> float:
-        t0 = time.perf_counter()
-        spark.range(1).count()
-        return round(time.perf_counter() - t0, 4)
-
-    def canary_cpu() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 128_000_000, 1, 8).agg(F.sum("id")).collect()
-        return round(time.perf_counter() - t0, 4)
-
-    def noop(df) -> None:
-        df.write.format("noop").mode("overwrite").save()
+    @contextmanager
+    def arm_ctx(arm: str):
+        # The knob is a module global (the full-path arm must reach
+        # connected_components THROUGH component_labels, which takes no
+        # parameters) — restore the product default even when a run
+        # raises, so an aborted probe can't leave the process flipped
+        # to "persist" (r16 review pass 2).
+        dedup.CC_INPUT_MATERIALIZE = arm
+        try:
+            yield
+        finally:
+            dedup.CC_INPUT_MATERIALIZE = "checkpoint"
 
     def reset() -> None:
         # bench.py per-run protocol + clearCache: the persist arm's
@@ -104,20 +97,20 @@ def main() -> int:
     full: dict[str, list[dict]] = {a: [] for a in arms}
     for i in range(runs_per_arm):
         for arm in arms:
-            dedup.CC_INPUT_MATERIALIZE = arm
-            reset()
-            c, cc = canary(), canary_cpu()
-            t0 = time.perf_counter()
-            noop(QUERIES["q_dedup_clusters"](spark, sf_dir))
-            full[arm].append(
-                {
-                    "run": i,
-                    "wall_s": round(time.perf_counter() - t0, 3),
-                    "canary_s": c,
-                    "canary_cpu_s": cc,
-                    "cc_rounds": dedup.LAST_CC_ROUNDS,
-                }
-            )
+            with arm_ctx(arm):
+                reset()
+                c, cc = canary(), canary_cpu()
+                t0 = time.perf_counter()
+                noop(QUERIES["q_dedup_clusters"](spark, sf_dir))
+                full[arm].append(
+                    {
+                        "run": i,
+                        "wall_s": round(time.perf_counter() - t0, 3),
+                        "canary_s": c,
+                        "canary_cpu_s": cc,
+                        "cc_rounds": dedup.LAST_CC_ROUNDS,
+                    }
+                )
 
     # ---- 2. phase decomposition --------------------------------------
     def build_edges():
@@ -131,46 +124,44 @@ def main() -> int:
     decomp: dict[str, list[dict]] = {a: [] for a in arms}
     for i in range(decomp_runs):
         for arm in arms:
-            dedup.CC_INPUT_MATERIALIZE = arm
-            reset()
-            c, cc = canary(), canary_cpu()
-            t0 = time.perf_counter()
-            edges = build_edges()
-            if arm == "persist":
-                from pyspark import StorageLevel
+            with arm_ctx(arm):
+                reset()
+                c, cc = canary(), canary_cpu()
+                t0 = time.perf_counter()
+                edges = build_edges()
+                if arm == "persist":
+                    from pyspark import StorageLevel
 
-                base = edges.persist(StorageLevel.MEMORY_AND_DISK)
-                base.count()
-            else:
-                base = edges.localCheckpoint()
-            t1 = time.perf_counter()
-            labels = dedup.connected_components(base)
-            noop(labels)
-            t2 = time.perf_counter()
-            noop(
-                labels.groupBy(F.col("label").alias("cluster_id"))
-                .agg(
-                    F.count(F.lit(1)).alias("n_members"),
-                    F.array_join(
-                        F.array_sort(F.collect_list("node")), ","
-                    ).alias("member_ids"),
+                    base = edges.persist(StorageLevel.MEMORY_AND_DISK)
+                    base.count()
+                else:
+                    base = edges.localCheckpoint()
+                t1 = time.perf_counter()
+                labels = dedup.connected_components(base)
+                noop(labels)
+                t2 = time.perf_counter()
+                noop(
+                    labels.groupBy(F.col("label").alias("cluster_id"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n_members"),
+                        F.array_join(
+                            F.array_sort(F.collect_list("node")), ","
+                        ).alias("member_ids"),
+                    )
+                    .orderBy("cluster_id")
                 )
-                .orderBy("cluster_id")
-            )
-            t3 = time.perf_counter()
-            decomp[arm].append(
-                {
-                    "run": i,
-                    "t_pipeline_s": round(t1 - t0, 3),
-                    "t_cc_s": round(t2 - t1, 3),
-                    "t_agg_s": round(t3 - t2, 3),
-                    "cc_rounds": dedup.LAST_CC_ROUNDS,
-                    "canary_s": c,
-                    "canary_cpu_s": cc,
-                }
-            )
-
-    dedup.CC_INPUT_MATERIALIZE = "checkpoint"  # restore product default
+                t3 = time.perf_counter()
+                decomp[arm].append(
+                    {
+                        "run": i,
+                        "t_pipeline_s": round(t1 - t0, 3),
+                        "t_cc_s": round(t2 - t1, 3),
+                        "t_agg_s": round(t3 - t2, 3),
+                        "cc_rounds": dedup.LAST_CC_ROUNDS,
+                        "canary_s": c,
+                        "canary_cpu_s": cc,
+                    }
+                )
 
     med = {
         a: round(statistics.median(r["wall_s"] for r in full[a]), 3)
@@ -181,7 +172,7 @@ def main() -> int:
             {
                 "query": "q_dedup_clusters",
                 "sf_dir": sf_dir,
-                "cpus": int(cpus),
+                "cpus": _cpus,
                 "runs_per_arm": runs_per_arm,
                 "median_wall_s": med,
                 "full_runs": full,

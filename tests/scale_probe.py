@@ -156,25 +156,33 @@ def build() -> None:
     print(json.dumps({"built": DST, "replicas": REPLICAS, "bytes": sizes}))
 
 
-def bench(n_runs: int) -> None:
+def make_session(app: str):
+    """The shared bench-protocol session: local[$SPARK_GRAFT_CPUS],
+    16g driver, shuffle partitions = cores, tune(), ERROR log level.
+    One definition for both probe modes AND tests/adjudicate_clusters
+    (r16 review pass 2 — three hand-copies drifted before)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
-    from aws_data_warehouse_lambda_spark.operators import dedup
-    from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
     from aws_data_warehouse_lambda_spark.session import tune
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("scale-probe")
+        .appName(app)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", cpus)
         .getOrCreate()
     )
     tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
+    return spark, int(cpus)
+
+
+def make_probes(spark):
+    """(canary, canary_cpu, noop) closures over ``spark`` — the bench.py
+    fixed-overhead / compute-throughput / noop-sink protocol."""
+    from pyspark.sql import functions as F
 
     def canary() -> float:
         t0 = time.perf_counter()
@@ -189,18 +197,32 @@ def bench(n_runs: int) -> None:
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    return canary, canary_cpu, noop
+
+
+def bench(n_runs: int) -> None:
+    from aws_data_warehouse_lambda_spark.operators import dedup
+    from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
+
+    spark, cpus = make_session("scale-probe")
+    canary, canary_cpu, noop = make_probes(spark)
+
     # warm-up through the timed path at the SMALL scale
     noop(QUERIES[TOP8[0]](spark, SRC))
     canary()
     canary_cpu()
 
-    result: dict = {"sf_src": SRC, "sf_big": DST, "cpus": int(cpus), "queries": {}}
+    result: dict = {"sf_src": SRC, "sf_big": DST, "cpus": cpus, "queries": {}}
     for name in TOP8:
         row: dict = {}
         for label, d in (("sf0.1", SRC), ("sf1", DST)):
             runs, cc_rounds = [], None
             for _ in range(n_runs):
                 dedup.reset_shared_relations()
+                # CC telemetry is only written by connected_components;
+                # clear it so non-CC queries record null, not the last
+                # CC query's count (r16 review pass 2).
+                dedup.LAST_CC_ROUNDS = None
                 spark.catalog.clearCache()
                 gc.collect()
                 t0 = time.perf_counter()
@@ -225,6 +247,11 @@ def bench(n_runs: int) -> None:
 
 
 SCREEN_RATIO = 12.0  # single-sample screen threshold for 10x data
+#: A query ABSENT from the baseline artifact (registered after the last
+#: committed sweep) has no ratio — flag it on absolute sf1 wall time
+#: instead so the screen cannot silently pass a brand-new serializing
+#: query (r16 review pass 2; the LSH hazard read 193 s).
+ABS_FLAG_S = 60.0
 
 
 def sweep_all() -> None:
@@ -233,44 +260,26 @@ def sweep_all() -> None:
     import glob
     import re
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    arts = sorted(
-        glob.glob(os.path.join(repo, "BENCH_full_sweep_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
-    )
+    arts = []
+    for p in glob.glob(os.path.join(repo, "BENCH_full_sweep_r*.json")):
+        m = re.fullmatch(r"BENCH_full_sweep_r(\d+)\.json", os.path.basename(p))
+        if m:  # match on the FILENAME — a path segment like /r2/ must
+            arts.append((int(m.group(1)), p))  # not win the sort
     base: dict[str, float] = {}
     if arts:
-        with open(arts[-1]) as fh:
+        with open(max(arts)[1]) as fh:
             art = json.load(fh)
         base = {
             k: v for k, v in art.get("full_sweep", {}).items()
             if isinstance(v, (int, float))
         }
 
-    from pyspark.sql import SparkSession
-
     from aws_data_warehouse_lambda_spark.operators import dedup
     from aws_data_warehouse_lambda_spark.operators.registry import QUERIES
-    from aws_data_warehouse_lambda_spark.session import tune
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("scale-probe-all")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.sql.shuffle.partitions", cpus)
-        .getOrCreate()
-    )
-    tune(spark)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    def noop(df) -> None:
-        df.write.format("noop").mode("overwrite").save()
-
-    def canary() -> float:
-        t0 = time.perf_counter()
-        spark.range(1).count()
-        return round(time.perf_counter() - t0, 4)
+    spark, _ = make_session("scale-probe-all")
+    canary, _canary_cpu, noop = make_probes(spark)
 
     names = list(QUERIES)
     noop(QUERIES[names[0]](spark, DST))  # warm-up through the timed path
@@ -299,7 +308,9 @@ def sweep_all() -> None:
         }
     flagged = {
         k: v for k, v in out.items()
-        if v.get("error") or (v["ratio"] or 0) > SCREEN_RATIO
+        if v.get("error")
+        or (v["ratio"] or 0) > SCREEN_RATIO
+        or (v["ratio"] is None and (v["sf1_s"] or 0) > ABS_FLAG_S)
     }
     ranked = dict(
         sorted(out.items(), key=lambda kv: -(kv[1]["ratio"] or 0))
