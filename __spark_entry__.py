@@ -30,7 +30,11 @@ _DRIVER_FIRST = [
     # faithful-zone extension (SHORTEST_REPR_BOUND 1e13 -> 1e16,
     # verified by a 110k-sample live sweep) rewrites the oracle text
     # of every dsum/cents consumer and the q_coerce_types engine
-    # guard + the q_window_range_frame shared SQL text; the
+    # guard + the q_window_range_frame shared SQL text; the int64
+    # binary-exact zone ([1e16, 2^63) BIGINT hop, 135k-sample sweep)
+    # churns the same dsum set on BOTH rails plus q_histogram (whose
+    # 2^60 fixture row exposed a DECIMAL-literal multiply in its
+    # oracle — bin_low now casts the width literal to DOUBLE); the
     # scale-probe LSH fix (similarity._norms spreads a few-split
     # embeddings scan) engine-churns the three sim queries:
     "q_coerce_types",
@@ -38,6 +42,7 @@ _DRIVER_FIRST = [
     "q_cube",
     "q_embedding_centroids",
     "q_graph_pagerank",
+    "q_histogram",
     "q_join_broadcast",
     "q_join_outer",
     "q_join_salted",
@@ -90,12 +95,14 @@ _DRIVER_FIRST = [
     "q_date_funcs",
     "q_dedup_clusters",
     "q_dedup_embedding",
-    "q_dedup_exact",
     # --- beyond the 50-row driver window: PRE-STAGED r17 ROTATION ---
     # the remaining r14-vintage rows in alphabetical order
-    # (q_dedup_keep_list first; boundary pinned by tests/test_entry.py);
-    # if the driver reads past 50 they get rows a round early, and
-    # r17's reorder starts here.
+    # (q_dedup_exact first — it slipped past the boundary when
+    # q_histogram's oracle fix pulled it into the churned head;
+    # boundary pinned by tests/test_entry.py); if the driver reads
+    # past 50 they get rows a round early, and r17's reorder starts
+    # here.
+    "q_dedup_exact",
     "q_dedup_keep_list",
     "q_except",
     "q_except_all",

@@ -26,10 +26,45 @@ from pyspark.sql import functions as F
 DECIMAL_T = "decimal(38,10)"
 
 
+def _dsum_term(c: Column) -> Column:
+    """The per-row decimal accumulator term of :func:`dsum`/:func:`davg`.
+
+    Two regimes (mirrored branch-for-branch by :func:`dsum_term_sql`):
+
+    - |x| < SHORTEST_REPR_BOUND (1e16): Spark's native double->decimal
+      cast — BigDecimal.valueOf (shortest-repr) semantics, NULL for
+      NaN/+-Inf even under ANSI (the silent-skip contract).
+    - SHORTEST_REPR_BOUND <= |x| < INT64_EXACT_BOUND (2^63): route
+      through BIGINT. Every double >= 2^53 is an exact integer, and the
+      ANSI double->BIGINT cast converts the BINARY value exactly on
+      both engines — whereas Spark's native double->decimal cast in
+      this regime quantizes Java 17's LEGACY ``Double.toString`` digit
+      sequence, which is neither shortest-repr nor the binary value
+      (2^60 = ...846976 renders '1.15292150460684698E18' and sums as
+      ...846980 — r16 int64-zone axis). The BIGINT hop makes the
+      engine sum the value the row actually holds.
+
+    The branch guard excludes 2^63 itself: Spark's double->BIGINT cast
+    SILENTLY SATURATES to Long.MAX at and above 2^63 even under ANSI
+    (the same hazard class as floor(double)->long, see
+    :func:`floor_long`) while DuckDB's raises — at and above the bound
+    the native decimal cast stands (the documented residual, then the
+    >= 1e28 loud-overflow contract). NaN never enters the branch
+    (NaN compares greater than any double, so ``abs(x) <
+    INT64_EXACT_BOUND`` is false) and +-Inf fails the same test, so
+    both fall through to the native cast's NULL skip."""
+    exact64 = (F.abs(c) >= F.lit(SHORTEST_REPR_BOUND)) & (
+        F.abs(c) < F.lit(INT64_EXACT_BOUND)
+    )
+    return F.when(exact64, c.cast("bigint").cast(DECIMAL_T)).otherwise(
+        c.cast(DECIMAL_T)
+    )
+
+
 def dsum(col: Column | str) -> Column:
     """Order-insensitive SUM over doubles, returned as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DECIMAL_T)).cast("double")
+    return F.sum(_dsum_term(c)).cast("double")
 
 
 def davg(col: Column | str) -> Column:
@@ -40,7 +75,7 @@ def davg(col: Column | str) -> Column:
     (decimal AVG itself has engine-specific scale rules — avoided).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DECIMAL_T)).cast("double") / F.count(c)
+    return F.sum(_dsum_term(c)).cast("double") / F.count(c)
 
 
 def dsum_expr(sql_expr: str) -> str:
@@ -104,18 +139,37 @@ def dsum_expr(sql_expr: str) -> str:
 #: test_adversarial_numeric.py::test_faithful_zone_extension_pinned).
 #: The BOUND sits at 1e16 because that is where BOTH engines' double
 #: rendering leaves the plain-decimal regime for EXPONENT form
-#: (repr(1e16) = '1e+16'), which this chain's verification does not
-#: cover — and where DECIMAL(18,2) genuinely overflows, so the cents
-#: guard's NULL is now exactly "value does not fit the type", not a
-#: declared narrowing (ADVICE r15 closed). What IS real above the
-#: bound: the dsum direct-cast residual in [1e16, 1e28) (deep-
-#: fraction doubles can quantize binary-wise in DuckDB vs shortest-
-#: repr in Spark) — unreachable for cents (overflow-NULL on both
-#: rails) and documented for dsum. Below the floor the rendering
-#: switches to EXPONENT form whose VARCHAR->DECIMAL parse is broken
-#: ('9.999e-05' -> 0.01).
+#: (repr(1e16) = '1e+16') AND where Spark's rendering stops being
+#: shortest-repr at all (Java 17's legacy Double.toString emits
+#: extra correctly-rounded digits above 2^53-ish: 2^60 renders
+#: '1.15292150460684698E18', not the shortest '...847E18') — and
+#: where DECIMAL(18,2) genuinely overflows, so the cents guard's
+#: NULL is exactly "value does not fit the type", not a declared
+#: narrowing (ADVICE r15 closed). Above the bound the dsum chains
+#: switch to the BINARY-EXACT INT64 ZONE (see INT64_EXACT_BOUND);
+#: for cents the region stays NULL (type capacity). Below the floor
+#: the rendering switches to EXPONENT form whose VARCHAR->DECIMAL
+#: parse is broken ('9.999e-05' -> 0.01).
 SHORTEST_REPR_BOUND = 1.0e16
 PLAIN_REPR_FLOOR = 1.0e-4
+
+#: Top of the BINARY-EXACT INT64 ZONE [SHORTEST_REPR_BOUND, 2^63) the
+#: dsum chains added in r16: every double >= 2^53 is an exact integer,
+#: and for |x| < 2^63 the double->BIGINT cast converts that integer
+#: EXACTLY and IDENTICALLY on both engines (live 120k-sample sweep +
+#: tests/test_adversarial_numeric.py::test_int64_exact_zone_pinned),
+#: sidestepping both engines' broken high-magnitude double->decimal
+#: paths: Spark quantizes Java 17's legacy Double.toString digits
+#: (neither shortest-repr nor binary: 2^60 -> ...846980), DuckDB
+#: scales the mantissa through double multiplication (1e16 ->
+#: 10000000000000000.4764729344 — NOT correct-to-binary, contrary to
+#: what r15 assumed about the direct cast). The bound is EXCLUSIVE
+#: and must stay strict: at 2^63 Spark's BIGINT cast silently
+#: saturates (even under ANSI) while DuckDB's raises. Above it the
+#: residual zone [2^63, ~1e28) keeps the engines' divergent native
+#: casts (documented; adversarial data there fails the oracle gate
+#: loudly), and >= 1e28 both rails raise (the loud-overflow pin).
+INT64_EXACT_BOUND = 9223372036854775808.0  # 2^63, exactly representable
 
 
 def dsum_term_sql(sql_expr: str) -> str:
@@ -145,21 +199,31 @@ def dsum_term_sql(sql_expr: str) -> str:
     SHORTEST_REPR_BOUND) — the DuckDB branch therefore goes through
     VARCHAR, which equals BigDecimal.valueOf exactly. On Spark BOTH
     branches already have valueOf semantics, so the shared text stays
-    portable. Outside the zone the direct cast stands: below the
-    floor the binary-vs-shortest difference sits past the 10th
-    decimal for these tiny magnitudes and no divergence was found in
-    a 200k authored-tie probe (NOT a +-0 argument — values in
-    [1e-10, 1e-4) quantize to nonzero decimals); above the bound the
-    direct cast's binary-quantization residual remains DOCUMENTED
-    (deep-fraction values in [1e16, 1e28) can diverge — both engines
-    render EXPONENT form there, outside this chain's verification),
-    and the >= 1e28 loud-overflow contract raises identically through
-    either branch. POLICY if a fixture ever reaches [1e16, 1e28) with
-    deep fractions (ADVICE r15): extend the verified zone with a
-    true-stored-double sweep covering the exponent-form regime (NOT
-    SQL literals — the pass-4 artifact) or skip/NULL the range like
-    cents_str_sql, never leave the gate to luck. Same splice contract
-    as :func:`dsum_expr`."""
+    portable. In the BINARY-EXACT INT64 ZONE above it —
+    [SHORTEST_REPR_BOUND, INT64_EXACT_BOUND), r16 — both rails hop
+    through BIGINT: every double there is an exact integer and the
+    double->BIGINT cast converts the BINARY value exactly and
+    identically on both engines, which neither engine's native
+    double->decimal cast does at those magnitudes (Spark quantizes
+    Java's legacy toString digits, DuckDB's mantissa scaling smears
+    sub-integer garbage — see INT64_EXACT_BOUND). This branch mirrors
+    the ENGINE's own :func:`_dsum_term` hop, so in-zone sums carry
+    the true stored values on both rails. Outside the zones the
+    direct cast stands: below the floor the binary-vs-shortest
+    difference sits past the 10th decimal for these tiny magnitudes
+    and no divergence was found in a 200k authored-tie probe (NOT a
+    +-0 argument — values in [1e-10, 1e-4) quantize to nonzero
+    decimals); in the residual [2^63, ~1e28) the engines' native
+    casts diverge (DOCUMENTED — adversarial data there fails the
+    oracle gate loudly rather than being guarded), and the >= 1e28
+    loud-overflow contract raises identically through either branch.
+    POLICY if a fixture ever reaches [2^63, 1e28): extend with
+    another exactly-mirrorable construction (a two-limb int64
+    decomposition is the known candidate) verified by a
+    true-stored-double sweep (NOT SQL literals — the r15 pass-4
+    artifact), or skip/NULL the range like cents_str_sql, never
+    leave the gate to luck. Same splice contract as
+    :func:`dsum_expr`."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     guard = (
         f"NOT isnan({d}) AND abs({d}) < CAST('Infinity' AS DOUBLE)"
@@ -168,6 +232,10 @@ def dsum_term_sql(sql_expr: str) -> str:
         f"abs({d}) >= {PLAIN_REPR_FLOOR!r} "
         f"AND abs({d}) < {SHORTEST_REPR_BOUND!r}"
     )
+    exact64 = (
+        f"abs({d}) >= {SHORTEST_REPR_BOUND!r} "
+        f"AND abs({d}) < {INT64_EXACT_BOUND!r}"
+    )
     # STRING, not VARCHAR: Spark rejects bare VARCHAR (needs a length)
     # and DuckDB accepts STRING as a VARCHAR alias — the one spelling
     # valid on both engines for the shared-text consumers.
@@ -175,6 +243,8 @@ def dsum_term_sql(sql_expr: str) -> str:
         f"CASE WHEN {guard} THEN "
         f"CASE WHEN {faithful} "
         f"THEN CAST(CAST({d} AS STRING) AS DECIMAL(38,10)) "
+        f"WHEN {exact64} "
+        f"THEN CAST(CAST({d} AS BIGINT) AS DECIMAL(38,10)) "
         f"ELSE CAST({d} AS DECIMAL(38,10)) END END"
     )
 

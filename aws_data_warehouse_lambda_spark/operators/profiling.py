@@ -93,10 +93,10 @@ HIST_BIN = 50_000.0  # q_histogram: o_totalprice bin width
 @query(
     "q_histogram",
     oracle=f"""
-    SELECT bin, CAST(bin * {HIST_BIN} AS DOUBLE) AS bin_low, n,
+    SELECT bin, bin * CAST({HIST_BIN} AS DOUBLE) AS bin_low, n,
            min_price, max_price
     FROM (
-        SELECT {floor_long_sql(f"o_totalprice / {HIST_BIN}")} AS bin,
+        SELECT {floor_long_sql(f"o_totalprice / CAST({HIST_BIN} AS DOUBLE)")} AS bin,
                CAST(count(*) AS BIGINT) AS n,
                MIN(o_totalprice) AS min_price,
                MAX(o_totalprice) AS max_price
@@ -116,7 +116,14 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     data where a NaN must not silently land in bin 0 (Spark's
     saturating floor) nor abort the scan (DuckDB's raising BIGINT
     cast) — non-finite and |x/width| >= 2^62 collect in one visible
-    NULL bin, ordered first on both rails by declaration (r4 policy)."""
+    NULL bin, ordered first on both rails by declaration (r4 policy).
+
+    The oracle's width literal is explicitly CAST to DOUBLE: DuckDB
+    parses a bare ``50000.0`` as DECIMAL, and BIGINT*DECIMAL descales
+    through its lossy decimal->double path, flipping the round-half-
+    even tie of bin_low the other way at >= 2^53 magnitudes (caught
+    by the 2^60 fixture row the r16 int64-zone axis added; Spark's
+    bigint*double multiply is the correctly-rounded reference)."""
     o = load_table(spark, sf_dir, "orders")
     bin_ = floor_long(F.col("o_totalprice") / HIST_BIN)
     return (

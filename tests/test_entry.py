@@ -33,7 +33,7 @@ def test_driver_window_ordering():
     # into the window (r7 review finding). The window is exactly 50;
     # the first pre-staged next-round entry must sit at position 50.
     WINDOW = 50
-    assert entrymod._DRIVER_FIRST[WINDOW] == "q_dedup_keep_list", (
+    assert entrymod._DRIVER_FIRST[WINDOW] == "q_dedup_exact", (
         "the pre-staged next-round tier must start exactly at the "
         "50-row driver window boundary — update this pin when rotating"
     )
