@@ -49,15 +49,22 @@ def _dsum_term(c: Column) -> Column:
     (the same hazard class as floor(double)->long, see
     :func:`floor_long`) while DuckDB's raises — at and above the bound
     the native decimal cast stands (the documented residual, then the
-    >= 1e28 loud-overflow contract). NaN never enters the branch
-    (NaN compares greater than any double, so ``abs(x) <
-    INT64_EXACT_BOUND`` is false) and +-Inf fails the same test, so
-    both fall through to the native cast's NULL skip."""
-    exact64 = (F.abs(c) >= F.lit(SHORTEST_REPR_BOUND)) & (
-        F.abs(c) < F.lit(INT64_EXACT_BOUND)
-    )
-    return F.when(exact64, c.cast("bigint").cast(DECIMAL_T)).otherwise(
-        c.cast(DECIMAL_T)
+    >= 1e28 loud-overflow contract). NaN never enters the int64 branch
+    (NaN compares greater than any double, so both ``<`` tests are
+    false) and +-Inf fails them too, so both fall through to the
+    native cast's NULL skip.
+
+    HOT-PATH-FIRST branch order (r16 perf A/B): ``c`` may be a spliced
+    compound expression (``x*x`` in q_stats_moments), and CASE
+    branches re-evaluate it — the common |x| < 1e16 row must pay ONE
+    abs+compare over the plain cast, not the full zone test (the
+    AND-of-two-abs form read +38% on q_stats_moments; this form
+    benches at noise)."""
+    a = F.abs(c)
+    return (
+        F.when(a < F.lit(SHORTEST_REPR_BOUND), c.cast(DECIMAL_T))
+        .when(a < F.lit(INT64_EXACT_BOUND), c.cast("bigint").cast(DECIMAL_T))
+        .otherwise(c.cast(DECIMAL_T))
     )
 
 

@@ -503,13 +503,25 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/numeric.round6; ADVICE r15)."""
     li = load_table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    sums = li.groupBy("l_returnflag").agg(
+    # pre-project the power terms: dsum's zone guard re-references its
+    # input, so feeding it computed expressions re-multiplies per CASE
+    # branch — as plain columns each term is evaluated once per row
+    # (r16 perf A/B; the projection collapses into the scan)
+    terms = li.select(
+        "l_returnflag",
+        x.alias("_x"),
+        y.alias("_y"),
+        (x * x).alias("_xx"),
+        (y * y).alias("_yy"),
+        (x * y).alias("_xy"),
+    )
+    sums = terms.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(x).alias("sx"),
-        dsum(y).alias("sy"),
-        dsum(x * x).alias("sxx"),
-        dsum(y * y).alias("syy"),
-        dsum(x * y).alias("sxy"),
+        dsum("_x").alias("sx"),
+        dsum("_y").alias("sy"),
+        dsum("_xx").alias("sxx"),
+        dsum("_yy").alias("syy"),
+        dsum("_xy").alias("sxy"),
     )
     sums.createOrReplaceTempView("_moment_sums")
     return sums.sparkSession.sql(f"""
