@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 DECIMAL_T = "decimal(38,10)"
 
 
-def _dsum_term(c: Column) -> Column:
+def dsum_term(c: Column) -> Column:
     """The per-row decimal accumulator term of :func:`dsum`/:func:`davg`.
 
     Two regimes (mirrored branch-for-branch by :func:`dsum_term_sql`):
@@ -71,7 +71,7 @@ def _dsum_term(c: Column) -> Column:
 def dsum(col: Column | str) -> Column:
     """Order-insensitive SUM over doubles, returned as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(_dsum_term(c)).cast("double")
+    return F.sum(dsum_term(c)).cast("double")
 
 
 def davg(col: Column | str) -> Column:
@@ -82,7 +82,7 @@ def davg(col: Column | str) -> Column:
     (decimal AVG itself has engine-specific scale rules — avoided).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(_dsum_term(c)).cast("double") / F.count(c)
+    return dsum(c) / F.count(c)
 
 
 def dsum_expr(sql_expr: str) -> str:
@@ -163,7 +163,7 @@ PLAIN_REPR_FLOOR = 1.0e-4
 #: Top of the BINARY-EXACT INT64 ZONE [SHORTEST_REPR_BOUND, 2^63) the
 #: dsum chains added in r16: every double >= 2^53 is an exact integer,
 #: and for |x| < 2^63 the double->BIGINT cast converts that integer
-#: EXACTLY and IDENTICALLY on both engines (live 120k-sample sweep +
+#: EXACTLY and IDENTICALLY on both engines (live 135k-sample sweep +
 #: tests/test_adversarial_numeric.py::test_int64_exact_zone_pinned),
 #: sidestepping both engines' broken high-magnitude double->decimal
 #: paths: Spark quantizes Java 17's legacy Double.toString digits
@@ -214,7 +214,7 @@ def dsum_term_sql(sql_expr: str) -> str:
     double->decimal cast does at those magnitudes (Spark quantizes
     Java's legacy toString digits, DuckDB's mantissa scaling smears
     sub-integer garbage — see INT64_EXACT_BOUND). This branch mirrors
-    the ENGINE's own :func:`_dsum_term` hop, so in-zone sums carry
+    the ENGINE's own :func:`dsum_term` hop, so in-zone sums carry
     the true stored values on both rails. Outside the zones the
     direct cast stands: below the floor the binary-vs-shortest
     difference sits past the 10th decimal for these tiny magnitudes

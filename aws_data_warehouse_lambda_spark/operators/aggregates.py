@@ -12,14 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DECIMAL_T, dsum, dsum_expr, round6, round6_sql
+from ..functions.numeric import dsum, dsum_expr, dsum_term, round6, round6_sql
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
 
 def _dsum_if(cond: F.Column, value: F.Column) -> F.Column:
     """Conditional decimal-exact sum: SUM(x) FILTER (WHERE cond)."""
-    return F.sum(F.when(cond, value).cast(DECIMAL_T)).cast("double")
+    return F.sum(dsum_term(F.when(cond, value))).cast("double")
 
 
 def _dsum_if_expr(cond_sql: str, value_sql: str) -> str:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum_term_sql
+from ..functions.numeric import dsum_term, dsum_term_sql
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
@@ -79,7 +79,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w)
+            F.sum(dsum_term(F.col("o_totalprice"))).over(w)
             .cast("double").alias("running_total"),
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
@@ -185,7 +185,7 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("o_totalprice").over(full).alias("last_price"),
             F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
             F.cume_dist().over(w).alias("cdist"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(sliding)
+            F.sum(dsum_term(F.col("o_totalprice"))).over(sliding)
             .cast("double").alias("moving_sum"),
         )
         .orderBy("o_custkey", "o_orderkey")

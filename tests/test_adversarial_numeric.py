@@ -841,7 +841,7 @@ def test_int64_exact_zone_pinned(spark) -> None:
     2^63 itself must stay OUT of the branch on both rails)."""
     import math
     import random
-    from decimal import Decimal, getcontext
+    from decimal import Decimal, localcontext
 
     import duckdb
     import pandas as pd
@@ -849,11 +849,10 @@ def test_int64_exact_zone_pinned(spark) -> None:
     from aws_data_warehouse_lambda_spark.functions.numeric import (
         INT64_EXACT_BOUND,
         SHORTEST_REPR_BOUND,
-        _dsum_term,
+        dsum_term,
         dsum_term_sql,
     )
 
-    getcontext().prec = 60
     rng = random.Random(263)
     lo, hi = math.log10(SHORTEST_REPR_BOUND), math.log10(INT64_EXACT_BOUND)
     vals = [10.0 ** rng.uniform(lo, hi) for _ in range(1500)]
@@ -871,12 +870,20 @@ def test_int64_exact_zone_pinned(spark) -> None:
         9.199999999999999e18,
     ]
     vals += [-v for v in vals[:500]]
-    # out-of-zone sentinels: 2^63 itself and above take the residual
-    # branch on BOTH rails (rails may diverge from ground truth there,
-    # but must take the SAME branch — asserted via the branch guard)
-    rows = [(i, v) for i, v in enumerate(vals)]
+    # OUT-OF-ZONE SENTINELS, exercised live but excluded from the
+    # three-leg loop: 2^63 itself and a value above it must take the
+    # RESIDUAL branch on both rails. If the guard ever regressed to
+    # inclusive (or a literal-formatting change shifted the parsed
+    # bound), Spark's BIGINT branch would silently SATURATE these to
+    # Long.MAX and DuckDB's would RAISE — so the pin asserts Spark
+    # yields its residual-branch valueOf value (not the saturated
+    # ...775807) and DuckDB completes without raising.
+    sentinels = [INT64_EXACT_BOUND, 1.5e19]
+    n_zone = len(vals)
+    rows_all = [(i, v) for i, v in enumerate(vals + sentinels)]
+    rows = rows_all[:n_zone]
 
-    pdf = pd.DataFrame(rows, columns=["id", "x"]).astype(
+    pdf = pd.DataFrame(rows_all, columns=["id", "x"]).astype(
         {"id": "int64", "x": "float64"}
     )
     sdf = spark.createDataFrame(pdf)
@@ -893,7 +900,7 @@ def test_int64_exact_zone_pinned(spark) -> None:
     sp_col = {
         r.id: r.s
         for r in sdf.select(
-            "id", _dsum_term(F.col("x")).cast("string").alias("s")
+            "id", dsum_term(F.col("x")).cast("string").alias("s")
         ).collect()
     }
     con = duckdb.connect()
@@ -904,12 +911,24 @@ def test_int64_exact_zone_pinned(spark) -> None:
         )
     finally:
         con.close()
-    for i, v in rows:
-        exact = str(Decimal(v).quantize(Decimal("1.0000000000")))
-        assert sp_sql[i] == du_sql[i], ("rail parity", v, sp_sql[i], du_sql[i])
-        assert sp_col[i] == sp_sql[i], ("spark internal", v, sp_col[i], sp_sql[i])
-        assert sp_sql[i] == exact, ("binary truth", v, sp_sql[i], exact)
-    # strict upper edge: the largest in-zone double is in the branch,
-    # 2^63 itself is not (guard literal parses to exactly 2^63)
+    with localcontext() as ctx:
+        ctx.prec = 60
+        for i, v in rows:
+            exact = str(Decimal(v).quantize(Decimal("1.0000000000")))
+            assert sp_sql[i] == du_sql[i], ("rail parity", v, sp_sql[i], du_sql[i])
+            assert sp_col[i] == sp_sql[i], ("spark internal", v, sp_col[i], sp_sql[i])
+            assert sp_sql[i] == exact, ("binary truth", v, sp_sql[i], exact)
+    # strict upper edge, exercised LIVE via the sentinel rows: at 2^63
+    # Spark's residual branch yields the valueOf quantization of
+    # '9.223372036854776E18' — if the guard were inclusive, the BIGINT
+    # branch would saturate to ...775807 instead (and DuckDB, whose
+    # sentinel chain completed above without raising, would have
+    # raised). Both rails stayed consistent between SQL text and
+    # Column path.
+    i_2_63 = n_zone
+    assert sp_sql[i_2_63] == "9223372036854776000.0000000000", sp_sql[i_2_63]
+    assert sp_col[i_2_63] == sp_sql[i_2_63]
+    assert du_sql[i_2_63] is not None and "775807" not in du_sql[i_2_63]
+    assert sp_sql[n_zone + 1] is not None  # 1.5e19 residual, no raise
     assert math.nextafter(INT64_EXACT_BOUND, 0) < INT64_EXACT_BOUND
     assert float(repr(INT64_EXACT_BOUND)) == INT64_EXACT_BOUND
