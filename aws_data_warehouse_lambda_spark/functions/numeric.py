@@ -29,7 +29,7 @@ DECIMAL_T = "decimal(38,10)"
 def dsum_term(c: Column) -> Column:
     """The per-row decimal accumulator term of :func:`dsum`/:func:`davg`.
 
-    Two regimes (mirrored branch-for-branch by :func:`dsum_term_sql`):
+    Three regimes (mirrored branch-for-branch by :func:`dsum_term_sql`):
 
     - |x| < SHORTEST_REPR_BOUND (1e16): Spark's native double->decimal
       cast — BigDecimal.valueOf (shortest-repr) semantics, NULL for
@@ -43,16 +43,31 @@ def dsum_term(c: Column) -> Column:
       (2^60 = ...846976 renders '1.15292150460684698E18' and sums as
       ...846980 — r16 int64-zone axis). The BIGINT hop makes the
       engine sum the value the row actually holds.
+    - INT64_EXACT_BOUND <= |x| <= the largest double below 10^28
+      (abs(x) <= the literal 1e28, which PARSES to that double): the
+      TWO-LIMB int64 decomposition, exact end-to-end in IEEE double +
+      narrow decimal arithmetic on both engines: hi = floor(|x|/2^32)
+      (division by a power of two is an exponent shift — exact; hi <
+      2.33e18 fits BIGINT with no floor saturation), lo = |x| -
+      hi*2^32 (the product is an exponent shift of an exact integer
+      and the difference is a representable integer < 2^32, so the
+      subtraction is exact), then value = sign*(hi)*2^32 + sign*lo in
+      DECIMAL(19,0) x DECIMAL(10,0) -> +DECIMAL(10,0) arithmetic that
+      stays inside BOTH engines' exact widening rules (Spark caps at
+      (31,0), DuckDB at (30,0) — no precision cap hit, no scale
+      reduction; the sign rides ON THE INT64 LIMBS because an outer
+      INT*DECIMAL(38,10) multiply would trigger Spark's scale-6
+      reduction). Verified bit-exact against python Decimal ground
+      truth on both engines (r16 limb-zone sweep).
 
-    The branch guard excludes 2^63 itself: Spark's double->BIGINT cast
-    SILENTLY SATURATES to Long.MAX at and above 2^63 even under ANSI
-    (the same hazard class as floor(double)->long, see
-    :func:`floor_long`) while DuckDB's raises — at and above the bound
-    the native decimal cast stands (the documented residual, then the
-    >= 1e28 loud-overflow contract). NaN never enters the int64 branch
-    (NaN compares greater than any double, so both ``<`` tests are
-    false) and +-Inf fails them too, so both fall through to the
-    native cast's NULL skip.
+    Above the limb zone every finite double EXCEEDS 10^28 and the
+    native cast raises on both rails — the loud-overflow contract now
+    begins exactly at the type's true capacity (previously Spark also
+    raised on the boundary double 1e28 = 9.99...e27, a Java-rendering
+    artifact since the binary value fits). NaN never enters the zone
+    branches (NaN compares greater than any double, so the ``<``/
+    ``<=`` tests are false) and +-Inf fails them too, so both fall
+    through to the native cast's NULL skip.
 
     HOT-PATH-FIRST branch order (r16 perf A/B): ``c`` may be a spliced
     compound expression (``x*x`` in q_stats_moments), and CASE
@@ -61,9 +76,24 @@ def dsum_term(c: Column) -> Column:
     AND-of-two-abs form read +38% on q_stats_moments; this form
     benches at noise)."""
     a = F.abs(c)
+    sign = F.when(c < F.lit(0.0), F.lit(-1)).otherwise(F.lit(1))
+    hi = F.floor(a / F.lit(_TWO32))
+    lo = (a - hi.cast("double") * F.lit(_TWO32)).cast("bigint")
+    limb = (
+        (hi * sign).cast("decimal(19,0)")
+        * F.lit(4294967296).cast("decimal(10,0)")
+        + (lo * sign).cast("decimal(10,0)")
+    ).cast(DECIMAL_T)
     return (
         F.when(a < F.lit(SHORTEST_REPR_BOUND), c.cast(DECIMAL_T))
         .when(a < F.lit(INT64_EXACT_BOUND), c.cast("bigint").cast(DECIMAL_T))
+        # LOWER bound required: without it this branch would swallow
+        # sub-floor values (|x| < PLAIN_REPR_FLOOR reaches here too,
+        # the first WHEN's lower edge) and truncate them to 0
+        .when(
+            (a >= F.lit(INT64_EXACT_BOUND)) & (a <= F.lit(LIMB_ZONE_TOP)),
+            limb,
+        )
         .otherwise(c.cast(DECIMAL_T))
     )
 
@@ -178,6 +208,24 @@ PLAIN_REPR_FLOOR = 1.0e-4
 #: loudly), and >= 1e28 both rails raise (the loud-overflow pin).
 INT64_EXACT_BOUND = 9223372036854775808.0  # 2^63, exactly representable
 
+#: Top of the TWO-LIMB ZONE [INT64_EXACT_BOUND, LIMB_ZONE_TOP]
+#: (INCLUSIVE — the literal 1e28 parses to the largest double below
+#: 10^28, 9999999999999999583119736832, whose binary value fits
+#: DECIMAL(38,10), so it sums faithfully instead of tripping Spark's
+#: valueOf('1.0E28') rendering artifact). Every finite double above
+#: it exceeds 10^28 and the native-cast ELSE branch raises on BOTH
+#: rails — the loud-overflow contract starts exactly at the type's
+#: true capacity. Inside the zone both rails decompose |x| = hi*2^32
+#: + lo with hi,lo int64 (exact in IEEE double: power-of-two division
+#: and the residual subtraction introduce no rounding) and rebuild
+#: the value in narrow decimal arithmetic — bit-exact on both engines
+#: (r16 limb-zone sweep + test_limb_zone_pinned). With this zone the
+#: dsum chain is faithful over the ENTIRE finite double range above
+#: PLAIN_REPR_FLOOR: no residual remains between the faithful zones
+#: and the overflow raise.
+LIMB_ZONE_TOP = 1.0e28
+_TWO32 = 4294967296.0  # 2^32, exact
+
 
 def dsum_term_sql(sql_expr: str) -> str:
     """The guarded decimal-accumulator TERM of :func:`dsum_expr`, for
@@ -215,22 +263,24 @@ def dsum_term_sql(sql_expr: str) -> str:
     Java's legacy toString digits, DuckDB's mantissa scaling smears
     sub-integer garbage — see INT64_EXACT_BOUND). This branch mirrors
     the ENGINE's own :func:`dsum_term` hop, so in-zone sums carry
-    the true stored values on both rails. Outside the zones the
-    direct cast stands: below the floor the binary-vs-shortest
-    difference sits past the 10th decimal for these tiny magnitudes
-    and no divergence was found in a 200k authored-tie probe (NOT a
-    +-0 argument — values in [1e-10, 1e-4) quantize to nonzero
-    decimals); in the residual [2^63, ~1e28) the engines' native
-    casts diverge (DOCUMENTED — adversarial data there fails the
-    oracle gate loudly rather than being guarded), and the >= 1e28
-    loud-overflow contract raises identically through either branch.
-    POLICY if a fixture ever reaches [2^63, 1e28): extend with
-    another exactly-mirrorable construction (a two-limb int64
-    decomposition is the known candidate) verified by a
-    true-stored-double sweep (NOT SQL literals — the r15 pass-4
-    artifact), or skip/NULL the range like cents_str_sql, never
-    leave the gate to luck. Same splice contract as
-    :func:`dsum_expr`."""
+    the true stored values on both rails. Above THAT, the TWO-LIMB
+    ZONE [2^63, LIMB_ZONE_TOP] (r16, closing the last residual):
+    |x| = hi*2^32 + lo decomposes exactly in IEEE double into two
+    int64 limbs and rebuilds in narrow decimal arithmetic — bit-exact
+    on both engines over the whole zone (see LIMB_ZONE_TOP and the
+    r16 limb sweep), so the dsum chain is now faithful over the
+    ENTIRE finite double range above the floor. Below the floor the
+    direct cast stands: the binary-vs-shortest difference sits past
+    the 10th decimal for these tiny magnitudes and no divergence was
+    found in a 200k authored-tie probe (NOT a +-0 argument — values
+    in [1e-10, 1e-4) quantize to nonzero decimals). Above the limb
+    zone every finite double exceeds 10^28 and the ELSE branch's
+    native cast raises identically on both rails (the loud-overflow
+    contract, now starting exactly at the type's true capacity).
+    Same splice contract as :func:`dsum_expr` — note the limb branch
+    splices ``sql_expr`` ~10x, acceptable because it is the cold
+    path and the contract already demands a cheap deterministic
+    expression."""
     d = f"CAST(({sql_expr}) AS DOUBLE)"
     guard = (
         f"NOT isnan({d}) AND abs({d}) < CAST('Infinity' AS DOUBLE)"
@@ -243,6 +293,25 @@ def dsum_term_sql(sql_expr: str) -> str:
         f"abs({d}) >= {SHORTEST_REPR_BOUND!r} "
         f"AND abs({d}) < {INT64_EXACT_BOUND!r}"
     )
+    # the two-limb branch (see dsum_term): hi/lo are exact int64
+    # limbs of |x|; the sign rides on the limbs so the decimal
+    # arithmetic stays (19,0)x(10,0)+(10,0) — inside both engines'
+    # exact widening rules — and the floor/cast spellings below are
+    # portable (DuckDB floor returns DOUBLE, Spark BIGINT; the
+    # explicit BIGINT cast unifies them, with no saturation risk at
+    # hi < 2.33e18).
+    sgn = f"CASE WHEN {d} < CAST(0 AS DOUBLE) THEN -1 ELSE 1 END"
+    hi = f"CAST(floor(abs({d}) / CAST({_TWO32!r} AS DOUBLE)) AS BIGINT)"
+    lo = (
+        f"CAST(abs({d}) - CAST({hi} AS DOUBLE) * "
+        f"CAST({_TWO32!r} AS DOUBLE) AS BIGINT)"
+    )
+    limb = (
+        f"CAST(CAST({hi} * ({sgn}) AS DECIMAL(19,0))"
+        f" * CAST(4294967296 AS DECIMAL(10,0))"
+        f" + CAST({lo} * ({sgn}) AS DECIMAL(10,0))"
+        f" AS DECIMAL(38,10))"
+    )
     # STRING, not VARCHAR: Spark rejects bare VARCHAR (needs a length)
     # and DuckDB accepts STRING as a VARCHAR alias — the one spelling
     # valid on both engines for the shared-text consumers.
@@ -252,6 +321,9 @@ def dsum_term_sql(sql_expr: str) -> str:
         f"THEN CAST(CAST({d} AS STRING) AS DECIMAL(38,10)) "
         f"WHEN {exact64} "
         f"THEN CAST(CAST({d} AS BIGINT) AS DECIMAL(38,10)) "
+        f"WHEN abs({d}) >= {INT64_EXACT_BOUND!r} "
+        f"AND abs({d}) <= {LIMB_ZONE_TOP!r} "
+        f"THEN {limb} "
         f"ELSE CAST({d} AS DECIMAL(38,10)) END END"
     )
 

@@ -146,6 +146,13 @@ _ORDERS_PREC = [
     # this fixture (functions/numeric.INT64_EXACT_BOUND).
     (9023, 6, "O", 2.5e16, _d("1995-08-06 00:00:00"), "9-TIES"),
     (9024, 7, "F", 2.0**60, _d("1995-08-07 00:00:00"), "9-TIES"),
+    # TWO-LIMB ZONE [2^63, 1e28] (r16 — the branch that closed the
+    # last dsum residual): 2^90 = 1237940039285380274899124224 has a
+    # 28-digit exact expansion vs a 17-digit shortest repr, so every
+    # pre-limb path mangles it (Spark valueOf -> ...380300000000000,
+    # DuckDB mantissa scaling -> garbage); the limb decomposition must
+    # carry it bit-exactly on both rails through every dsum consumer.
+    (9025, 8, "O", 2.0**90, _d("1995-08-08 00:00:00"), "9-TIES"),
 ]
 
 #: Every registered query whose oracle touches o_totalprice and is
@@ -871,13 +878,13 @@ def test_int64_exact_zone_pinned(spark) -> None:
     ]
     vals += [-v for v in vals[:500]]
     # OUT-OF-ZONE SENTINELS, exercised live but excluded from the
-    # three-leg loop: 2^63 itself and a value above it must take the
-    # RESIDUAL branch on both rails. If the guard ever regressed to
-    # inclusive (or a literal-formatting change shifted the parsed
-    # bound), Spark's BIGINT branch would silently SATURATE these to
-    # Long.MAX and DuckDB's would RAISE — so the pin asserts Spark
-    # yields its residual-branch valueOf value (not the saturated
-    # ...775807) and DuckDB completes without raising.
+    # three-leg loop: 2^63 itself and a value above it must NOT take
+    # the BIGINT branch — since the r16 two-limb zone they sum via
+    # the limb decomposition to their exact binary values. If the
+    # exact64 guard ever regressed to inclusive (or a literal-
+    # formatting change shifted the parsed bound), Spark's BIGINT
+    # cast would silently SATURATE 2^63 to Long.MAX (...775807) and
+    # DuckDB's would RAISE — asserted below.
     sentinels = [INT64_EXACT_BOUND, 1.5e19]
     n_zone = len(vals)
     rows_all = [(i, v) for i, v in enumerate(vals + sentinels)]
@@ -919,16 +926,123 @@ def test_int64_exact_zone_pinned(spark) -> None:
             assert sp_col[i] == sp_sql[i], ("spark internal", v, sp_col[i], sp_sql[i])
             assert sp_sql[i] == exact, ("binary truth", v, sp_sql[i], exact)
     # strict upper edge, exercised LIVE via the sentinel rows: at 2^63
-    # Spark's residual branch yields the valueOf quantization of
-    # '9.223372036854776E18' — if the guard were inclusive, the BIGINT
-    # branch would saturate to ...775807 instead (and DuckDB, whose
-    # sentinel chain completed above without raising, would have
-    # raised). Both rails stayed consistent between SQL text and
-    # Column path.
+    # and above, the BIGINT branch must NOT fire — since the r16
+    # two-limb zone those values sum via the limb decomposition to
+    # their EXACT binary value (...775808 for 2^63), which doubles as
+    # the saturation pin: if the exact64 guard ever regressed to
+    # inclusive, Spark's BIGINT cast would silently yield Long.MAX
+    # (...775807) and DuckDB's would raise instead of matching.
     i_2_63 = n_zone
-    assert sp_sql[i_2_63] == "9223372036854776000.0000000000", sp_sql[i_2_63]
-    assert sp_col[i_2_63] == sp_sql[i_2_63]
-    assert du_sql[i_2_63] is not None and "775807" not in du_sql[i_2_63]
-    assert sp_sql[n_zone + 1] is not None  # 1.5e19 residual, no raise
+    assert sp_sql[i_2_63] == "9223372036854775808.0000000000", sp_sql[i_2_63]
+    assert sp_col[i_2_63] == sp_sql[i_2_63] == du_sql[i_2_63]
+    assert sp_sql[n_zone + 1] == "15000000000000000000.0000000000"
+    assert sp_sql[n_zone + 1] == du_sql[n_zone + 1] == sp_col[n_zone + 1]
     assert math.nextafter(INT64_EXACT_BOUND, 0) < INT64_EXACT_BOUND
     assert float(repr(INT64_EXACT_BOUND)) == INT64_EXACT_BOUND
+
+
+def test_limb_zone_pinned(spark) -> None:
+    """PROPERTY PIN of the r16 TWO-LIMB ZONE [2^63, 1e28] — the branch
+    that CLOSED the last dsum residual: |x| = hi*2^32 + lo decomposes
+    exactly in IEEE double into two int64 limbs (power-of-two division
+    is an exponent shift; the residual subtraction is exact because
+    the difference is a representable integer < 2^32) and rebuilds in
+    DECIMAL(19,0) x DECIMAL(10,0) + DECIMAL(10,0) arithmetic that
+    stays inside BOTH engines' exact widening rules. In-suite replica
+    of the 150k-sample builder sweep (zero mismatches, three legs).
+    The INCLUSIVE top edge is load-bearing: the literal 1e28 parses
+    to the largest double below 10^28, whose binary value fits
+    DECIMAL(38,10) — it must SUM faithfully (previously Spark raised
+    there on a valueOf rendering artifact), while the next double up
+    exceeds 10^28 and must RAISE on both rails."""
+    import math
+    import random
+    from decimal import Decimal, localcontext
+
+    import duckdb
+    import pandas as pd
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from aws_data_warehouse_lambda_spark.functions.numeric import (
+        INT64_EXACT_BOUND,
+        LIMB_ZONE_TOP,
+        dsum_term,
+        dsum_term_sql,
+    )
+
+    rng = random.Random(2832)
+    vals = []
+    while len(vals) < 1200:
+        x = 10.0 ** rng.uniform(math.log10(INT64_EXACT_BOUND), 28.0)
+        if x <= LIMB_ZONE_TOP:
+            vals.append(x)
+    n = 0
+    while n < 800:
+        e = rng.randint(63, 92)
+        x = float(rng.getrandbits(53) | (1 << 52)) * 2.0 ** (e - 52)
+        if INT64_EXACT_BOUND <= x <= LIMB_ZONE_TOP:
+            vals.append(x)
+            n += 1
+    vals += [
+        INT64_EXACT_BOUND,
+        2.0**77,
+        2.0**90,
+        1e27,
+        LIMB_ZONE_TOP,
+        math.nextafter(LIMB_ZONE_TOP, 0),
+    ]
+    vals += [-v for v in vals[:400]]
+    rows = [(i, v) for i, v in enumerate(vals)]
+
+    pdf = pd.DataFrame(rows, columns=["id", "x"]).astype(
+        {"id": "int64", "x": "float64"}
+    )
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("_limb_t")
+    term = dsum_term_sql("x")
+    sp_sql = {
+        r.id: r.s
+        for r in spark.sql(
+            f"SELECT id, CAST({term} AS STRING) AS s FROM _limb_t"
+        ).collect()
+    }
+    sp_col = {
+        r.id: r.s
+        for r in sdf.select(
+            "id", dsum_term(F.col("x")).cast("string").alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register("t", pdf)
+        du_sql = dict(
+            con.execute(f"SELECT id, CAST({term} AS VARCHAR) FROM t").fetchall()
+        )
+        # raise parity just above the zone (DuckDB side)
+        con.register(
+            "a",
+            pd.DataFrame(
+                [(0, math.nextafter(LIMB_ZONE_TOP, math.inf))],
+                columns=["id", "x"],
+            ).astype({"id": "int64", "x": "float64"}),
+        )
+        with _pytest.raises(Exception, match="(?i)overflow|cannot be represented|out of range|could not cast"):
+            con.execute(f"SELECT CAST({term} AS VARCHAR) FROM a").fetchall()
+    finally:
+        con.close()
+    with localcontext() as ctx:
+        ctx.prec = 60
+        for i, v in rows:
+            exact = str(Decimal(v).quantize(Decimal("1.0000000000")))
+            assert sp_sql[i] == du_sql[i], ("rail parity", v, sp_sql[i], du_sql[i])
+            assert sp_col[i] == sp_sql[i], ("spark internal", v, sp_col[i], sp_sql[i])
+            assert sp_sql[i] == exact, ("binary truth", v, sp_sql[i], exact)
+    # raise parity just above the zone (Spark side)
+    adf = spark.createDataFrame(
+        [(0, math.nextafter(LIMB_ZONE_TOP, math.inf))], "id long, x double"
+    )
+    adf.createOrReplaceTempView("_limb_a")
+    with _pytest.raises(Exception, match="(?i)overflow|cannot be represented|out of range|could not cast"):
+        spark.sql(f"SELECT CAST({term} AS STRING) AS s FROM _limb_a").collect()
