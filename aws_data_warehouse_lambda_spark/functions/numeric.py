@@ -81,15 +81,19 @@ def dsum_term(c: Column) -> Column:
     lo = (a - hi.cast("double") * F.lit(_TWO32)).cast("bigint")
     limb = (
         (hi * sign).cast("decimal(19,0)")
-        * F.lit(4294967296).cast("decimal(10,0)")
+        * F.lit(_TWO32_INT).cast("decimal(10,0)")
         + (lo * sign).cast("decimal(10,0)")
     ).cast(DECIMAL_T)
     return (
         F.when(a < F.lit(SHORTEST_REPR_BOUND), c.cast(DECIMAL_T))
         .when(a < F.lit(INT64_EXACT_BOUND), c.cast("bigint").cast(DECIMAL_T))
-        # LOWER bound required: without it this branch would swallow
-        # sub-floor values (|x| < PLAIN_REPR_FLOOR reaches here too,
-        # the first WHEN's lower edge) and truncate them to 0
+        # the lower conjunct is redundant HERE (the first WHEN has no
+        # floor, so only a >= 2^63 or NaN reaches this branch, and NaN
+        # fails both tests) — it is kept for symmetry with
+        # dsum_term_sql, where the faithful WHEN's 1e-4 floor lets
+        # sub-floor values fall through and an unbounded limb WHEN
+        # would truncate them to 0 (caught live by the deep-fraction
+        # mirror test)
         .when(
             (a >= F.lit(INT64_EXACT_BOUND)) & (a <= F.lit(LIMB_ZONE_TOP)),
             limb,
@@ -203,9 +207,9 @@ PLAIN_REPR_FLOOR = 1.0e-4
 #: what r15 assumed about the direct cast). The bound is EXCLUSIVE
 #: and must stay strict: at 2^63 Spark's BIGINT cast silently
 #: saturates (even under ANSI) while DuckDB's raises. Above it the
-#: residual zone [2^63, ~1e28) keeps the engines' divergent native
-#: casts (documented; adversarial data there fails the oracle gate
-#: loudly), and >= 1e28 both rails raise (the loud-overflow pin).
+#: TWO-LIMB ZONE takes over (see LIMB_ZONE_TOP — [2^63, 1e28] also
+#: sums bit-exactly on both rails), and past THAT both rails raise
+#: (the loud-overflow pin).
 INT64_EXACT_BOUND = 9223372036854775808.0  # 2^63, exactly representable
 
 #: Top of the TWO-LIMB ZONE [INT64_EXACT_BOUND, LIMB_ZONE_TOP]
@@ -224,7 +228,11 @@ INT64_EXACT_BOUND = 9223372036854775808.0  # 2^63, exactly representable
 #: PLAIN_REPR_FLOOR: no residual remains between the faithful zones
 #: and the overflow raise.
 LIMB_ZONE_TOP = 1.0e28
-_TWO32 = 4294967296.0  # 2^32, exact
+#: 2^32 — the limb base. All three uses (decompose divisor, Column
+#: rebuild multiplier, SQL rebuild multiplier) derive from this one
+#: constant so a recalibration cannot leave a chain behind.
+_TWO32_INT = 4294967296
+_TWO32 = float(_TWO32_INT)
 
 
 def dsum_term_sql(sql_expr: str) -> str:
@@ -308,7 +316,7 @@ def dsum_term_sql(sql_expr: str) -> str:
     )
     limb = (
         f"CAST(CAST({hi} * ({sgn}) AS DECIMAL(19,0))"
-        f" * CAST(4294967296 AS DECIMAL(10,0))"
+        f" * CAST({_TWO32_INT} AS DECIMAL(10,0))"
         f" + CAST({lo} * ({sgn}) AS DECIMAL(10,0))"
         f" AS DECIMAL(38,10))"
     )

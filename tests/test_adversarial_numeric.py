@@ -985,7 +985,7 @@ def test_limb_zone_pinned(spark) -> None:
         if INT64_EXACT_BOUND <= x <= LIMB_ZONE_TOP:
             vals.append(x)
             n += 1
-    vals += [
+    edges = [
         INT64_EXACT_BOUND,
         2.0**77,
         2.0**90,
@@ -993,7 +993,10 @@ def test_limb_zone_pinned(spark) -> None:
         LIMB_ZONE_TOP,
         math.nextafter(LIMB_ZONE_TOP, 0),
     ]
-    vals += [-v for v in vals[:400]]
+    # negate the EDGES too, not just interior samples — the sign path
+    # (sgn CASE / limb-sign multiply) must hold exactly at the zone
+    # boundaries (r16 review pass 4)
+    vals += edges + [-v for v in edges] + [-v for v in vals[:400]]
     rows = [(i, v) for i, v in enumerate(vals)]
 
     pdf = pd.DataFrame(rows, columns=["id", "x"]).astype(
