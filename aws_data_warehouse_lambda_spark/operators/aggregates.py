@@ -503,10 +503,15 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/numeric.round6; ADVICE r15)."""
     li = load_table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    # pre-project the power terms: dsum's zone guard re-references its
-    # input, so feeding it computed expressions re-multiplies per CASE
-    # branch — as plain columns each term is evaluated once per row
-    # (r16 perf A/B; the projection collapses into the scan)
+    # pre-project the FULL dsum zone-CASE terms, not just the power
+    # inputs (r16 optimization round, guide §1.2): the r16 build-round
+    # A/B already pre-projected _xx etc. so the zone guard would not
+    # re-multiply per CASE branch; moving the whole decimal term into
+    # the projection ALSO takes the five zone trees out of the hash
+    # aggregate's generated update function (the q_pricing_summary
+    # codegen-threshold finding, -28% there) — bit-identical output,
+    # each term still evaluated once per row, projection collapses
+    # into the scan stage.
     terms = li.select(
         "l_returnflag",
         x.alias("_x"),
@@ -514,14 +519,21 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (x * x).alias("_xx"),
         (y * y).alias("_yy"),
         (x * y).alias("_xy"),
+    ).select(
+        "l_returnflag",
+        dsum_term(F.col("_x")).alias("_tx"),
+        dsum_term(F.col("_y")).alias("_ty"),
+        dsum_term(F.col("_xx")).alias("_txx"),
+        dsum_term(F.col("_yy")).alias("_tyy"),
+        dsum_term(F.col("_xy")).alias("_txy"),
     )
     sums = terms.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum("_x").alias("sx"),
-        dsum("_y").alias("sy"),
-        dsum("_xx").alias("sxx"),
-        dsum("_yy").alias("syy"),
-        dsum("_xy").alias("sxy"),
+        F.sum("_tx").cast("double").alias("sx"),
+        F.sum("_ty").cast("double").alias("sy"),
+        F.sum("_txx").cast("double").alias("sxx"),
+        F.sum("_tyy").cast("double").alias("syy"),
+        F.sum("_txy").cast("double").alias("sxy"),
     )
     sums.createOrReplaceTempView("_moment_sums")
     return sums.sparkSession.sql(f"""

@@ -136,7 +136,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = deg.select(F.count(F.lit(1)).alias("n"))
     # N rides along as a broadcast literal relation (never collected).
-    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+    # STATIC per-node base (node, deg, n), EAGERLY checkpointed once:
+    # every round's rank rebuild joins against base instead of the
+    # previous round's ranks (r16 optimization round) — that
+    # restructure leaves each round's `ranks` with exactly ONE
+    # consumer (the next contrib join), which is what makes the LAZY
+    # per-round checkpoint below safe: the r13-era measurement that
+    # rejected lazy checkpoints ("~1.2s slower with an 8s outlier")
+    # was taken on the two-consumer shape, where each consumer's first
+    # action raced a duplicate compute of the whole chain.
+    base = deg.crossJoin(F.broadcast(n_nodes)).localCheckpoint()
+    ranks = base.select(
         "node", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(PR_ITERS):
@@ -150,8 +160,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(dsum("c").alias("mass"))
         )
         ranks = (
-            ranks.select("node", "deg", "n")
-            .join(contrib, ranks.node == contrib.dst, "left")
+            base.join(contrib, base.node == contrib.dst, "left")
             .select(
                 "node",
                 "deg",
@@ -161,13 +170,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + DAMPING * F.coalesce(F.col("mass"), F.lit(0.0))
                 ).alias("pr"),
             )
-            # EAGER checkpoint per round: `ranks` is consumed twice in
-            # the next round (contrib join + rank rebuild), so a lazy
-            # checkpoint can double-compute the whole chain before its
-            # blocks land (measured: lazy was ~1.2s slower with an 8s
-            # outlier). One blocking job per round is the cheaper
-            # barrier.
-            .localCheckpoint()
+            # LAZY checkpoint per round (guide §5: localCheckpoint as
+            # the cheap lineage cut): the plan each round sees is a
+            # small LogicalRDD join, but no blocking job runs per
+            # round — the single final action materializes the whole
+            # 3-round RDD chain once, each round's blocks cached as
+            # they compute. Safe because `ranks` has exactly one
+            # consumer per round (see the base note above); the
+            # eager-per-round shape paid PR_ITERS scheduler barriers
+            # for the same result.
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("pr", 8).alias("pagerank")

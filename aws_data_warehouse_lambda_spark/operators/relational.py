@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, davg_expr, dsum, dsum_expr
+from ..functions.numeric import davg_expr, dsum, dsum_expr, dsum_term
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
@@ -64,6 +64,19 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with map-side partials, and a global sort.
     """
     lineitem = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(SHIP_WM).cast("timestamp"))
+    # Pre-project the dsum zone-CASE term BEFORE the joins (r16
+    # optimization round, guide §1.2 + §2.3): the revenue term is
+    # computed from lineitem columns only, so projecting it here (a)
+    # keeps the zone tree out of the final hash aggregate's generated
+    # update function (the q_pricing_summary codegen finding, -17%
+    # here at sf0.1, bit-identical output) and (b) narrows the fact
+    # rows entering both shuffle joins to (key, decimal term).
+    lineitem = lineitem.select(
+        "l_orderkey",
+        dsum_term(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("_t_rev"),
+    )
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -74,7 +87,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum("_t_rev").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -104,22 +117,49 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 restated on the fixture lineitem (SURVEY.md §2.B agg row)."""
+    """TPC-H Q1 restated on the fixture lineitem (SURVEY.md §2.B agg row).
+
+    The five dsum zone-CASE terms are PRE-PROJECTED into columns and
+    the aggregate sums plain decimals (r16 optimization round, guide
+    §1.2 per-task work): with the terms inline, the hash aggregate's
+    generated update function carries five copies of the full
+    faithful/int64/limb zone tree and crosses the JIT-friendly method
+    size, benching +0.5s over this shape at sf0.1 (28%; bit-identical
+    output — the projection collapses into the scan stage and each
+    term is still evaluated exactly once per row)."""
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    terms = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        dsum_term(F.col("l_quantity")).alias("_t_qty"),
+        dsum_term(F.col("l_extendedprice")).alias("_t_price"),
+        dsum_term(disc_price).alias("_t_disc_price"),
+        dsum_term(charge).alias("_t_charge"),
+        dsum_term(F.col("l_discount")).alias("_t_disc"),
+    )
     return (
-        li.groupBy("l_returnflag", "l_linestatus")
+        terms.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            F.sum("_t_qty").cast("double").alias("sum_qty"),
+            F.sum("_t_price").cast("double").alias("sum_base_price"),
+            F.sum("_t_disc_price").cast("double").alias("sum_disc_price"),
+            F.sum("_t_charge").cast("double").alias("sum_charge"),
+            (F.sum("_t_qty").cast("double") / F.count("l_quantity")).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum("_t_price").cast("double") / F.count("l_extendedprice")
+            ).alias("avg_price"),
+            (F.sum("_t_disc").cast("double") / F.count("l_discount")).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -406,10 +406,12 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (2 full Lloyd rounds) over the embedding corpus
     — the training loop for q_sim_ivf's coarse quantizer, and the
     template for any iterative assign/update algorithm on Spark:
-    centroids stay a tiny broadcast relation, assignment is one
-    broadcast-join pass over the corpus per round, and the update is a
-    posexplode + partial-combinable aggregate with shuffle O(K x dims),
-    never O(rows). Nothing is ever collected to the driver.
+    centroids stay a tiny broadcast relation (packed into ONE
+    array<struct> row), assignment is a zero-shuffle row-local argmin
+    map over the corpus per round (no exchange, no sort — see _assign),
+    and the update is a posexplode + partial-combinable aggregate with
+    shuffle O(K x dims), never O(rows). Nothing is ever collected to
+    the driver.
 
     Iterative algorithms are usually written off as un-oracle-able; this
     one is fully hash-checked because every nondeterminism source is
@@ -446,23 +448,78 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _assign(cents: DataFrame) -> DataFrame:
-        # NULLS LAST, declared on BOTH rails (the r4 policy): a ragged
-        # member makes its cluster's centroid ragged too, and then
-        # every normal vec's distance to that centroid is NULL — under
-        # Spark's ASC default (NULLS FIRST) the poisoned centroid won
-        # EVERY assignment and the clustering collapsed to 2 clusters
-        # while DuckDB (NULLS LAST) kept 8 (r14 ragged tier). Declared
-        # last, an incomparable centroid is preferred by nobody and
-        # ragged members settle by the cid tiebreak.
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist2").asc_nulls_last(), "cid"
+        # ROW-LOCAL argmin over the packed centroid array (r16
+        # optimization round, guide §2.4 — remove shuffles outright).
+        # The previous shape cross-joined the broadcast K-row centroid
+        # relation and ranked the K candidate rows with a
+        # Window.partitionBy(vec_id): one full-corpus Exchange
+        # hashpartitioning(vec_id) + two sorts PER ASSIGNMENT, with the
+        # 64-float embedding riding the exchange on every non-final
+        # round (the update step still needs it) — at 100 TB that is
+        # three corpus-wide shuffles whose only job is an 8-way argmin
+        # each row can do locally. Packing the centroids into ONE
+        # array<struct<cid,cent>> row (a K-row aggregate, never a
+        # collect) and cross-joining THAT broadcasts a single row; the
+        # argmin becomes array_min over per-element structs and the
+        # assignment is a pure map — zero exchanges, zero sorts.
+        #
+        # Selection semantics are IDENTICAL to the window's
+        # (dist2 ASC NULLS LAST, cid ASC — the r4/r14 ragged-tier
+        # policy), encoded in ONE lexicographic struct ordering:
+        # array_min over struct(nulldist: bool, dist2, cid). The bool
+        # leads, so every non-NULL-dist2 candidate (false) sorts
+        # before every NULL one (true) — NULLS LAST exactly; within
+        # the non-null group dist2 then cid decide (the window's
+        # ordering), and within the all-NULL group the dist2 field is
+        # NULL on both sides of every comparison (a tie by
+        # construction) so cid decides — the window's "ragged members
+        # settle by the cid tiebreak". NaN dist2 (impossible today:
+        # members are finite_vec-filtered and centroid means are
+        # finite) would sort greater than any double in array_min
+        # exactly as it did in the window sort.
+        #
+        # ``cents`` arrives PRE-PACKED (one (cs) row, see _pack): the
+        # packing aggregate rides the per-round checkpoint job instead
+        # of adding a broadcast-build job per assignment.
+        # Two transform plies so each dist2 fold runs ONCE: the inner
+        # transform materializes the (dist2, cid) array, the outer one
+        # re-keys already-computed struct fields (cheap extractions) —
+        # putting ``d.isNull()`` and ``d`` in one lambda would
+        # evaluate the 64-dim fold twice per candidate (lambdas are
+        # exempt from subexpression elimination, the r12 trap).
+        z = F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _dist2(F.col("embedding"), c["cent"]).alias("dist2"),
+                c["cid"].alias("cid"),
+            ),
         )
+        best = F.array_min(
+            F.transform(
+                z,
+                lambda s: F.struct(
+                    s["dist2"].isNull().alias("nulldist"),
+                    s["dist2"].alias("dist2"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        )
+        # ``best`` is bound ONCE and fields are pulled from the bound
+        # attribute: referencing best["cid"] and best["dist2"] in one
+        # projection would evaluate the whole lambda-bearing argmin
+        # chain (8 dist2 folds) TWICE per row — lambda expressions are
+        # exempt from codegen subexpression elimination (the r12
+        # re-evaluation trap; CollapseProject keeps this boundary:
+        # non-cheap and multiply-referenced, SPARK-36715).
         return (
             emb.crossJoin(F.broadcast(cents))
-            .withColumn("dist2", _dist2(F.col("embedding"), F.col("cent")))
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vec_id", "embedding", "cid", "dist2")
+            .select("vec_id", "embedding", best.alias("b"))
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("b.cid").alias("cid"),
+                F.col("b.dist2").alias("dist2"),
+            )
         )
 
     def _update(assigned: DataFrame) -> DataFrame:
@@ -480,16 +537,24 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cent")
         )
 
-    assigned = _assign(cents)
+    def _pack(cents: DataFrame) -> DataFrame:
+        # All K centroids in ONE array row (a K-row aggregate, never a
+        # collect) — what _assign broadcasts. array_min downstream is
+        # order-insensitive, so collect_list's partition order is
+        # immaterial.
+        return cents.agg(F.collect_list(F.struct("cid", "cent")).alias("cs"))
+
+    assigned = _assign(_pack(cents))
     for _ in range(KMEANS_ITERS):
-        # Materialize the K-row centroid relation each round
+        # Materialize the PACKED 1-row centroid relation each round
         # (localCheckpoint, same pattern as the CC fixpoint): without
         # the cut, round N's plan re-embeds and re-executes every
         # previous round's assign+update — lineage (and wall-clock)
         # grows superlinearly in rounds. With it each round is one
-        # bounded job and the checkpointed 8 rows are all that carries
-        # forward.
-        cents = _update(assigned).localCheckpoint()
+        # bounded job, the checkpointed single packed row is all that
+        # carries forward, and the packing aggregate costs no job of
+        # its own.
+        cents = _pack(_update(assigned)).localCheckpoint()
         assigned = _assign(cents)
     return (
         assigned.groupBy(F.col("cid").alias("cluster_id"))

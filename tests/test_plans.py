@@ -228,7 +228,7 @@ def test_salted_join_inset_split_and_broadcast_small(spark) -> None:
 
 
 def test_kmeans_broadcasts_centroids(spark) -> None:
-    # Every assign round must broadcast the K-row centroid relation and
+    # Every assign round must broadcast the packed centroid row and
     # stream the corpus: a shuffle of the embedding table per iteration
     # would dominate at scale. BroadcastNestedLoopJoin appears because
     # the centroid cross join is the broadcast form of "each row sees
@@ -236,6 +236,30 @@ def test_kmeans_broadcasts_centroids(spark) -> None:
     plan = plan_of(spark, "q_kmeans_iter")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_has_no_corpus_shuffle(spark) -> None:
+    # r16 optimization round (guide §2.4): the per-round argmin is a
+    # ROW-LOCAL array_min over the packed broadcast centroid array —
+    # the previous Window.partitionBy(vec_id) shape paid one
+    # full-corpus Exchange hashpartitioning(vec_id) + two sorts PER
+    # ASSIGNMENT, with the 64-float embedding riding the exchange on
+    # every non-final round. The only exchanges left in the final plan
+    # are the K-row update/census aggregates and the ORDER BY.
+    plan = plan_of(spark, "q_kmeans_iter")
+    assert "hashpartitioning(vec_id" not in plan
+    assert "Window" not in plan
+
+
+def test_pagerank_rounds_are_lineage_cut(spark) -> None:
+    # r16 optimization round: each PageRank round ends in a (lazy)
+    # localCheckpoint, so the FINAL plan must be a projection over one
+    # checkpointed RDD scan — no Join/Aggregate nodes. If a round's
+    # lineage cut is ever dropped, the 3-round join/agg tree re-embeds
+    # here and this pin fails before the planning-cost regression ships.
+    plan = plan_of(spark, "q_graph_pagerank")
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
 
 
 def test_containment_no_cartesian(spark) -> None:
