@@ -232,10 +232,22 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivot as an Expand (rows x measures) with no extra shuffle beyond
     the feeding aggregate."""
     li = _t(spark, sf_dir, "lineitem")
-    wide = li.groupBy("l_returnflag").agg(
-        dsum("l_quantity").alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_base_price"),
-        dsum("l_discount").alias("sum_disc"),
+    # Pre-project the three dsum zone-CASE terms into the scan
+    # projection (r16 optimization round, guide §1.2 — the
+    # q_pricing_summary codegen-threshold pattern): the hash
+    # aggregate's generated update function sums plain decimals
+    # instead of carrying three copies of the zone tree.
+    # Bit-identical output; each term still evaluated once per row.
+    terms = li.select(
+        "l_returnflag",
+        dsum_term(F.col("l_quantity")).alias("_t_qty"),
+        dsum_term(F.col("l_extendedprice")).alias("_t_price"),
+        dsum_term(F.col("l_discount")).alias("_t_disc"),
+    )
+    wide = terms.groupBy("l_returnflag").agg(
+        F.sum("_t_qty").cast("double").alias("sum_qty"),
+        F.sum("_t_price").cast("double").alias("sum_base_price"),
+        F.sum("_t_disc").cast("double").alias("sum_disc"),
     )
     return wide.unpivot(
         ["l_returnflag"],
