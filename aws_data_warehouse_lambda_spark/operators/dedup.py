@@ -604,29 +604,112 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment 1.0). The quote/excerpt/aggregator-page case in a
     training corpus.
 
-    Candidate generation shares the df-capped rare-shingle join with the
-    Jaccard referee but deliberately SKIPS the size-ratio prune and the
-    PPJoin prefix filter — both are Jaccard-specific bounds that would
-    drop exactly the asymmetric pairs this query exists to find. Cost
-    stays bounded at DF_CAP * |shingle rows|; the verify is the same
+    Candidate generation shares the df-capped rare-shingle join with
+    the Jaccard referee. The Jaccard-specific size-ratio prune still
+    does NOT apply (it would drop exactly the asymmetric pairs this
+    query exists for), but since the r16 optimization round the
+    SMALLER side of each candidate pair is prefix-filtered with the
+    containment-specific positional bound — see
+    :func:`_containment_from_relations` for the losslessness proof.
+    Cost stays bounded at DF_CAP * |shingle rows| (now with a
+    (1 - t)-fraction probe side); the verify is the same
     two-equality-join array_intersect over packed per-doc sets."""
-    sets = _doc_shingle_arrays(spark, sf_dir, persist=True)
-    shr = (
-        _doc_annotated_arrays(spark, sf_dir)
-        .select("doc_id", F.explode(_rare(F.col("z"))).alias("s"))
-        .select("doc_id", F.col("s.sh").alias("sh"))
-    )
-    # EAGER checkpoint before the self-join — same fan-out-over-lazy-
-    # cache hazard as the PPJoin prefix and the band joins.
-    shr = shr.localCheckpoint()
-    a, b = shr.alias("a"), shr.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    return _containment_from_relations(
+        _doc_shingle_arrays(spark, sf_dir, persist=True),
+        _doc_annotated_arrays(spark, sf_dir),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _containment_from_relations(sets: DataFrame, zdf: DataFrame) -> DataFrame:
+    """The containment prefix-filter -> exact-verify chain over explicit
+    (doc_id, shs, n) and (doc_id, z) relations — separated (the
+    _pairs_from_relations precedent) so the losslessness property
+    (output == capped brute force on arbitrary set families) is
+    testable with synthetic inputs
+    (tests/test_properties.py::test_containment_prefix_filter_is_lossless).
+
+    PREFIX PRUNE (r16 optimization round, guide §2.3/§3.2 — drop
+    definitely-non-matching rows before the join; 16x fewer verified
+    candidates at sf0.1). For a pair (A, B) with n_A <= n_B and
+    containment = shared/n_A >= t, ``shared`` is an integer, so
+    shared >= ceil(t*n_A) and at most ``n_A - ceil(t*n_A)`` of A's
+    shingles are ABSENT from B. Therefore among ANY
+    ``k = n_A - ceil(t*n_A) + 1`` of A's shingles at least one is
+    present in B; taking them from A's RARE (df <= DF_CAP) list keeps
+    the shared witness rare — rarity is a global per-shingle property,
+    so B's side carries it too. Hence joining only A's first k rare
+    shingles (in the global (df, sh) order — any fixed order is valid
+    for the bound; ascending df minimizes fan-out, the PPJoin
+    argument) against B's FULL rare list proposes every pair the
+    capped-generate-then-verify oracle emits:
+
+    - every pair that passes verify (containment >= t) is proposed by
+      the bound above, with the smaller doc (ties: smaller doc_id) as
+      the probe side — so the OUTPUT is exactly the oracle's;
+    - pairs below the verify threshold may be proposed by fewer
+      orientations than the oracle's generator proposes (that is the
+      prune) — they are dropped by the verify on both rails either
+      way, so only wasted candidate rows are removed, never a result
+      row. Conversely a proposed pair always shares >= 1 rare shingle
+      (the join witness), so no pair outside the oracle's generator
+      set can ever reach the verify.
+
+    The oracle keeps its plain capped-generate-then-verify form (the
+    PPJoin precedent: lossless engine-side prune, oracle untouched).
+
+    Candidate rows carry (doc_id, n, sh, inpfx): ONE posexplode of the
+    memoized zdf relation feeds both the probe side (inpfx) and the
+    index side — a single eager checkpoint (same fan-out-over-lazy-
+    cache hazard as the PPJoin prefix and the band joins) instead of
+    two exploded relations."""
+    t = Fraction(str(CONTAINMENT_THRESHOLD))
+    n = F.size("z")
+    rare = _rare(F.col("z"))
+    # k = n - ceil(t*n) + 1, exact integer arithmetic (the
+    # SCREEN_RARE_FRACTION precedent — no float-rounding seam):
+    # ceil(num*n/den) = (num*n + den - 1) div den. Exact in double for
+    # any per-doc set size (num*n + den << 2^53).
+    k = (
+        n
+        - F.floor(
+            (F.lit(t.numerator) * n + F.lit(t.denominator - 1))
+            / F.lit(t.denominator)
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        + F.lit(1)
+    )
+    ex = (
+        zdf.select(
+            "doc_id",
+            n.alias("n"),
+            k.alias("k"),
+            F.posexplode(rare).alias("pos", "s"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.col("s.sh").alias("sh"),
+            # pos is 0-based; prefix = the first k elements.
+            (F.col("pos") < F.col("k")).alias("inpfx"),
+        )
+        .localCheckpoint()
+    )
+    p, i = ex.where(F.col("inpfx")).alias("p"), ex.alias("i")
+    cand = (
+        p.join(
+            i,
+            (F.col("p.sh") == F.col("i.sh"))
+            & (
+                (F.col("p.n") < F.col("i.n"))
+                | (
+                    (F.col("p.n") == F.col("i.n"))
+                    & (F.col("p.doc_id") < F.col("i.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.least(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+        )
         .distinct()
     )
     shared = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
@@ -638,10 +721,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = F.col("shared").cast("double") / F.least(
         F.col("sa.n"), F.col("sb.n")
     ).cast("double")
-    return (
-        scored.where(cont >= CONTAINMENT_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
-        .orderBy("doc_a", "doc_b")
+    return scored.where(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
     )
 
 

@@ -188,6 +188,56 @@ def test_ppjoin_prefix_filter_is_lossless(spark, families) -> None:
         dedup.DF_CAP = orig_cap
 
 
+@settings(max_examples=8, deadline=None)
+@given(_shingle_sets)
+def test_containment_prefix_filter_is_lossless(spark, families) -> None:
+    """The containment positional prefix prune (r16 optimization round,
+    _containment_from_relations) must emit EXACTLY the pairs of the
+    capped brute force: every a<b pair sharing >=1 below-cap shingle
+    with full-set containment (shared / min size) >= t, nothing more,
+    nothing less — on arbitrary set families, with DF_CAP small enough
+    that the cap path is exercised. This is the executable form of the
+    prune's losslessness proof (smaller side: at most
+    n - ceil(t*n) of its shingles can be absent from a >=t partner, so
+    a prefix of n - ceil(t*n) + 1 rare shingles must contain a shared
+    rare witness)."""
+    from aws_data_warehouse_lambda_spark.operators import dedup
+
+    orig_cap = dedup.DF_CAP
+    dedup.DF_CAP = 3
+    try:
+        t = dedup.CONTAINMENT_THRESHOLD
+        docs = {i: s for i, s in enumerate(families) if s}
+
+        from collections import Counter
+
+        dfc = Counter(x for s in docs.values() for x in s)
+        rare = {x for x, c in dfc.items() if c <= dedup.DF_CAP}
+        expect = set()
+        for a in docs:
+            for b in docs:
+                if a < b and (docs[a] & docs[b] & rare):
+                    c = len(docs[a] & docs[b]) / min(len(docs[a]), len(docs[b]))
+                    if c >= t:
+                        expect.add((a, b, round(c, 9)))
+
+        if not docs:
+            return
+        sets = spark.createDataFrame(
+            [(i, sorted(s), len(s)) for i, s in docs.items()],
+            "doc_id long, shs array<long>, n int",
+        )
+        got = {
+            (r.doc_a, r.doc_b, round(r.containment, 9))
+            for r in dedup._containment_from_relations(
+                sets, dedup._annotate_sets(sets)
+            ).collect()
+        }
+        assert got == expect
+    finally:
+        dedup.DF_CAP = orig_cap
+
+
 #: Small node-id space so drawn edge lists merge into multi-edge
 #: components (chains, stars, cycles, self-loops, duplicates).
 _edge_lists = st.lists(
