@@ -267,6 +267,16 @@ def test_containment_no_cartesian(spark) -> None:
     assert "CartesianProduct" not in plan
 
 
+def test_containment_probe_side_is_prefix_filtered(spark) -> None:
+    # r16 optimization round: the candidate self-join's probe side must
+    # be the positional rare-shingle prefix (`inpfx`, see
+    # _containment_from_relations' losslessness proof) — dropping the
+    # filter silently reverts to the 16x-larger verify input
+    # (1.13M -> 69k candidate pairs at sf0.1).
+    plan = plan_of(spark, "q_dedup_containment")
+    assert "inpfx" in plan
+
+
 def test_run_serial_layout_gets_partition_pruning(spark, tmp_path) -> None:
     # The Hive-style run_serial=NNNNNN layout exists precisely so a
     # reader touching one run never lists or scans the others; the
