@@ -142,12 +142,25 @@ def test_decimal_to_str_matches_python_decimal_str_broadly(spark) -> None:
     rows = [(i, s, t) for i, (s, t) in enumerate(cases)]
     df = spark.createDataFrame(rows, "id int, scale int, txt string")
     out = {}
+    fast = {}
     for scale in sorted({s for s, _ in cases}):
         part = df.where(F.col("scale") == scale).select(
             "id",
             decimal_to_str(F.col("txt").cast(f"decimal(38,{scale})")).alias("got"),
+            # The static-scale entry point (r16 optimization round):
+            # plain fast path for scale <= 6, the same regex chain
+            # above it — must agree with the generic path everywhere.
+            decimal_to_str(
+                F.col("txt").cast(f"decimal(38,{scale})"), scale=scale
+            ).alias("got_static"),
         )
-        out.update({r["id"]: r["got"] for r in part.collect()})
+        for r in part.collect():
+            out[r["id"]] = r["got"]
+            fast[r["id"]] = r["got_static"]
     for i, (scale, text) in enumerate(cases):
         want = str(Decimal(text))
         assert out[i] == want, f"scale={scale} text={text}: {out[i]!r} != {want!r}"
+        assert fast[i] == want, (
+            f"static-scale path: scale={scale} text={text}: "
+            f"{fast[i]!r} != {want!r}"
+        )
