@@ -24,8 +24,13 @@ def uuid_to_hex(col: Column | str) -> Column:
     """UUID -> 32-char lowercase hex, the reference's ``UUID.hex``
     (src/db_extractor_full.py:75). Non-UUID values pass through."""
     c = F.col(col) if isinstance(col, str) else col
+    # Literal replace, not regexp_replace: "-" has no regex
+    # metacharacters, so the result is identical and the per-row
+    # java.util.regex Matcher allocation is skipped (r16 optimization
+    # round; the validating rlike stays — non-UUID passthrough is the
+    # declared semantic).
     return F.when(
-        c.rlike(_UUID_RE), F.lower(F.regexp_replace(c, "-", ""))
+        c.rlike(_UUID_RE), F.lower(F.replace(c, F.lit("-"), F.lit("")))
     ).otherwise(c)
 
 
