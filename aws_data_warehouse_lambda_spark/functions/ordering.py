@@ -1,0 +1,47 @@
+"""Presentation ORDER BY without the range-sampling double-compute.
+
+A global ``orderBy`` plans as ``Sort <- Exchange(rangepartitioning)``,
+and the RangePartitioner must SAMPLE its child to pick partition
+bounds — a separate job over the child RDD (``RangePartitioner.sketch``
+reservoir-samples EVERY partition, so every row is computed). Anything
+pipelined between that exchange and the nearest materialized boundary
+(shuffle stage, cached relation, checkpoint) therefore executes TWICE:
+once for the sampling pass, once for the real shuffle map. Invisible
+in the plan text — both passes run the same operators — and easy to
+miss at review time; found in the r16 optimization round by timing
+q_multimodal_features' noop with and without its final sort (0.62 s
+vs 0.24 s at sf0.1: the delta is a full second Python pass over the
+corpus, not the sort of 5k tiny feature rows).
+
+:func:`order_once` cuts lineage with a LAZY ``localCheckpoint`` below
+the sort: the sampling job computes the body once and lands its
+blocks (a lazy local checkpoint materializes on first compute — the
+same mechanism the pagerank rounds ride), the shuffle map stage
+re-reads those blocks, and the exchange still carries only the
+computed OUTPUT columns. That last property is why this is not the
+q_coerce_types narrow-sort pattern (sort the input, project above):
+these operators consume wide text/payload inputs and emit narrow
+rows, so sorting the input first would push the corpus bytes through
+the range exchange — the wrong trade at 100 TB (guide §2.3), while
+re-running a Python boundary or a heavy regex chain per sampling pass
+is the wrong trade in CPU (guide §4).
+
+Use it when the segment below the final sort is EXPENSIVE (a Python
+boundary, heavy regex/array work over wide input); cheap codegen'd
+projections are better off recomputed than paying the cache
+write+read (q_string_funcs-class queries keep their plain orderBy).
+
+Output contract: ``localCheckpoint`` is row-identical and the sort is
+applied above it, so rows AND row order equal plain
+``df.orderBy(*cols)`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+
+def order_once(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """``df.orderBy(*cols)`` with the body computed exactly once (see
+    module docstring). Semantically identical to the plain spelling."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, dsum_expr
+from ..functions.ordering import order_once
 from ..functions.porthash import h60, h60_sql
 from ..functions.vectors import finite_vec, finite_vec_sql
 from ..sources.tables import load_table
@@ -436,7 +437,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = F.regexp_replace(
         F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
-    return (
+    # order_once (r16 optimization round): a plain orderBy's
+    # range-sampling pass re-ran the regex/md5 scan a second time per
+    # run (functions/ordering.py; A/B 0.582 -> 0.422 s at sf0.1, -28%).
+    return order_once(
         docs.select(
             "doc_id",
             F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), 0))
@@ -446,8 +450,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("n_phones"),
             F.md5(redacted).alias("redacted_md5"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 

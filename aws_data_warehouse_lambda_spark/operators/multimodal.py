@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ordering import order_once
 from ..functions.vectors import finite_vec, finite_vec_sql
 from ..sources.tables import load_table
 from .registry import query
@@ -144,12 +145,17 @@ _FIRST_UTF8_BYTE = """
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through Arrow-batched
-    mapInPandas — the template for image/audio feature pipelines."""
+    mapInPandas — the template for image/audio feature pipelines.
+
+    The presentation sort goes through :func:`order_once` (r16
+    optimization round): a plain orderBy's range-sampling pass
+    re-executed the whole payload->Python->features pipeline a second
+    time per run (functions/ordering.py; A/B 0.534 -> 0.382 s at
+    sf0.1, -28%)."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        with_payload(docs)
-        .mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
-        .orderBy("doc_id")
+    return order_once(
+        with_payload(docs).mapInPandas(_extract_features, schema=FEATURE_SCHEMA),
+        "doc_id",
     )
 
 
@@ -205,15 +211,22 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(v.cast("double") / F.col("mx") * 127).cast("int")
         ),
     )
-    return scaled.select(
-        "vec_id",
-        F.round("mx", 6).alias("max_abs"),
-        # the when() keeps the round/cast branch unevaluated for
-        # non-finite rows (CaseWhen is lazy per row, also in codegen)
-        F.when(F.col("mx").isNotNull(), F.array_join(qvec, ",")).alias(
-            "qvec"
+    # order_once (r16 optimization round): a plain orderBy's
+    # range-sampling pass re-ran the two 64-element array transforms a
+    # second time per run (functions/ordering.py; A/B 0.569 -> 0.394 s
+    # at sf0.1, -31%).
+    return order_once(
+        scaled.select(
+            "vec_id",
+            F.round("mx", 6).alias("max_abs"),
+            # the when() keeps the round/cast branch unevaluated for
+            # non-finite rows (CaseWhen is lazy per row, also in codegen)
+            F.when(F.col("mx").isNotNull(), F.array_join(qvec, ",")).alias(
+                "qvec"
+            ),
         ),
-    ).orderBy("vec_id")
+        "vec_id",
+    )
 
 
 FRAME_STRIDE = 8  # keep every 8th element of the 64-dim "clip"
@@ -259,8 +272,15 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ),
     ).when(n == 0, F.array().cast("array<bigint>"))
-    return emb.select(
+    # order_once (r16 optimization round): a plain orderBy's
+    # range-sampling pass re-ran the per-element transform a second
+    # time per run (functions/ordering.py; A/B 0.151 -> 0.117 s at
+    # sf0.1).
+    return order_once(
+        emb.select(
+            "vec_id",
+            "label",
+            F.array_join(sampled, ",").alias("sampled_q"),
+        ),
         "vec_id",
-        "label",
-        F.array_join(sampled, ",").alias("sampled_q"),
-    ).orderBy("vec_id")
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf, udtf
 
+from ..functions.ordering import order_once
 from ..functions.textfold import fold_pandas, fold_sql
 from .text import TOKEN_RE
 from ..sources.tables import load_table
@@ -77,9 +78,13 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_token_stats' regexp expression — this exists to keep the Arrow
     scalar-UDF rail tested."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", bpe_token_count(F.col("text")).alias("n_tokens")
-    ).orderBy("doc_id")
+    # order_once (r16 optimization round): a plain orderBy's
+    # range-sampling pass ran the Arrow UDF over the corpus twice
+    # (functions/ordering.py; A/B 0.620 -> 0.383 s at sf0.1, -38%).
+    return order_once(
+        docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_tokens")),
+        "doc_id",
+    )
 
 
 @pandas_udf(T.DoubleType())
@@ -152,9 +157,14 @@ def q_pandas_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the init cost is paid #partitions times, not #batches or
     #rows times."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.round(scored_length(F.col("text")), 6).alias("score")
-    ).orderBy("doc_id")
+    # order_once: same range-sampling double-pass as q_pandas_udf_scalar
+    # (A/B 0.465 -> 0.316 s at sf0.1, -32%).
+    return order_once(
+        docs.select(
+            "doc_id", F.round(scored_length(F.col("text")), 6).alias("score")
+        ),
+        "doc_id",
+    )
 
 
 CHUNK_WORDS = 50
@@ -196,11 +206,18 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     spark.udtf.register("chunk_document", ChunkDocument)
     docs.createOrReplaceTempView("_docs_for_chunking")
-    return spark.sql(
-        """
-        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
-        FROM _docs_for_chunking d,
-             LATERAL chunk_document(d.text) c
-        ORDER BY d.doc_id, c.chunk_idx
-        """
+    # order_once (r16 optimization round): with ORDER BY inline, the
+    # range-sampling pass ran the per-row Python UDTF over the corpus
+    # a second time (functions/ordering.py; A/B 0.604 -> 0.419 s at
+    # sf0.1, -31%).
+    return order_once(
+        spark.sql(
+            """
+            SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+            FROM _docs_for_chunking d,
+                 LATERAL chunk_document(d.text) c
+            """
+        ),
+        "doc_id",
+        "chunk_idx",
     )

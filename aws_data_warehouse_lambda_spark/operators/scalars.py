@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.jsoncast import try_int_sql, variant_int_sql
 from ..functions.numeric import floor_long, floor_long_sql
+from ..functions.ordering import order_once
 from ..sources.tables import load_table, register_temp_views
 from .registry import query
 
@@ -176,11 +177,17 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's bare TRY_CAST would accept '3.0'/'0x10'/'1_2' and
     silently diverge (the r13 JSON content axis)."""
     e = load_table(spark, sf_dir, "events")
-    return e.select(
+    # order_once (r16 optimization round): a plain orderBy's
+    # range-sampling pass re-parsed every props payload a second time
+    # per run (functions/ordering.py; A/B 0.791 -> 0.567 s at sf0.1).
+    return order_once(
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").try_cast("int").alias("k_value"),
+            "event_type",
+        ),
         "event_id",
-        F.get_json_object("props", "$.k").try_cast("int").alias("k_value"),
-        "event_type",
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -226,13 +233,22 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     uniq = F.array_distinct(words)
-    return docs.select(
+    # order_once (r16 optimization round): a plain orderBy's
+    # range-sampling pass re-ran the split/distinct/sort array chain a
+    # second time per run (functions/ordering.py; A/B 0.333 -> 0.247 s
+    # at sf0.1).
+    return order_once(
+        docs.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.size(uniq).alias("n_unique"),
+            F.array_join(F.slice(F.array_sort(uniq), 1, 3), ",").alias(
+                "first3_sorted"
+            ),
+            F.array_contains(words, "spark").alias("has_spark"),
+        ),
         "doc_id",
-        F.size(words).alias("n_words"),
-        F.size(uniq).alias("n_unique"),
-        F.array_join(F.slice(F.array_sort(uniq), 1, 3), ",").alias("first3_sorted"),
-        F.array_contains(words, "spark").alias("has_spark"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -304,8 +320,14 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # VALIDITY itself) are adjudicated and exact-behavior-pinned in
     # tests/test_adversarial_json.py, not forced to agree.
     v = F.try_parse_json("props")
-    return e.select(
+    # order_once (r16 optimization round): a plain orderBy's
+    # range-sampling pass re-parsed every variant a second time per
+    # run (functions/ordering.py; A/B 0.683 -> 0.449 s at sf0.1).
+    return order_once(
+        e.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "int").alias("k_variant"),
+            v.isNotNull().alias("is_valid"),
+        ),
         "event_id",
-        F.try_variant_get(v, "$.k", "int").alias("k_variant"),
-        v.isNotNull().alias("is_valid"),
-    ).orderBy("event_id")
+    )

@@ -26,6 +26,7 @@ from ..functions.fingerprint import (
     doc_fingerprints,
     fp_grams_sql,
 )
+from ..functions.ordering import order_once
 from ..functions.porthash import h60_sql
 from ..functions.spread import spread_if_few_splits
 from ..functions.textfold import fold, fold_sql
@@ -166,12 +167,19 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
         pred = F.when(cond, lang).otherwise(pred)
     total = sum((F.col(f"s_{lang}") for lang in langs[1:]), F.col(f"s_{langs[0]}"))
-    return scored.select(
+    # order_once (r16 optimization round): a plain orderBy's
+    # range-sampling pass re-ran the gate+lower+4-regex chain a second
+    # time per run (functions/ordering.py; A/B 0.860 -> 0.494 s at
+    # sf0.1, -43%).
+    return order_once(
+        scored.select(
+            "doc_id",
+            "labeled_lang",
+            pred.alias("predicted_lang"),
+            total.alias("marker_hits"),
+        ),
         "doc_id",
-        "labeled_lang",
-        pred.alias("predicted_lang"),
-        total.alias("marker_hits"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -223,21 +231,27 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     punct_ratio = F.col("punct").cast("double") / F.nullif(
         n_chars.cast("double"), F.lit(0.0)
     )
-    return base.select(
+    # order_once (r16 optimization round): a plain orderBy's
+    # range-sampling pass re-ran the split/regex scan a second time per
+    # run (functions/ordering.py; A/B 0.760 -> 0.406 s at sf0.1, -47%).
+    return order_once(
+        base.select(
+            "doc_id",
+            "n_chars_actual",
+            "n_words",
+            F.round(n_chars.cast("double") / n_words.cast("double"), 6).alias(
+                "chars_per_word"
+            ),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(
+                F.col("stop").cast("double") / n_words.cast("double"), 6
+            ).alias("stopword_ratio"),
+            F.when((n_words >= 20) & (punct_ratio < 0.1), "keep")
+            .otherwise("drop")
+            .alias("quality_flag"),
+        ),
         "doc_id",
-        "n_chars_actual",
-        "n_words",
-        F.round(n_chars.cast("double") / n_words.cast("double"), 6).alias(
-            "chars_per_word"
-        ),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(F.col("stop").cast("double") / n_words.cast("double"), 6).alias(
-            "stopword_ratio"
-        ),
-        F.when((n_words >= 20) & (punct_ratio < 0.1), "keep")
-        .otherwise("drop")
-        .alias("quality_flag"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
