@@ -47,6 +47,7 @@ from fractions import Fraction
 
 from ..functions.apps import live_app_ids
 from ..functions.fingerprint import doc_fingerprints, fp_grams_sql
+from ..functions.ordering import order_once
 from ..functions.spread import spread_if_few_splits
 from ..functions.porthash import h60, h60_sql, perm, perm_sql
 from ..functions.vectors import DOT_SQL as _DOT_SQL
@@ -614,10 +615,20 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost stays bounded at DF_CAP * |shingle rows| (now with a
     (1 - t)-fraction probe side); the verify is the same
     two-equality-join array_intersect over packed per-doc sets."""
-    return _containment_from_relations(
-        _doc_shingle_arrays(spark, sf_dir, persist=True),
-        _doc_annotated_arrays(spark, sf_dir),
-    ).orderBy("doc_a", "doc_b")
+    # order_once (r16 optimization round): with a plain orderBy the
+    # range-sampling pass re-executed the whole prefix-prune +
+    # candidate-join + verify chain a second time per run
+    # (functions/ordering.py; warm-substrate A/B of the post-arrays
+    # phase 1.180 -> 0.462 s at sf0.1, -61% — on top of this round's
+    # positional prefix prune, change #7).
+    return order_once(
+        _containment_from_relations(
+            _doc_shingle_arrays(spark, sf_dir, persist=True),
+            _doc_annotated_arrays(spark, sf_dir),
+        ),
+        "doc_a",
+        "doc_b",
+    )
 
 
 def _containment_from_relations(sets: DataFrame, zdf: DataFrame) -> DataFrame:
@@ -1322,10 +1333,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("shared").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("shared")
     ).cast("double")
-    return (
-        scored.where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    # order_once (r16 optimization round): with a plain orderBy the
+    # range-sampling pass re-executed the verify phase (two broadcast
+    # joins + array_intersect per candidate) a second time per run
+    # (functions/ordering.py; warm-substrate A/B of the post-arrays
+    # phase 0.386 -> 0.145 s at sf0.1, -62%).
+    return order_once(
+        scored.where(jac >= JACCARD_THRESHOLD).select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        ),
+        "doc_a",
+        "doc_b",
     )
 
 
@@ -1444,10 +1462,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.where(ham <= HAMMING_MAX)
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .orderBy("doc_a", "doc_b")
+    # order_once (r16 optimization round): the range-sampling pass
+    # re-ran the post-band-join distinct read + hamming filter a
+    # second time per run (functions/ordering.py; warm-substrate A/B
+    # 0.231 -> 0.115 s at sf0.1, -50%).
+    return order_once(
+        cand.where(ham <= HAMMING_MAX).select(
+            "doc_a", "doc_b", ham.cast("int").alias("hamming")
+        ),
+        "doc_a",
+        "doc_b",
     )
 
 
