@@ -34,6 +34,13 @@ write+read (q_string_funcs-class queries keep their plain orderBy).
 Output contract: ``localCheckpoint`` is row-identical and the sort is
 applied above it, so rows AND row order equal plain
 ``df.orderBy(*cols)`` exactly.
+
+Fault-tolerance trade-off (the standard localCheckpoint one, guide
+§5): the cut lineage means a lost cached block fails the job instead
+of recomputing — acceptable for these PRESENTATION sorts exactly as
+for the repo's other local checkpoints (band relations, CC rounds,
+PageRank rounds); a pipeline stage that must survive executor loss
+lands its output durably instead.
 """
 
 from __future__ import annotations
